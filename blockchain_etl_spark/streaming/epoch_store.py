@@ -1,0 +1,87 @@
+"""Durable ordered change-log store, written in epoch-sized parquet files.
+
+This is the engine's WAL retention (≙ the reference's Redis stream bus +
+CSV files, ``blockchainetl/cli/dump.py`` + ``load.py``): the tail loop
+appends epochs; the reorg path reads back slices by ``stream_pos`` to
+replay from the last checkpointed LSN. An ``index.json`` maps epoch →
+(stream_pos, lsn) ranges so slice reads open only the overlapping files
+(file-level pruning before Spark ever lists anything).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from blockchain_etl_spark.cdc.schema import EVENT_SCHEMA
+
+
+class EpochStore:
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+        os.makedirs(path, exist_ok=True)
+
+    def _index_path(self) -> str:
+        return os.path.join(self.path, "index.json")
+
+    def _index(self) -> dict[str, dict[str, Any]]:
+        try:
+            with open(self._index_path()) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return {}
+
+    def _write_index(self, idx: dict[str, dict[str, Any]]) -> None:
+        tmp = self._index_path() + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(idx, f, sort_keys=True)
+        os.replace(tmp, self._index_path())
+
+    def epoch_ids(self) -> list[int]:
+        return sorted(int(k) for k in self._index())
+
+    def write_epoch(self, epoch_id: int, events_df: DataFrame) -> dict[str, Any]:
+        out = os.path.join(self.path, f"epoch-{epoch_id:08d}.parquet")
+        events_df.write.mode("overwrite").parquet(out)
+        stats = (
+            self.spark.read.schema(EVENT_SCHEMA)
+            .parquet(out)
+            .agg(
+                F.min("stream_pos").alias("pos_min"),
+                F.max("stream_pos").alias("pos_max"),
+                F.min("lsn").alias("lsn_min"),
+                F.max("lsn").alias("lsn_max"),
+                F.count("*").alias("n"),
+            )
+            .first()
+            .asDict()
+        )
+        idx = self._index()
+        idx[str(epoch_id)] = {"file": f"epoch-{epoch_id:08d}.parquet", **stats}
+        self._write_index(idx)
+        return stats
+
+    def read_epoch(self, epoch_id: int) -> DataFrame:
+        meta = self._index()[str(epoch_id)]
+        return self.spark.read.schema(EVENT_SCHEMA).parquet(
+            os.path.join(self.path, meta["file"])
+        )
+
+    def read_slice(self, pos_lo: int, pos_hi: int) -> DataFrame | None:
+        """Events with pos_lo < stream_pos < pos_hi, pruned by epoch range."""
+        idx = self._index()
+        files = [
+            os.path.join(self.path, m["file"])
+            for m in idx.values()
+            if m["pos_max"] > pos_lo and m["pos_min"] < pos_hi
+        ]
+        if not files:
+            return None
+        df = self.spark.read.schema(EVENT_SCHEMA).parquet(*files)
+        return df.filter((F.col("stream_pos") > pos_lo) & (F.col("stream_pos") < pos_hi))

@@ -1,0 +1,338 @@
+"""Snapshot-versioned lake table with atomic manifest commits.
+
+This is the engine's sink substrate — the role Iceberg plays in the
+north star. No Iceberg/Delta jars ship in this image, so the commit
+protocol is implemented directly with the same semantics:
+
+- **Data** lives in immutable parquet files under ``data/``; a JSON
+  **manifest** per version lists the live files; ``manifests/LATEST``
+  is an atomically-replaced pointer (``os.replace``) — readers always
+  see a complete, committed snapshot (≙ Iceberg snapshot + metadata
+  pointer swap).
+- **Hash-bucket partitioning**: every file belongs to one bucket
+  ``pmod(xxhash64(key), n_buckets)`` (≙ Iceberg ``bucket(N, doc_id)``
+  partition transform). MERGE is **copy-on-write at bucket
+  granularity**: only buckets containing touched keys are read and
+  rewritten, the rest of the table is carried forward by reference.
+  At 10^10 rows / 4096 buckets a batch touching 1k keys rewrites at
+  most 1k buckets' files, not the table.
+- **Exactly-once ledger**: the manifest itself records
+  ``applied_epochs`` and the ``(lsn, seq)`` watermark, so the data
+  write and the commit-ledger update are ONE atomic operation — the
+  failure window the reference has between COPY and the Redis result
+  key (``blockchainetl/cli/load.py:208-231``) does not exist here.
+- **Time travel**: old manifests are retained; ``rollback_to_version``
+  commits a new manifest that points at an old snapshot's files —
+  the reorg replay path (≙ ``eth_reorg_adapter.py:116-142`` delete +
+  re-insert, but atomic).
+- **Schema evolution**: the manifest carries a schema history; files
+  remember which schema version wrote them; reads union per-schema
+  file groups cast to the current schema (added columns null-backfill,
+  widened types upcast) — ``mergeSchema``-aware without rewriting old
+  files.
+
+Scale notes: manifest size is O(#live files) = O(n_buckets ×
+files_per_bucket); driver-side JSON handling is the same cost class as
+Iceberg's avro manifests. Reads prune by bucket before Spark ever
+lists a file, so point-lookup-ish merges never scan cold buckets.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_BUCKET_COL = "_bucket"
+
+
+def bucket_expr(key_col: str, n_buckets: int):
+    """Bucket id of a key — MUST match everywhere (write, prune, merge)."""
+    return F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_buckets)).cast("int")
+
+
+@dataclass
+class Manifest:
+    version: int
+    key: str
+    n_buckets: int
+    schema_version: int
+    schemas: dict[str, str]  # schema_version (str) -> StructType json
+    files: list[dict[str, Any]] = field(default_factory=list)
+    watermark: dict[str, int] = field(
+        default_factory=lambda: {"lsn": -1, "seq": -1, "pos": -1}
+    )
+    applied_epochs: list[int] = field(default_factory=list)
+    parent: int | None = None
+    lineage: dict[str, Any] = field(default_factory=dict)
+
+    def schema(self) -> T.StructType:
+        return T.StructType.fromJson(json.loads(self.schemas[str(self.schema_version)]))
+
+    def to_json(self) -> str:
+        return json.dumps(self.__dict__, sort_keys=True)
+
+    @staticmethod
+    def from_json(s: str) -> "Manifest":
+        return Manifest(**json.loads(s))
+
+
+class SnapshotTable:
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+
+    # ------------------------------------------------------------- lifecycle
+    @classmethod
+    def create(
+        cls,
+        spark: SparkSession,
+        path: str,
+        schema: T.StructType,
+        key: str = "doc_id",
+        n_buckets: int = 32,
+    ) -> "SnapshotTable":
+        os.makedirs(os.path.join(path, "data"), exist_ok=True)
+        os.makedirs(os.path.join(path, "manifests"), exist_ok=True)
+        t = cls(spark, path)
+        m = Manifest(
+            version=0,
+            key=key,
+            n_buckets=n_buckets,
+            schema_version=0,
+            schemas={"0": json.dumps(schema.jsonValue())},
+        )
+        t._write_manifest(m)
+        return t
+
+    def exists(self) -> bool:
+        return os.path.exists(os.path.join(self.path, "manifests", "LATEST"))
+
+    # ------------------------------------------------------------- manifests
+    def _manifest_path(self, version: int) -> str:
+        return os.path.join(self.path, "manifests", f"v{version:08d}.json")
+
+    def _write_manifest(self, m: Manifest) -> None:
+        """Atomic commit: write the manifest, then swap the LATEST pointer.
+
+        A crash before the pointer swap leaves the table at the previous
+        version with some orphan data files (garbage-collectable), never
+        a torn state — same guarantee as Iceberg's metadata swap.
+        """
+        mp = self._manifest_path(m.version)
+        tmp = mp + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            f.write(m.to_json())
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, mp)
+        ptr = os.path.join(self.path, "manifests", "LATEST")
+        tmp = ptr + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            f.write(str(m.version))
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, ptr)
+
+    def current_version(self) -> int:
+        with open(os.path.join(self.path, "manifests", "LATEST")) as f:
+            return int(f.read().strip())
+
+    def manifest(self, version: int | None = None) -> Manifest:
+        v = self.current_version() if version is None else version
+        with open(self._manifest_path(v)) as f:
+            return Manifest.from_json(f.read())
+
+    def versions(self) -> list[int]:
+        d = os.path.join(self.path, "manifests")
+        return sorted(
+            int(n[1:-5]) for n in os.listdir(d) if n.startswith("v") and n.endswith(".json")
+        )
+
+    # ------------------------------------------------------------------ read
+    def read(self, version: int | None = None, buckets: list[int] | None = None) -> DataFrame:
+        """Read a snapshot, optionally pruned to a set of buckets.
+
+        Files written under older schema versions are read with their own
+        schema and cast to the current one (null backfill for added
+        columns, upcast for widened types) — schema-on-read evolution.
+        """
+        m = self.manifest(version)
+        cur = m.schema()
+        files = m.files
+        if buckets is not None:
+            bset = set(buckets)
+            files = [f for f in files if f["bucket"] in bset]
+        if not files:
+            return self.spark.createDataFrame([], cur)
+
+        by_sv: dict[int, list[str]] = {}
+        for f in files:
+            by_sv.setdefault(f["schema_version"], []).append(os.path.join(self.path, f["path"]))
+
+        parts: list[DataFrame] = []
+        for sv, paths in sorted(by_sv.items()):
+            old = T.StructType.fromJson(json.loads(m.schemas[str(sv)]))
+            df = self.spark.read.schema(old).parquet(*paths)
+            if sv != m.schema_version:
+                df = df.select(
+                    *[
+                        (
+                            F.col(fld.name).cast(fld.dataType)
+                            if fld.name in old.fieldNames()
+                            else F.lit(None).cast(fld.dataType)
+                        ).alias(fld.name)
+                        for fld in cur.fields
+                    ]
+                )
+            parts.append(df)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    # ----------------------------------------------------------------- write
+    def _write_data(self, df: DataFrame, n_buckets: int, key: str) -> list[dict[str, Any]]:
+        """Write rows partitioned by bucket; return file entries."""
+        commit_dir = f"commit-{uuid.uuid4().hex}"
+        out = os.path.join(self.path, "data", commit_dir)
+        (
+            df.withColumn(_BUCKET_COL, bucket_expr(key, n_buckets))
+            .repartition(_BUCKET_COL)
+            .write.partitionBy(_BUCKET_COL)
+            .mode("overwrite")
+            .parquet(out)
+        )
+        entries: list[dict[str, Any]] = []
+        for bdir in os.listdir(out):
+            if not bdir.startswith(f"{_BUCKET_COL}="):
+                continue
+            b = int(bdir.split("=", 1)[1])
+            for fn in os.listdir(os.path.join(out, bdir)):
+                if fn.endswith(".parquet"):
+                    entries.append(
+                        {
+                            "path": f"data/{commit_dir}/{bdir}/{fn}",
+                            "bucket": b,
+                            "schema_version": None,  # stamped by caller
+                        }
+                    )
+        return entries
+
+    def overwrite(self, df: DataFrame, lineage: dict[str, Any] | None = None) -> int:
+        """Replace the whole table content (bootstrap / tests)."""
+        m = self.manifest()
+        entries = self._write_data(df, m.n_buckets, m.key)
+        for e in entries:
+            e["schema_version"] = m.schema_version
+        new = Manifest(
+            version=m.version + 1,
+            key=m.key,
+            n_buckets=m.n_buckets,
+            schema_version=m.schema_version,
+            schemas=m.schemas,
+            files=entries,
+            watermark=m.watermark,
+            applied_epochs=m.applied_epochs,
+            parent=m.version,
+            lineage=lineage or {},
+        )
+        self._write_manifest(new)
+        return new.version
+
+    def replace_buckets(
+        self,
+        buckets: list[int],
+        df: DataFrame,
+        *,
+        watermark: dict[str, int] | None = None,
+        epoch_id: int | None = None,
+        extra_epochs: list[int] | None = None,
+        lineage: dict[str, Any] | None = None,
+        new_schema: T.StructType | None = None,
+    ) -> int:
+        """Copy-on-write MERGE commit: rewrite only the given buckets.
+
+        ``df`` is the complete new content of those buckets. Untouched
+        buckets' files carry forward by reference. ``watermark`` /
+        ``epoch_id`` land in the SAME manifest — data + ledger are one
+        atomic commit.
+        """
+        m = self.manifest()
+        schemas = dict(m.schemas)
+        sv = m.schema_version
+        if new_schema is not None and json.dumps(new_schema.jsonValue()) != m.schemas[str(sv)]:
+            sv += 1
+            schemas[str(sv)] = json.dumps(new_schema.jsonValue())
+
+        entries = self._write_data(df, m.n_buckets, m.key)
+        bset = set(buckets)
+        for e in entries:
+            e["schema_version"] = sv
+            if e["bucket"] not in bset:
+                raise AssertionError(
+                    f"merge wrote bucket {e['bucket']} outside declared set {sorted(bset)}"
+                )
+        kept = [f for f in m.files if f["bucket"] not in bset]
+        new = Manifest(
+            version=m.version + 1,
+            key=m.key,
+            n_buckets=m.n_buckets,
+            schema_version=sv,
+            schemas=schemas,
+            files=kept + entries,
+            watermark=watermark or m.watermark,
+            applied_epochs=sorted(
+                set(m.applied_epochs)
+                | ({epoch_id} if epoch_id is not None else set())
+                | set(extra_epochs or [])
+            ),
+            parent=m.version,
+            lineage=lineage or {},
+        )
+        self._write_manifest(new)
+        return new.version
+
+    def rollback_to_version(self, version: int, lineage: dict[str, Any] | None = None) -> int:
+        """Commit a new manifest pointing at an old snapshot (time travel).
+
+        Roll-forward style: history stays linear, the reorg is itself a
+        recorded commit (≙ the reference's delete+reinsert, but atomic —
+        ``eth_reorg_adapter.py:116-142,301-302``).
+        """
+        old = self.manifest(version)
+        cur = self.manifest()
+        new = Manifest(
+            version=cur.version + 1,
+            key=old.key,
+            n_buckets=old.n_buckets,
+            schema_version=old.schema_version,
+            schemas=old.schemas,
+            files=old.files,
+            watermark=old.watermark,
+            applied_epochs=old.applied_epochs,
+            parent=cur.version,
+            lineage={**(lineage or {}), "rollback_of": cur.version, "rollback_to": version},
+        )
+        self._write_manifest(new)
+        return new.version
+
+    def latest_version_at_or_before(self, lsn: int) -> int | None:
+        """Newest version whose watermark.lsn <= lsn (for reorg replay)."""
+        best = None
+        for v in self.versions():
+            m = self.manifest(v)
+            if m.watermark["lsn"] <= lsn:
+                best = v
+        return best
+
+    # ------------------------------------------------------------- utilities
+    def drop(self) -> None:
+        shutil.rmtree(self.path, ignore_errors=True)

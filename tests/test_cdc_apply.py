@@ -1,0 +1,135 @@
+"""Golden end-to-end: engine replay must equal the single-threaded oracle
+row-for-row (token-array equality included), across mixed I/U/D, invalid
+payloads, duplicate redelivery, and reorg markers."""
+
+import pytest
+
+from blockchain_etl_spark.cdc.apply import CdcEngine, read_state
+from blockchain_etl_spark.cdc.generator import events_to_df, generate_changelog
+from blockchain_etl_spark.cdc.oracle import oracle_replay
+from blockchain_etl_spark.cdc.replay import replay_final_state
+from blockchain_etl_spark.cdc.schema import TARGET_SCHEMA
+from blockchain_etl_spark.streaming.epoch_store import EpochStore
+from blockchain_etl_spark.tables.snapshot import SnapshotTable
+
+
+def _final_state_dict(df):
+    return {
+        r["doc_id"]: {
+            "doc_id": r["doc_id"],
+            "tokens": list(r["tokens"]) if r["tokens"] is not None else None,
+            "n_tok": r["n_tok"],
+            "source": r["source"],
+            "lsn": r["lsn"],
+            "seq": r["seq"],
+        }
+        for r in df.collect()
+    }
+
+
+def _run_engine(spark, tmp_path, epochs, redeliver=()):
+    table = SnapshotTable.create(
+        spark, str(tmp_path / "t"), TARGET_SCHEMA, key="doc_id", n_buckets=8
+    )
+    store = EpochStore(spark, str(tmp_path / "store"))
+    eng = CdcEngine(spark, table, epoch_store=store)
+    for i, ev in enumerate(epochs):
+        df = events_to_df(spark, ev)
+        store.write_epoch(i, df)
+        eng.apply_epoch(store.read_epoch(i), i)
+        if i in redeliver:
+            assert eng.apply_epoch(store.read_epoch(i), i) is None  # ledger skip
+    return table, eng
+
+
+@pytest.mark.parametrize("seed", [42, 7, 99])
+def test_engine_matches_oracle(spark, tmp_path, seed):
+    epochs = generate_changelog(seed=seed)
+    flat = [e for ep in epochs for e in ep]
+    expected = oracle_replay(flat)
+
+    table, _ = _run_engine(spark, tmp_path, epochs)
+    got = _final_state_dict(
+        read_state(table).select("doc_id", "tokens", "n_tok", "source", "lsn", "seq")
+    )
+    assert got == expected
+
+
+def test_inserts_only(spark, tmp_path):
+    epochs = generate_changelog(seed=1, p_update=0.0, p_delete=0.0, p_reorg_epoch=0.0,
+                                invalid_rate=0.0, n_epochs=3)
+    flat = [e for ep in epochs for e in ep]
+    table, _ = _run_engine(spark, tmp_path, epochs)
+    got = _final_state_dict(read_state(table).select("doc_id", "tokens", "n_tok", "source", "lsn", "seq"))
+    assert got == oracle_replay(flat)
+    assert len(got) > 0
+
+
+def test_duplicate_epoch_redelivery_is_noop(spark, tmp_path):
+    epochs = generate_changelog(seed=5, n_epochs=5)
+    flat = [e for ep in epochs for e in ep]
+    table, _ = _run_engine(spark, tmp_path, epochs, redeliver={1, 3})
+    got = _final_state_dict(read_state(table).select("doc_id", "tokens", "n_tok", "source", "lsn", "seq"))
+    assert got == oracle_replay(flat)
+
+
+def test_stale_partial_redelivery_dropped_by_guard(spark, tmp_path):
+    """Re-applying an old epoch under a NEW epoch id (so the ledger does
+    not catch it) must be a no-op thanks to the LSN-monotonic guard
+    (≙ cond_upsert_on_blknum)."""
+    epochs = generate_changelog(seed=11, n_epochs=4, p_reorg_epoch=0.0)
+    flat = [e for ep in epochs for e in ep]
+    table, eng = _run_engine(spark, tmp_path, epochs)
+    before = _final_state_dict(read_state(table).select("doc_id", "tokens", "n_tok", "source", "lsn", "seq"))
+    df = events_to_df(spark, epochs[1])
+    metrics = eng.apply_epoch(df, 999)  # new epoch id, old content
+    assert metrics["n_insert"] == 0 and metrics["n_update"] == 0 and metrics["n_delete"] == 0
+    assert metrics["n_stale"] > 0
+    after = _final_state_dict(read_state(table).select("doc_id", "tokens", "n_tok", "source", "lsn", "seq"))
+    assert after == before == oracle_replay(flat)
+
+
+def test_reorg_reverts_and_replays(spark, tmp_path):
+    # force reorg on every epoch after the first: deep coverage of the
+    # tombstone-then-reinsert path
+    epochs = generate_changelog(seed=21, n_epochs=6, p_reorg_epoch=1.0, reorg_max_depth=8)
+    flat = [e for ep in epochs for e in ep]
+    assert any(e["op"] == "R" for e in flat)
+    table, _ = _run_engine(spark, tmp_path, epochs)
+    got = _final_state_dict(read_state(table).select("doc_id", "tokens", "n_tok", "source", "lsn", "seq"))
+    assert got == oracle_replay(flat)
+
+
+def test_validation_rejects_bad_payloads(spark, tmp_path):
+    epochs = generate_changelog(seed=31, n_epochs=3, invalid_rate=0.5, p_reorg_epoch=0.0)
+    flat = [e for ep in epochs for e in ep]
+    n_invalid = sum(
+        1
+        for e in flat
+        if e["op"] in ("I", "U") and (e["tokens"] is None or e["n_tok"] != len(e["tokens"]))
+    )
+    assert n_invalid > 0
+    table, eng = _run_engine(spark, tmp_path, epochs)
+    got = _final_state_dict(read_state(table).select("doc_id", "tokens", "n_tok", "source", "lsn", "seq"))
+    assert got == oracle_replay(flat)
+
+
+def test_declarative_replay_matches_engine_and_oracle(spark, tmp_path):
+    epochs = generate_changelog(seed=13, n_epochs=6, p_reorg_epoch=0.5)
+    flat = [e for ep in epochs for e in ep]
+    df = events_to_df(spark, flat)
+    for mode in ("collect", "window"):
+        got = _final_state_dict(replay_final_state(df, markers=mode))
+        assert got == oracle_replay(flat)
+
+
+def test_metrics_lineage(spark, tmp_path):
+    epochs = generate_changelog(seed=3, n_epochs=3, p_reorg_epoch=0.0)
+    table, eng = _run_engine(spark, tmp_path, epochs)
+    m = table.manifest()
+    lin = m.lineage
+    assert lin["epoch_id"] == 2
+    assert lin["n_events"] == len(epochs[2])
+    assert set(m.applied_epochs) == {0, 1, 2}
+    assert lin["n_insert"] + lin["n_update"] + lin["n_delete"] + lin["n_stale"] >= 0
+    assert lin["n_buckets_touched"] <= 8
