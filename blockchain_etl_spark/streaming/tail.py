@@ -78,10 +78,14 @@ def run_structured_stream(
     commit IS the sink transaction, but also after checkpoint loss) is
     deduplicated by the ledger — exactly-once end to end.
     """
+    # epoch files land as directories epoch-N.parquet/part-*.parquet; glob
+    # one level down so the file source sees the leaf parquet files. The
+    # source processes files oldest-first (producer writes in order), so
+    # batches arrive in stream order.
     stream = (
         spark.readStream.schema(EVENT_SCHEMA)
         .option("maxFilesPerTrigger", max_files_per_trigger)
-        .parquet(landing_dir)
+        .parquet(os.path.join(landing_dir, "*"))
     )
 
     def handle(batch_df, batch_id: int):
