@@ -1,0 +1,638 @@
+"""Query catalog: every implemented operator as a (spark, sf_dir) →
+DataFrame callable, with its exact-ANSI-SQL DuckDB oracle twin.
+
+This feeds ``__spark_entry__.queries()`` / ``oracle_sql()`` — the
+driver runs both sides at sf=0.01 and compares row counts, schemas and
+value hashes, so every alias here matches the SQL exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from blockchain_etl_spark.cdc.replay import replay_final_state
+from blockchain_etl_spark.cdc.schema import EVENT_SCHEMA
+from blockchain_etl_spark.functions import text as X
+from blockchain_etl_spark.operators import dedup, multimodal, relational, similarity
+
+# --------------------------------------------------------------------------
+# Derived change-log: a deterministic CDC event stream computed FROM the
+# driver's tables (events ⋈ documents), so the DuckDB oracle can derive
+# the identical stream. This is the flagship's input (BASELINE.json
+# input_hint shape: doc_id, tokens:array<int32>, n_tok, source).
+# --------------------------------------------------------------------------
+
+_LSN_DIV = 4          # events per lsn
+_REORG_MOD = 211      # event_id % m == r → R marker
+_REORG_AT = 199
+_REORG_DEPTH = 5
+_INVALID_MOD = 97     # event_id % m == i → corrupted n_tok (must be rejected)
+_INVALID_AT = 13
+_VOCAB = 32768
+
+
+def derive_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events ⋈ documents → EVENT_SCHEMA change-log, fully deterministic."""
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_docs = d.count()
+
+    doc_key = (F.col("user_id") * 7 + F.col("event_id") % 13) % n_docs
+    op = (
+        F.when(F.col("event_id") % _REORG_MOD == _REORG_AT, F.lit("R"))
+        .when(F.col("event_type") == "error", F.lit("D"))
+        .when(F.col("event_type").isin("purchase", "signup"), F.lit("I"))
+        .otherwise(F.lit("U"))
+    )
+    ev = e.select(
+        F.col("event_id"),
+        op.alias("op"),
+        doc_key.alias("doc_key"),
+    ).join(d.select(F.col("doc_id").alias("doc_key"), "text", "source"), "doc_key", "left")
+
+    lsn = F.expr(f"event_id div {_LSN_DIV}")
+    tokens = X.tokenize(F.col("text"), vocab=_VOCAB)
+    payload = F.col("op").isin("I", "U")
+    n_tok = (
+        F.size(tokens)
+        + F.when(F.col("event_id") % _INVALID_MOD == _INVALID_AT, 1).otherwise(0)
+    ).cast("int")
+    out = ev.select(
+        F.col("event_id").alias("stream_pos"),
+        lsn.cast("long").alias("lsn"),
+        (F.col("event_id") % _LSN_DIV).cast("int").alias("seq"),
+        "op",
+        F.when(F.col("op") != "R", F.format_string("doc-%06d", F.col("doc_key"))).alias(
+            "doc_id"
+        ),
+        F.when(payload, tokens).alias("tokens"),
+        F.when(payload, n_tok).alias("n_tok"),
+        F.when(payload, F.col("source")).alias("source"),
+        F.when(F.col("op") == "R", F.greatest(lsn - _REORG_DEPTH, F.lit(0)))
+        .cast("long")
+        .alias("rollback_to_lsn"),
+        F.md5(F.concat(F.lit("h"), lsn.cast("string"))).alias("epoch_hash"),
+    )
+    return out.select([f.name for f in EVENT_SCHEMA.fields])
+
+
+# DuckDB twin of derive_changelog, as a CTE body (shared by oracles)
+_CHANGELOG_CTE = f"""
+  nd AS (SELECT count(*) AS n_docs FROM documents),
+  raw AS (
+    SELECT e.event_id,
+           CASE WHEN e.event_id % {_REORG_MOD} = {_REORG_AT} THEN 'R'
+                WHEN e.event_type = 'error' THEN 'D'
+                WHEN e.event_type IN ('purchase','signup') THEN 'I'
+                ELSE 'U' END AS op,
+           (e.user_id * 7 + e.event_id % 13) % nd.n_docs AS doc_key
+    FROM events e CROSS JOIN nd
+  ),
+  joined AS (
+    SELECT r.*, d.text, d.source AS dsource
+    FROM raw r LEFT JOIN documents d ON d.doc_id = r.doc_key
+  ),
+  changelog AS (
+    SELECT event_id AS stream_pos,
+           event_id // {_LSN_DIV} AS lsn,
+           (event_id % {_LSN_DIV})::INT AS seq,
+           op,
+           CASE WHEN op <> 'R' THEN 'doc-' || lpad(doc_key::VARCHAR, 6, '0') END AS doc_id,
+           CASE WHEN op IN ('I','U') THEN
+             list_transform(
+               list_filter(string_split_regex(text, '\\s+'), w -> w <> ''),
+               w -> ((('0x' || substr(md5(w), 1, 6))::BIGINT % {_VOCAB}))::INT)
+           END AS tokens,
+           CASE WHEN op IN ('I','U') THEN
+             (len(list_filter(string_split_regex(text, '\\s+'), w -> w <> ''))
+              + CASE WHEN event_id % {_INVALID_MOD} = {_INVALID_AT} THEN 1 ELSE 0 END)::INT
+           END AS n_tok,
+           CASE WHEN op IN ('I','U') THEN dsource END AS source,
+           CASE WHEN op = 'R' THEN greatest(event_id // {_LSN_DIV} - {_REORG_DEPTH}, 0) END
+             AS rollback_to_lsn
+    FROM joined
+  )
+"""
+
+_CDC_FINAL_SQL = f"""
+WITH {_CHANGELOG_CTE},
+ev AS (
+  SELECT *,
+         min(CASE WHEN op = 'R' THEN rollback_to_lsn END)
+           OVER (ORDER BY stream_pos ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+           AS min_rb_after
+  FROM changelog
+),
+live AS (
+  SELECT * FROM ev
+  WHERE op IN ('I','U','D')
+    AND (min_rb_after IS NULL OR lsn <= min_rb_after)
+    AND (op = 'D' OR (tokens IS NOT NULL AND n_tok = len(tokens)))
+),
+last AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY stream_pos DESC) AS rn
+  FROM live
+)
+SELECT doc_id, tokens, n_tok, source, lsn, seq
+FROM last WHERE rn = 1 AND op <> 'D'
+"""
+
+
+def cdc_replay_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return replay_final_state(derive_changelog(spark, sf_dir))
+
+
+def cdc_changelog_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lineage-style per-op stats over the derived change-log (≙ the
+    PERF counters, eth_streamer_adapter.py:251-256)."""
+    ev = derive_changelog(spark, sf_dir)
+    return ev.groupBy("op").agg(
+        F.count("*").alias("n_events"),
+        F.min("lsn").alias("lsn_min"),
+        F.max("lsn").alias("lsn_max"),
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.sum(F.size("tokens")).alias("total_tokens"),
+    )
+
+
+_CDC_STATS_SQL = f"""
+WITH {_CHANGELOG_CTE}
+SELECT op,
+       count(*) AS n_events,
+       min(lsn) AS lsn_min,
+       max(lsn) AS lsn_max,
+       count(DISTINCT doc_id) AS n_docs,
+       sum(len(tokens)) AS total_tokens
+FROM changelog GROUP BY op
+"""
+
+
+def tokenize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → the input_hint shape (doc_id, tokens, n_tok, source)."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = X.tokenize("text", vocab=_VOCAB)
+    return d.select(
+        F.format_string("doc-%06d", F.col("doc_id")).alias("doc_id"),
+        toks.alias("tokens"),
+        F.size(toks).alias("n_tok"),
+        "source",
+    )
+
+
+_TOKENIZE_SQL = f"""
+SELECT 'doc-' || lpad(doc_id::VARCHAR, 6, '0') AS doc_id,
+       list_transform(list_filter(string_split_regex(text, '\\s+'), w -> w <> ''),
+                      w -> ((('0x' || substr(md5(w), 1, 6))::BIGINT % {_VOCAB}))::INT) AS tokens,
+       len(list_filter(string_split_regex(text, '\\s+'), w -> w <> ''))::INT AS n_tok,
+       source
+FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
+# Text analysis
+# --------------------------------------------------------------------------
+
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    feats = X.quality_features("text")
+    return d.select("doc_id", *feats)
+
+
+_TEXT_QUALITY_SQL = """
+WITH w AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS words
+  FROM documents
+)
+SELECT doc_id,
+       length(text) AS n_chars,
+       len(words)::INT AS n_words,
+       length(text) / greatest(len(words), 1) AS mean_word_len,
+       length(regexp_replace(text, '[^.!?,;:]', '', 'g')) / greatest(length(text), 1)
+         AS punct_ratio,
+       len(list_intersect(list_transform(words, x -> lower(x)),
+                          ['the','and','of','to','a','in','is','that','for','it']))::DOUBLE
+         / greatest(len(words), 1) AS stopword_ratio,
+       len(list_distinct(words))::DOUBLE / greatest(len(words), 1) AS distinct_word_ratio
+FROM w
+"""
+
+
+def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return d.select(
+        "doc_id",
+        X.token_count_ws("text").alias("n_ws_tokens"),
+        X.token_count_bpeish("text").alias("n_bpeish_tokens"),
+    )
+
+
+_TOKEN_COUNTS_SQL = """
+SELECT doc_id,
+       len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))::INT AS n_ws_tokens,
+       (len(regexp_extract_all(text, '[A-Za-z0-9]+'))
+        + len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')))::INT AS n_bpeish_tokens
+FROM documents
+"""
+
+
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return d.select(
+        "doc_id",
+        X.doc_fingerprint("text", window=4).alias("fingerprint"),
+        F.md5("text").alias("content_hash"),
+    )
+
+
+_FINGERPRINT_SQL = """
+WITH w AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS words
+  FROM documents
+),
+sh AS (
+  SELECT doc_id, text,
+         CASE WHEN len(words) >= 4 THEN
+           list_transform(generate_series(0, len(words) - 4),
+                          i -> array_to_string(list_slice(words, i + 1, i + 4), ' '))
+         ELSE [array_to_string(words, ' ')] END AS shingles
+  FROM w
+)
+SELECT doc_id,
+       list_min(list_transform(shingles, s -> md5(s))) AS fingerprint,
+       md5(text) AS content_hash
+FROM sh
+"""
+
+
+# --------------------------------------------------------------------------
+# Registry
+# --------------------------------------------------------------------------
+
+QUERIES: dict[str, callable] = {
+    # CDC core
+    "cdc_replay_final_state": cdc_replay_final_state,
+    "cdc_changelog_stats": cdc_changelog_stats,
+    "tokenize_docs": tokenize_docs,
+    # relational parity (SURVEY §2.5-2.8)
+    "enrich_join": relational.enrich_join,
+    "broadcast_dim_join": relational.broadcast_dim_join,
+    "missing_anti_join": relational.missing_anti_join,
+    "full_outer_sendrecv": relational.full_outer_sendrecv,
+    "prev_event_join": relational.prev_event_join,
+    "holder_detail_agg": relational.holder_detail_agg,
+    "tpch_q1": relational.tpch_q1,
+    "dedup_checker_invariant": relational.dedup_checker_invariant,
+    "incremental_source_stats": relational.incremental_source_stats,
+    "partition_rank": relational.partition_rank,
+    "topk_per_group": relational.topk_per_group,
+    "running_balance": relational.running_balance,
+    "asof_lookup": relational.asof_lookup,
+    "item_id_stamping": relational.item_id_stamping,
+    "flatten_list_fields": relational.flatten_list_fields,
+    "hex_decode": relational.hex_decode,
+    # training-data ops
+    "exact_dedup": dedup.exact_dedup,
+    "minhash_lsh_pairs": dedup.minhash_lsh_pairs,
+    "simhash_buckets": dedup.simhash_buckets,
+    "ngram_jaccard_blocks": dedup.ngram_jaccard_blocks,
+    "text_quality": text_quality,
+    "token_counts": token_counts,
+    "doc_fingerprints": doc_fingerprints,
+    "brute_topk": similarity.brute_topk,
+    "srp_bucket_histogram": similarity.srp_bucket_histogram,
+    "ann_lsh_topk": similarity.ann_lsh_topk,
+    "embedding_near_dup": similarity.embedding_near_dup,
+    # multimodal plumbing (pandas UDF; oracle via byte arithmetic)
+    "binary_features": multimodal.binary_features,
+}
+
+
+def _planes_sql_literal() -> str:
+    planes = similarity.srp_planes()
+    return (
+        "["
+        + ", ".join("[" + ", ".join(f"{x!r}" for x in p) + "]::DOUBLE[]" for p in planes)
+        + "]"
+    )
+
+
+def _srp_bucket_sql_expr(vec: str) -> str:
+    planes = similarity.srp_planes()
+    terms = []
+    for p in planes:
+        lit = "[" + ", ".join(repr(x) for x in p) + "]::DOUBLE[]"
+        terms.append(
+            f"(CASE WHEN list_dot_product({vec}::DOUBLE[], {lit}) "
+            f">= 0 THEN 1 ELSE 0 END)"
+        )
+    # fold bits MSB-first: b0*2^(n-1) + ...
+    n = len(terms)
+    parts = [f"{t} * {2 ** (n - 1 - i)}" for i, t in enumerate(terms)]
+    return "(" + " + ".join(parts) + ")"
+
+
+def oracle_sqls() -> dict[str, str]:
+    bucket = _srp_bucket_sql_expr("embedding")
+    return {
+        "cdc_replay_final_state": _CDC_FINAL_SQL,
+        "cdc_changelog_stats": _CDC_STATS_SQL,
+        "tokenize_docs": _TOKENIZE_SQL,
+        "enrich_join": """
+            SELECT l_orderkey, l_linenumber, l_quantity,
+                   o_custkey AS cust_key, o_orderdate AS order_date
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        """,
+        "broadcast_dim_join": """
+            SELECT r_name AS region, n_name AS nation,
+                   round(sum(o_totalprice), 2) AS revenue,
+                   count(*) AS n_orders
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name, n_name
+        """,
+        "missing_anti_join": """
+            SELECT o_orderkey FROM orders
+            WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
+        """,
+        "full_outer_sendrecv": """
+            WITH send AS (
+              SELECT user_id, round(sum(value), 2) AS out_value, count(*) AS out_cnt
+              FROM events WHERE event_type = 'purchase' GROUP BY user_id
+            ),
+            recv AS (
+              SELECT user_id, round(sum(value), 2) AS in_value, count(*) AS in_cnt
+              FROM events WHERE event_type = 'signup' GROUP BY user_id
+            )
+            SELECT coalesce(send.user_id, recv.user_id) AS user_id,
+                   coalesce(out_value, 0.0) AS out_value,
+                   coalesce(out_cnt, 0) AS out_cnt,
+                   coalesce(in_value, 0.0) AS in_value,
+                   coalesce(in_cnt, 0) AS in_cnt
+            FROM send FULL OUTER JOIN recv ON send.user_id = recv.user_id
+        """,
+        "prev_event_join": """
+            SELECT event_id, user_id, round(value, 2) AS value,
+                   round(lag(value) OVER (PARTITION BY user_id ORDER BY event_id), 2)
+                     AS prev_value,
+                   lag(event_type) OVER (PARTITION BY user_id ORDER BY event_id)
+                     AS prev_type
+            FROM events
+        """,
+        "holder_detail_agg": """
+            SELECT l_suppkey AS supp_key,
+                   count(DISTINCT l_orderkey) AS n_orders,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   count(*) AS n_items,
+                   arg_min(l_orderkey,
+                           strftime(l_shipdate, '%Y%m%d') || lpad(l_orderkey::VARCHAR, 10, '0')
+                             || lpad(l_linenumber::VARCHAR, 4, '0')) AS first_order,
+                   arg_max(l_orderkey,
+                           strftime(l_shipdate, '%Y%m%d') || lpad(l_orderkey::VARCHAR, 10, '0')
+                             || lpad(l_linenumber::VARCHAR, 4, '0')) AS last_order,
+                   strftime(min(l_shipdate), '%Y-%m-%d') AS first_ship,
+                   strftime(max(l_shipdate), '%Y-%m-%d') AS last_ship
+            FROM lineitem GROUP BY l_suppkey
+        """,
+        "tpch_q1": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)
+                     AS sum_charge,
+                   round(avg(l_quantity), 6) AS avg_qty,
+                   round(avg(l_extendedprice), 6) AS avg_price,
+                   round(avg(l_discount), 6) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "dedup_checker_invariant": """
+            SELECT event_type,
+                   count(event_id) AS n,
+                   count(DISTINCT event_id) AS n_distinct,
+                   max(event_id) - min(event_id) + 1 AS range_span
+            FROM events GROUP BY event_type
+        """,
+        "incremental_source_stats": """
+            SELECT event_type,
+                   min(event_id) AS first_lsn,
+                   max(event_id) AS last_lsn,
+                   count(*) AS n_events,
+                   count(DISTINCT user_id) AS n_users,
+                   round(sum(value), 2) AS sum_value
+            FROM events GROUP BY event_type
+        """,
+        "partition_rank": """
+            SELECT event_id, user_id,
+                   row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rank,
+                   count(*) OVER (PARTITION BY user_id) AS rank_count
+            FROM events
+        """,
+        "topk_per_group": """
+            SELECT user_id, event_id, round(value, 2) AS value, rk
+            FROM (
+              SELECT user_id, event_id, value,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY value DESC, event_id) AS rk
+              FROM events
+            ) WHERE rk <= 3
+        """,
+        "running_balance": """
+            SELECT event_id, user_id,
+                   round(sum(value) OVER (PARTITION BY user_id ORDER BY event_id
+                                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                         2) AS running_value
+            FROM events
+        """,
+        "asof_lookup": """
+            SELECT user_id,
+                   max(event_id) AS asof_event_id,
+                   round(arg_max(value, event_id), 2) AS asof_value,
+                   arg_max(event_type, event_id) AS asof_type
+            FROM events WHERE event_id <= 500 GROUP BY user_id
+        """,
+        "item_id_stamping": """
+            SELECT event_id,
+                   md5('event' || '_' || event_id::VARCHAR || '_' || event_type) AS item_id,
+                   strftime(ts, '%Y-%m-%dT%H:%M:%SZ') AS item_timestamp
+            FROM events
+        """,
+        "flatten_list_fields": """
+            WITH w AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS words
+              FROM documents
+            )
+            SELECT doc_id,
+                   words[1] AS word0, words[2] AS word1,
+                   words[3] AS word2, words[4] AS word3,
+                   len(words)::INT AS n_words,
+                   array_to_string(list_slice(words, 1, 4), ',') AS first4_joined
+            FROM w
+        """,
+        "hex_decode": """
+            SELECT event_id,
+                   substr(md5(event_id::VARCHAR), 1, 12) AS hex_str,
+                   ('0x' || substr(md5(event_id::VARCHAR), 1, 12))::BIGINT AS dec_value
+            FROM events
+        """,
+        "exact_dedup": """
+            SELECT md5(text) AS content_hash,
+                   min(doc_id) AS keep_doc_id,
+                   count(*) AS n_dups
+            FROM documents GROUP BY md5(text) HAVING count(*) > 1
+        """,
+        "minhash_lsh_pairs": _minhash_sql(),
+        "simhash_buckets": _simhash_sql(),
+        "ngram_jaccard_blocks": """
+            WITH d AS (
+              SELECT doc_id, source, lang,
+                     list_distinct(list_filter(string_split_regex(text, '\\s+'),
+                                               x -> x <> '')) AS wset
+              FROM documents WHERE doc_id % 10 = 0
+            ),
+            pairs AS (
+              SELECT a.source, a.lang,
+                     len(list_intersect(a.wset, b.wset))::DOUBLE
+                       / len(list_distinct(a.wset || b.wset)) AS jaccard
+              FROM d a JOIN d b
+                ON a.source = b.source AND a.lang = b.lang AND a.doc_id < b.doc_id
+            )
+            SELECT source, lang,
+                   count(*) AS n_pairs,
+                   sum(CASE WHEN jaccard >= 0.5 THEN 1 ELSE 0 END) AS n_near_dups,
+                   round(avg(jaccard), 6) AS mean_jaccard
+            FROM pairs GROUP BY source, lang
+        """,
+        "text_quality": _TEXT_QUALITY_SQL,
+        "token_counts": _TOKEN_COUNTS_SQL,
+        "doc_fingerprints": _FINGERPRINT_SQL,
+        "brute_topk": f"""
+            WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+                       FROM embeddings WHERE vec_id < 5),
+            c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+            scored AS (
+              SELECT query_id, neighbor_id,
+                     round(list_dot_product(qv, cv) / (sqrt(list_sum(list_transform(qv, v -> v * v))) * sqrt(list_sum(list_transform(cv, v -> v * v)))), 6)
+                       AS sim
+              FROM c CROSS JOIN q WHERE query_id <> neighbor_id
+            )
+            SELECT query_id, neighbor_id, sim, rk FROM (
+              SELECT *, row_number() OVER (PARTITION BY query_id
+                                           ORDER BY sim DESC, neighbor_id) AS rk
+              FROM scored
+            ) WHERE rk <= 10
+        """,
+        "srp_bucket_histogram": f"""
+            SELECT {bucket} AS bucket, count(*) AS n_vecs, min(vec_id) AS min_vec_id
+            FROM embeddings GROUP BY 1
+        """,
+        "ann_lsh_topk": f"""
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, {bucket} AS bucket
+                       FROM embeddings),
+            q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM e WHERE vec_id < 5),
+            scored AS (
+              SELECT q.query_id, e.vec_id AS neighbor_id,
+                     round(list_dot_product(q.qv, e.v) / (sqrt(list_sum(list_transform(q.qv, v -> v * v))) * sqrt(list_sum(list_transform(e.v, v -> v * v)))), 6)
+                       AS sim
+              FROM e JOIN q ON e.bucket = q.bucket WHERE q.query_id <> e.vec_id
+            )
+            SELECT query_id, neighbor_id, sim, rk FROM (
+              SELECT *, row_number() OVER (PARTITION BY query_id
+                                           ORDER BY sim DESC, neighbor_id) AS rk
+              FROM scored
+            ) WHERE rk <= 10
+        """,
+        "embedding_near_dup": f"""
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, {bucket} AS bucket
+                       FROM embeddings),
+            pairs AS (
+              SELECT a.bucket,
+                     round(list_dot_product(a.v, b.v) / (sqrt(list_sum(list_transform(a.v, v -> v * v))) * sqrt(list_sum(list_transform(b.v, v -> v * v)))), 6)
+                       AS sim
+              FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+            )
+            SELECT bucket, count(*) AS n_pairs,
+                   sum(CASE WHEN sim >= 0.9 THEN 1 ELSE 0 END) AS n_near_dups,
+                   round(max(sim), 6) AS max_sim
+            FROM pairs GROUP BY bucket
+        """,
+        "binary_features": """
+            SELECT doc_id,
+                   length(text)::INT AS n_bytes,
+                   ascii(substr(text, 1, 1)) AS first_byte,
+                   ascii(substr(text, length(text), 1)) AS last_byte,
+                   list_reduce(list_transform(generate_series(1, length(text)),
+                                              i -> ascii(substr(text, i, 1))::BIGINT),
+                               (a, b) -> a + b) AS byte_sum
+            FROM documents
+        """,
+    }
+
+
+def _minhash_sql(num_hashes: int = 8, bands: int = 4, sample_mod: int = 5) -> str:
+    rows = num_hashes // bands
+    return f"""
+        WITH d AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS words
+          FROM documents WHERE doc_id % {sample_mod} = 0
+        ),
+        sh AS (
+          SELECT doc_id,
+                 CASE WHEN len(words) >= 1 THEN
+                   list_transform(generate_series(0, len(words) - 1),
+                                  i -> array_to_string(list_slice(words, i + 1, i + 1), ' '))
+                 ELSE [array_to_string(words, ' ')] END AS shingles
+          FROM d
+        ),
+        sig AS (
+          SELECT doc_id,
+                 list_transform(generate_series(0, {num_hashes - 1}),
+                   s -> list_min(list_transform(shingles,
+                          g -> md5(s::VARCHAR || '|' || g)))) AS sig
+          FROM sh
+        ),
+        banded AS (
+          SELECT doc_id, b.band,
+                 md5(array_to_string(list_slice(sig, b.band * {rows} + 1,
+                                                b.band * {rows} + {rows}), '|')) AS bucket
+          FROM sig, (SELECT unnest(generate_series(0, {bands - 1})) AS band) b
+        )
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared_bands
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    """
+
+
+def _simhash_sql() -> str:
+    return """
+        WITH w AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS words
+          FROM documents
+        ),
+        sh AS (
+          SELECT doc_id,
+                 list_reduce(list_transform(generate_series(0, 31), j ->
+                   CASE WHEN list_reduce(list_transform(words, ft ->
+                          CASE WHEN (('0x' || substr(md5(ft), j // 4 + 1, 1))::INT
+                                     // (2 ** (3 - j % 4))::INT) % 2 = 1
+                               THEN 1 ELSE -1 END),
+                          (a, b) -> a + b) > 0
+                        THEN (2::BIGINT ** (31 - j))::BIGINT ELSE 0 END),
+                   (a, b) -> a + b) AS simhash
+          FROM w
+        )
+        SELECT simhash, count(*) AS n_docs, min(doc_id) AS keep_doc_id
+        FROM sh GROUP BY simhash
+    """

@@ -50,11 +50,9 @@ def token_count_bpeish(text: Column | str) -> Column:
     (letters+digits runs, punctuation singles), the usual ~GPT-ish
     pre-tokenizer shape without a merges table."""
     t = _c(text)
-    pieces = F.filter(
-        F.split(t, r"(?=[^A-Za-z0-9\s])|(?<=[^A-Za-z0-9\s])|\s+"),
-        lambda p: p != "",
-    )
-    return F.size(pieces)
+    runs = F.size(F.regexp_extract_all(t, F.lit(r"[A-Za-z0-9]+"), 0))
+    punct = F.size(F.regexp_extract_all(t, F.lit(r"[^A-Za-z0-9\s]"), 0))
+    return runs + punct
 
 
 # ----------------------------------------------------------------- shingles
@@ -118,34 +116,26 @@ def simhash64(feature_arr: Column) -> Column:
     feature votes +1 on bit j iff bit j of md5(feature) is 1. Computed
     bit-serially from md5 hex nibbles — pure column expressions.
     """
-    votes = F.transform(
-        F.sequence(F.lit(0), F.lit(63)),
-        lambda j: F.aggregate(
-            feature_arr,
-            F.lit(0),
-            lambda acc, ft: acc
-            + F.when(
-                # nibble j/4 of md5(ft), bit (3 - j%4)
-                F.shiftright(
-                    F.conv(F.substring(F.md5(ft), (j / 4).cast("int") + 1, 1), 16, 10).cast("int"),
-                    (3 - F.pmod(j, F.lit(4))).cast("int"),
-                ).bitwiseAND(F.lit(1))
-                == 1,
-                F.lit(1),
-            ).otherwise(F.lit(-1)),
-        ),
-    )
-    # fold sign bits into a long: sum over j of sign_j * 2^(63-j) using
-    # unsigned arithmetic via shifts — build from two 32-bit halves to
-    # stay in long range.
+    def bit_of(ft, j):
+        nibble = F.conv(F.md5(ft).substr((j / 4).cast("int") + 1, F.lit(1)), 16, 10).cast("int")
+        k = (3 - F.pmod(j, F.lit(4))).cast("int")
+        return (nibble / F.pow(F.lit(2.0), k)).cast("int") % 2
+
+    # fold sign bits into a long: bit 0 is the sign bit (-(2^63)); powers
+    # of two are exact in double up to 2^62 so pow+cast is lossless.
     return F.aggregate(
         F.sequence(F.lit(0), F.lit(63)),
         F.lit(0).cast("long"),
         lambda acc, j: acc
         + F.when(
-            F.element_at(votes, (j + 1).cast("int")) > 0,
-            F.when(j == 0, F.lit(-(2**63))).otherwise(
-                F.shiftleft(F.lit(1).cast("long"), (63 - j).cast("int"))
+            F.aggregate(
+                feature_arr,
+                F.lit(0),
+                lambda a, ft: a + F.when(bit_of(ft, j) == 1, 1).otherwise(-1),
+            )
+            > 0,
+            F.when(j == 0, F.lit(-(2**63)).cast("long")).otherwise(
+                F.pow(F.lit(2.0), (63 - j).cast("int")).cast("long")
             ),
         ).otherwise(F.lit(0).cast("long")),
     )

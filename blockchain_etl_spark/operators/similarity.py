@@ -1,0 +1,125 @@
+"""Similarity search over the ``embeddings`` table (array<float>, 64-d).
+
+- ``brute_topk`` — exact cosine top-k: broadcast the (small) query set
+  against the full corpus; one narrow shuffle for the per-query rank.
+  The scale path keeps queries broadcast and corpus partitioned — the
+  corpus is never shuffled, ranking is a per-query top-k (a heap-sized
+  window, not a global sort).
+- ``srp_bucket_histogram`` / ``ann_lsh_topk`` — signed-random-projection
+  LSH: deterministic hyperplanes (seeded numpy, embedded as plan
+  literals), bucket = sign-bit key. ANN search only scores candidates
+  in the query's bucket — the 10^10-row variant prunes >99% of the
+  corpus before any distance math.
+
+All arithmetic is cast to double before accumulation so the DuckDB
+oracle (float64) matches bit-for-bit at 6-decimal rounding.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from blockchain_etl_spark.functions import vectors as V
+
+PLANES_SEED = 1234
+N_PLANES = 8
+DIM = 64
+
+
+def srp_planes(n_planes: int = N_PLANES, dim: int = DIM, seed: int = PLANES_SEED) -> list[list[float]]:
+    rng = np.random.default_rng(seed)
+    # round to 6 dp so the literals in the Spark plan and the oracle SQL
+    # are the exact same decimal numbers
+    return [[round(float(x), 6) for x in rng.standard_normal(dim)] for _ in range(n_planes)]
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def brute_topk(
+    spark: SparkSession, sf_dir: str, k: int = 10, n_queries: int = 5
+) -> DataFrame:
+    e = _emb(spark, sf_dir)
+    q = e.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    c = e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv"))
+    sim = F.round(V.cosine("qv", "cv"), 6)
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", sim.alias("sim"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "sim", "rk")
+    )
+
+
+def srp_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH bucket sizes — the data layout a bucketed ANN index would
+    partition by."""
+    e = _emb(spark, sf_dir)
+    b = V.random_hyperplane_bits("embedding", srp_planes())
+    return e.groupBy(b.alias("bucket")).agg(
+        F.count("*").alias("n_vecs"), F.min("vec_id").alias("min_vec_id")
+    )
+
+
+def ann_lsh_topk(
+    spark: SparkSession, sf_dir: str, k: int = 10, n_queries: int = 5
+) -> DataFrame:
+    """Approximate top-k: score only candidates sharing the query's SRP
+    bucket (plus exact tie-broken ranking inside the bucket)."""
+    e = _emb(spark, sf_dir).withColumn(
+        "bucket", V.random_hyperplane_bits("embedding", srp_planes())
+    )
+    q = e.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"), "bucket"
+    )
+    c = e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv"), "bucket")
+    sim = F.round(V.cosine("qv", "cv"), 6)
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", sim.alias("sim"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "sim", "rk")
+    )
+
+
+def embedding_near_dup(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.9
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs within SRP buckets (the
+    embedding leg of the dedup family): pairs (a<b) with cosine ≥
+    threshold, compact per-bucket aggregate output."""
+    e = _emb(spark, sf_dir).withColumn(
+        "bucket", V.random_hyperplane_bits("embedding", srp_planes())
+    )
+    a = e.select(F.col("vec_id").alias("ia"), F.col("embedding").alias("va"), "bucket")
+    b = e.select(F.col("vec_id").alias("ib"), F.col("embedding").alias("vb"), "bucket")
+    sim = F.round(V.cosine("va", "vb"), 6)
+    pairs = (
+        a.join(b, "bucket")
+        .filter(F.col("ia") < F.col("ib"))
+        .select("bucket", sim.alias("sim"))
+    )
+    return pairs.groupBy("bucket").agg(
+        F.count("*").alias("n_pairs"),
+        F.sum(F.when(F.col("sim") >= threshold, 1).otherwise(0)).alias("n_near_dups"),
+        F.round(F.max("sim"), 6).alias("max_sim"),
+    )
