@@ -41,9 +41,16 @@ from pyspark.sql import functions as F
 
 from blockchain_etl_spark.cdc.schema import TARGET_SCHEMA
 from blockchain_etl_spark.streaming.epoch_store import EpochStore
+from blockchain_etl_spark.tables.schema_util import conform, merge_schemas
 from blockchain_etl_spark.tables.snapshot import SnapshotTable, bucket_expr
 
-_PAYLOAD_COLS = ["tokens", "n_tok", "source"]
+# event bookkeeping columns — everything else in an event is payload, so
+# a stream that grows columns (schema evolution) Just Works: new payload
+# columns evolve the target schema (null backfill on old rows), widened
+# numeric types widen the target column.
+_EVENT_META = {"stream_pos", "lsn", "seq", "op", "doc_id", "rollback_to_lsn", "epoch_hash"}
+# target bookkeeping columns (engine-maintained)
+_TARGET_META = ["doc_id", "lsn", "seq", "updated_epoch", "deleted"]
 
 
 def read_state(table: SnapshotTable, version: int | None = None) -> DataFrame:
@@ -73,7 +80,7 @@ def _liveness_filter(df: DataFrame, markers: list[dict[str, Any]]) -> DataFrame:
     return df.filter(cond)
 
 
-def dedup_last_writer(events: DataFrame) -> DataFrame:
+def dedup_last_writer(events: DataFrame, payload_cols: list[str] | None = None) -> DataFrame:
     """One row per doc_id: the event with max stream_pos.
 
     ``max(struct(stream_pos, ...))`` is an ordinary aggregate, so Spark
@@ -81,26 +88,14 @@ def dedup_last_writer(events: DataFrame) -> DataFrame:
     story for hot doc_ids. stream_pos is globally unique, so the struct
     comparison never ties.
     """
-    winner = F.max(
-        F.struct(
-            F.col("stream_pos"),
-            F.col("lsn"),
-            F.col("seq"),
-            F.col("op"),
-            F.col("tokens"),
-            F.col("n_tok"),
-            F.col("source"),
-        )
-    ).alias("w")
+    if payload_cols is None:
+        payload_cols = [c for c in events.columns if c not in _EVENT_META]
+    carry = ["lsn", "seq", "op", *payload_cols]
+    winner = F.max(F.struct(F.col("stream_pos"), *[F.col(c) for c in carry])).alias("w")
     g = events.groupBy("doc_id").agg(winner)
     return g.select(
         "doc_id",
-        F.col("w.op").alias("op"),
-        F.col("w.tokens").alias("tokens"),
-        F.col("w.n_tok").alias("n_tok"),
-        F.col("w.source").alias("source"),
-        F.col("w.lsn").alias("lsn"),
-        F.col("w.seq").alias("seq"),
+        *[F.col(f"w.{c}").alias(c) for c in carry],
         F.col("w.stream_pos").alias("stream_pos"),
     )
 
@@ -181,7 +176,11 @@ class CdcEngine:
                         )
                         if slice_markers:
                             replay = _liveness_filter(replay, slice_markers)
-                        batch_events = replay.unionByName(batch_events)
+                        # allowMissingColumns: replayed epochs may predate
+                        # a schema evolution in the current batch
+                        batch_events = replay.unionByName(
+                            batch_events, allowMissingColumns=True
+                        )
 
         # --- validate (≙ consistency counters) ---------------------------
         valid = batch_events.filter(_valid_expr())
@@ -207,9 +206,37 @@ class CdcEngine:
         events_df: DataFrame,
         extra_epochs: list[int] | None = None,
     ) -> dict[str, Any]:
+        import pyspark.sql.types as T
+
         m = self.table.manifest()
         nb = m.n_buckets
         ups = ups.withColumn("_b", bucket_expr("doc_id", nb))
+
+        # --- schema evolution: incoming payload columns merge into the
+        # target schema (added cols null-backfill, numeric types widen)
+        incoming_payload = T.StructType(
+            [
+                f
+                for f in ups.schema.fields
+                if f.name not in ("doc_id", "op", "lsn", "seq", "stream_pos", "_b")
+            ]
+        )
+        target_schema = m.schema()
+        merged_schema, _ = merge_schemas(target_schema, incoming_payload)
+        payload_cols = [f.name for f in merged_schema.fields if f.name not in _TARGET_META]
+        ptypes = {f.name: f.dataType for f in merged_schema.fields}
+        # conform the source side to the merged payload set
+        ups = ups.select(
+            "doc_id", "op", "lsn", "seq", "stream_pos", "_b",
+            *[
+                (
+                    F.col(c).cast(ptypes[c])
+                    if c in ups.columns
+                    else F.lit(None).cast(ptypes[c])
+                ).alias(c)
+                for c in payload_cols
+            ],
+        )
 
         # batch watermark from the raw epoch (includes markers): one tiny agg
         wm_row = events_df.agg(
@@ -222,7 +249,7 @@ class CdcEngine:
             # empty epoch: still record it in the ledger (exactly-once)
             self.table.replace_buckets(
                 [],
-                self.spark.createDataFrame([], TARGET_SCHEMA),
+                self.spark.createDataFrame([], target_schema),
                 epoch_id=epoch_id,
                 extra_epochs=extra_epochs,
             )
@@ -237,7 +264,7 @@ class CdcEngine:
 
         # bucket pruning: collect touched bucket ids (≤ n_buckets values)
         buckets = [r["_b"] for r in ups.select("_b").distinct().collect()]
-        old = self.table.read(buckets=buckets)
+        old = conform(self.table.read(buckets=buckets), merged_schema)
 
         s = ups.alias("s")
         t = old.alias("t")
@@ -271,10 +298,10 @@ class CdcEngine:
             tag.alias("_tag"),
             *[
                 F.when(tag.isin("insert", "update"), F.col(f"s.{c}"))
-                .when(tag.isin("delete", "tombstone"), F.lit(None))
+                .when(tag.isin("delete", "tombstone"), F.lit(None).cast(ptypes[c]))
                 .otherwise(F.col(f"t.{c}"))
                 .alias(c)
-                for c in _PAYLOAD_COLS
+                for c in payload_cols
             ],
             F.when(takes_s, F.col("s.lsn")).otherwise(F.col("t.lsn")).alias("lsn"),
             F.when(takes_s, F.col("s.seq")).otherwise(F.col("t.seq")).alias("seq"),
@@ -312,6 +339,7 @@ class CdcEngine:
             epoch_id=epoch_id,
             extra_epochs=extra_epochs,
             lineage=metrics,
+            new_schema=merged_schema,
         )
         tagged.unpersist()
         return metrics

@@ -17,8 +17,9 @@ from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
-from blockchain_etl_spark.cdc.schema import EVENT_SCHEMA
+from blockchain_etl_spark.tables.schema_util import conform, merge_schemas
 
 
 class EpochStore:
@@ -49,8 +50,9 @@ class EpochStore:
     def write_epoch(self, epoch_id: int, events_df: DataFrame) -> dict[str, Any]:
         out = os.path.join(self.path, f"epoch-{epoch_id:08d}.parquet")
         events_df.write.mode("overwrite").parquet(out)
+        schema = events_df.schema
         stats = (
-            self.spark.read.schema(EVENT_SCHEMA)
+            self.spark.read.schema(schema)
             .parquet(out)
             .agg(
                 F.min("stream_pos").alias("pos_min"),
@@ -63,25 +65,49 @@ class EpochStore:
             .asDict()
         )
         idx = self._index()
-        idx[str(epoch_id)] = {"file": f"epoch-{epoch_id:08d}.parquet", **stats}
+        idx[str(epoch_id)] = {
+            "file": f"epoch-{epoch_id:08d}.parquet",
+            "schema": json.dumps(schema.jsonValue()),
+            **stats,
+        }
         self._write_index(idx)
         return stats
 
+    def _schema_of(self, meta: dict[str, Any]) -> T.StructType:
+        return T.StructType.fromJson(json.loads(meta["schema"]))
+
     def read_epoch(self, epoch_id: int) -> DataFrame:
         meta = self._index()[str(epoch_id)]
-        return self.spark.read.schema(EVENT_SCHEMA).parquet(
+        return self.spark.read.schema(self._schema_of(meta)).parquet(
             os.path.join(self.path, meta["file"])
         )
 
     def read_slice(self, pos_lo: int, pos_hi: int) -> DataFrame | None:
-        """Events with pos_lo < stream_pos < pos_hi, pruned by epoch range."""
+        """Events with pos_lo < stream_pos < pos_hi, pruned by epoch range.
+
+        Epochs written under different (evolved) schemas are read with
+        their own schema and conformed to the merged one."""
         idx = self._index()
-        files = [
-            os.path.join(self.path, m["file"])
-            for m in idx.values()
-            if m["pos_max"] > pos_lo and m["pos_min"] < pos_hi
+        metas = [
+            m for m in idx.values() if m["pos_max"] > pos_lo and m["pos_min"] < pos_hi
         ]
-        if not files:
+        if not metas:
             return None
-        df = self.spark.read.schema(EVENT_SCHEMA).parquet(*files)
+        merged = self._schema_of(metas[0])
+        for m in metas[1:]:
+            merged, _ = merge_schemas(merged, self._schema_of(m))
+        parts = []
+        by_schema: dict[str, list[str]] = {}
+        for m in metas:
+            by_schema.setdefault(m["schema"], []).append(
+                os.path.join(self.path, m["file"])
+            )
+        for sj, files in by_schema.items():
+            df = self.spark.read.schema(
+                T.StructType.fromJson(json.loads(sj))
+            ).parquet(*files)
+            parts.append(conform(df, merged))
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
         return df.filter((F.col("stream_pos") > pos_lo) & (F.col("stream_pos") < pos_hi))
