@@ -92,14 +92,19 @@ def run_cdc_apply(cores: int, n_events: int, n_epochs: int = 8, n_docs: int = 10
             spark, os.path.join(workdir, "target"), TARGET_SCHEMA,
             key="doc_id", n_buckets=max(32, cores),
         )
-        engine = CdcEngine(spark, table, epoch_store=store)
+        engine = CdcEngine(spark, table, epoch_store=store, mode="mor")
         t0 = time.monotonic()
         for i in range(n_epochs):
             engine.apply_epoch(store.read_epoch(i), i)
-        elapsed = time.monotonic() - t0
+        t_apply = time.monotonic() - t0
+        t0 = time.monotonic()
+        table.compact()
+        t_compact = time.monotonic() - t0
+        elapsed = t_apply + t_compact
         n_final = engine.read_state().count()
         assert n_final > 0
-        return elapsed, n_events / elapsed
+        return elapsed, n_events / elapsed, {"apply_sec": round(t_apply, 3),
+                                             "compact_sec": round(t_compact, 3)}
     finally:
         spark.stop()
         shutil.rmtree(workdir, ignore_errors=True)
@@ -113,14 +118,15 @@ def main():
                  "n_events": n_events, "cpus": CPUS}
 
     # --- headline: CDC apply at full parallelism -------------------------
-    t_full, thr_full = run_cdc_apply(CPUS, n_events)
+    t_full, thr_full, detail = run_cdc_apply(CPUS, n_events)
     out["value"] = round(t_full, 3)
     out["events_per_sec"] = round(thr_full)
+    out["detail"] = detail
 
     # --- scaling evidence: N vs 4N cores --------------------------------
     if os.environ.get("BENCH_SKIP_SCALING") != "1":
         small = max(1, CPUS // 4)
-        t_small, thr_small = run_cdc_apply(small, n_events)
+        t_small, thr_small, _ = run_cdc_apply(small, n_events)
         out["scaling"] = {
             "cores_n": small,
             "cores_4n": CPUS,

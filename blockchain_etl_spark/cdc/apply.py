@@ -101,7 +101,21 @@ def dedup_last_writer(events: DataFrame, payload_cols: list[str] | None = None) 
 
 
 class CdcEngine:
-    """Applies change-log epochs to a SnapshotTable target."""
+    """Applies change-log epochs to a SnapshotTable target.
+
+    Two apply modes:
+
+    - ``mor`` (default, merge-on-read): validate → dedup → **append**
+      delta files. No read of existing data, no join — apply cost is
+      O(batch) regardless of table size (the Iceberg v2 streaming-upsert
+      shape). The LSN guard moves to read time: the resolver keeps the
+      max (lsn, seq) row per key, so stale/duplicate rows simply lose.
+      Compaction folds deltas into base files when a bucket accumulates
+      more than ``compact_delta_threshold`` delta files.
+    - ``cow`` (copy-on-write): the full-outer-join merge that rewrites
+      touched buckets per epoch and reports insert/update/delete/stale
+      splits exactly (the batch/backfill shape).
+    """
 
     def __init__(
         self,
@@ -109,19 +123,32 @@ class CdcEngine:
         table: SnapshotTable,
         epoch_store: EpochStore | None = None,
         collect_metrics: bool = True,
+        mode: str = "mor",
+        compact_delta_threshold: int = 16,
     ):
         self.spark = spark
         self.table = table
         self.epoch_store = epoch_store
         self.collect_metrics = collect_metrics
+        self.mode = mode
+        self.compact_delta_threshold = compact_delta_threshold
 
     def read_state(self, version: int | None = None) -> DataFrame:
         return read_state(self.table, version=version)
 
     # ------------------------------------------------------------------ api
-    def apply_epoch(self, events_df: DataFrame, epoch_id: int) -> dict[str, Any] | None:
+    def apply_epoch(
+        self,
+        events_df: DataFrame,
+        epoch_id: int,
+        stats: dict[str, Any] | None = None,
+    ) -> dict[str, Any] | None:
         """Apply one epoch exactly-once. Returns metrics, or None if the
-        epoch was already applied (ledger skip)."""
+        epoch was already applied (ledger skip).
+
+        ``stats`` (as produced by ``EpochStore.write_epoch``) carries the
+        epoch's watermark + reorg markers; when provided, apply runs in a
+        single Spark job. Without it, one pre-scan computes the same."""
         t0 = time.monotonic()
         m = self.table.manifest()
         if epoch_id in m.applied_epochs:
@@ -129,14 +156,39 @@ class CdcEngine:
 
         wm = m.watermark
         prior_epochs = list(m.applied_epochs)
-        # --- markers in this batch (tiny: reorgs are rare) ----------------
-        markers = [
-            r.asDict()
-            for r in events_df.filter(F.col("op") == "R")
-            .select("stream_pos", "lsn", "rollback_to_lsn")
-            .orderBy("stream_pos")
-            .collect()
-        ]
+        if stats is None and self.epoch_store is not None:
+            stats = self.epoch_store.epoch_stats(epoch_id)
+        if stats is not None and "watermark" in stats:
+            pre = {
+                "n_events": stats["n"],
+                "lsn_min": stats["lsn_min"],
+                "ls": stats["watermark"] or {"lsn": None, "seq": None},
+                "pos": stats["pos_max"],
+            }
+            markers = stats["markers"]
+        else:
+            # --- ONE pre-scan: watermark + counts + (rare) reorg markers --
+            row = events_df.agg(
+                F.count("*").alias("n_events"),
+                F.min("lsn").alias("lsn_min"),
+                F.max(F.struct("lsn", "seq")).alias("ls"),
+                F.max("stream_pos").alias("pos"),
+                F.collect_list(
+                    F.when(
+                        F.col("op") == "R",
+                        F.struct("stream_pos", "lsn", "rollback_to_lsn"),
+                    )
+                ).alias("markers"),
+            ).first()
+            pre = {
+                "n_events": row["n_events"],
+                "lsn_min": row["lsn_min"],
+                "ls": row["ls"] or {"lsn": None, "seq": None},
+                "pos": row["pos"],
+            }
+            markers = sorted(
+                (r.asDict() for r in row["markers"]), key=lambda r: r["stream_pos"]
+            )
         n_reorg = len(markers)
 
         batch_events = events_df.filter(F.col("op") != "R")
@@ -182,38 +234,84 @@ class CdcEngine:
                             batch_events, allowMissingColumns=True
                         )
 
+        if pre["n_events"] == 0:
+            # empty epoch: ledger-only commit (exactly-once)
+            self.table.replace_buckets(
+                [],
+                self.spark.createDataFrame([], self.table.manifest().schema()),
+                epoch_id=epoch_id,
+                extra_epochs=prior_epochs,
+            )
+            return {
+                "epoch_id": epoch_id, "n_events": 0, "n_insert": 0, "n_update": 0,
+                "n_delete": 0, "n_stale": 0, "n_rejected": 0, "n_reorg": 0,
+                "n_buckets_touched": 0, "lsn_min": None, "lsn_max": None,
+                "merge_ms": int((time.monotonic() - t0) * 1000),
+            }
+
         # --- validate (≙ consistency counters) ---------------------------
+        obs = None
+        if self.collect_metrics:
+            from pyspark.sql import Observation
+
+            obs = Observation()
+            batch_events = batch_events.observe(
+                obs,
+                F.sum(F.when(~_valid_expr(), 1).otherwise(0)).alias("n_rejected"),
+                F.count(F.lit(1)).alias("n_batch"),
+            )
         valid = batch_events.filter(_valid_expr())
 
         # --- last-writer per key, then merge ------------------------------
         ups = dedup_last_writer(valid)
-        metrics = self._merge(
-            ups, epoch_id=epoch_id, events_df=events_df, extra_epochs=prior_epochs
-        )
-        if metrics is not None and self.collect_metrics:
-            rejected = batch_events.filter(~_valid_expr()).count()
-            metrics["n_rejected"] = rejected
-            metrics["n_reorg"] = n_reorg
-            metrics["merge_ms"] = int((time.monotonic() - t0) * 1000)
+        new_wm = {"lsn": pre["ls"]["lsn"], "seq": pre["ls"]["seq"], "pos": pre["pos"]}
+        if self.mode == "mor":
+            metrics = self._append(
+                ups, epoch_id=epoch_id, watermark=new_wm, extra_epochs=prior_epochs
+            )
+        else:
+            metrics = self._merge(
+                ups, epoch_id=epoch_id, watermark=new_wm, extra_epochs=prior_epochs
+            )
+        metrics["lsn_min"] = pre["lsn_min"]
+        metrics["lsn_max"] = new_wm["lsn"]
+        metrics["n_events"] = pre["n_events"]
+        metrics["n_reorg"] = n_reorg
+        if obs is not None:
+            metrics["n_rejected"] = obs.get["n_rejected"] or 0
+        metrics["merge_ms"] = int((time.monotonic() - t0) * 1000)
+        self._log_metrics(metrics)
         return metrics
 
-    # ---------------------------------------------------------------- merge
-    def _merge(
-        self,
-        ups: DataFrame,
-        *,
-        epoch_id: int,
-        events_df: DataFrame,
-        extra_epochs: list[int] | None = None,
-    ) -> dict[str, Any]:
+    # ------------------------------------------------------------- lineage
+    def _metrics_path(self) -> str:
+        import os
+
+        return os.path.join(self.table.path, "metrics.jsonl")
+
+    def _log_metrics(self, metrics: dict[str, Any]) -> None:
+        """Per-epoch lineage row (FIXTURES.md §3 lineage_metrics; ≙ the
+        reference's PERF logs + done/fail dirs)."""
+        import json
+
+        with open(self._metrics_path(), "a") as f:
+            f.write(json.dumps(metrics, default=str) + "\n")
+
+    def read_metrics(self) -> DataFrame:
+        import os
+
+        if not os.path.exists(self._metrics_path()):
+            raise FileNotFoundError(self._metrics_path())
+        return self.spark.read.json(self._metrics_path())
+
+    # ----------------------------------------------------- schema evolution
+    def _conform_source(self, ups: DataFrame):
+        """Merge incoming payload columns into the target schema and
+        conform the source side; returns (ups, merged_schema,
+        payload_cols, ptypes)."""
         import pyspark.sql.types as T
 
         m = self.table.manifest()
-        nb = m.n_buckets
-        ups = ups.withColumn("_b", bucket_expr("doc_id", nb))
-
-        # --- schema evolution: incoming payload columns merge into the
-        # target schema (added cols null-backfill, numeric types widen)
         incoming_payload = T.StructType(
             [
                 f
@@ -221,13 +319,11 @@ class CdcEngine:
                 if f.name not in ("doc_id", "op", "lsn", "seq", "stream_pos", "_b")
             ]
         )
-        target_schema = m.schema()
-        merged_schema, _ = merge_schemas(target_schema, incoming_payload)
+        merged_schema, _ = merge_schemas(m.schema(), incoming_payload)
         payload_cols = [f.name for f in merged_schema.fields if f.name not in _TARGET_META]
         ptypes = {f.name: f.dataType for f in merged_schema.fields}
-        # conform the source side to the merged payload set
         ups = ups.select(
-            "doc_id", "op", "lsn", "seq", "stream_pos", "_b",
+            *[c for c in ("doc_id", "op", "lsn", "seq", "stream_pos", "_b") if c in ups.columns],
             *[
                 (
                     F.col(c).cast(ptypes[c])
@@ -237,30 +333,72 @@ class CdcEngine:
                 for c in payload_cols
             ],
         )
+        return ups, merged_schema, payload_cols, ptypes
 
-        # batch watermark from the raw epoch (includes markers): one tiny agg
-        wm_row = events_df.agg(
-            F.max(F.struct("lsn", "seq")).alias("ls"),
-            F.max("stream_pos").alias("pos"),
-            F.min("lsn").alias("lsn_min"),
-            F.count("*").alias("n_events"),
-        ).first()
-        if wm_row["n_events"] == 0:
-            # empty epoch: still record it in the ledger (exactly-once)
-            self.table.replace_buckets(
-                [],
-                self.spark.createDataFrame([], target_schema),
-                epoch_id=epoch_id,
-                extra_epochs=extra_epochs,
+    # --------------------------------------------------- merge-on-read path
+    def _append(
+        self,
+        ups: DataFrame,
+        *,
+        epoch_id: int,
+        watermark: dict[str, int],
+        extra_epochs: list[int] | None = None,
+    ) -> dict[str, Any]:
+        from pyspark.sql import Observation
+
+        ups, merged_schema, payload_cols, _ = self._conform_source(ups)
+        rows = ups.select(
+            "doc_id",
+            *payload_cols,
+            "lsn",
+            "seq",
+            F.lit(epoch_id).alias("updated_epoch"),
+            (F.col("op") == "D").alias("deleted"),
+        )
+        obs = None
+        if self.collect_metrics:
+            obs = Observation()
+            rows = rows.observe(
+                obs,
+                F.sum(F.when(~F.col("deleted"), 1).otherwise(0)).alias("n_upserts"),
+                F.sum(F.when(F.col("deleted"), 1).otherwise(0)).alias("n_deletes"),
             )
-            return {"epoch_id": epoch_id, "n_events": 0, "n_insert": 0, "n_update": 0,
-                    "n_delete": 0, "n_stale": 0, "n_buckets_touched": 0,
-                    "lsn_min": None, "lsn_max": None}
-        new_wm = {
-            "lsn": wm_row["ls"]["lsn"],
-            "seq": wm_row["ls"]["seq"],
-            "pos": wm_row["pos"],
-        }
+        metrics: dict[str, Any] = {"epoch_id": epoch_id, "mode": "mor"}
+        self.table.append_deltas(
+            rows,
+            watermark=watermark,
+            epoch_id=epoch_id,
+            extra_epochs=extra_epochs,
+            lineage=metrics,
+            new_schema=merged_schema,
+        )
+        if obs is not None:
+            got = obs.get
+            metrics["n_insert"] = got["n_upserts"] or 0  # split resolved at read
+            metrics["n_update"] = 0
+            metrics["n_delete"] = got["n_deletes"] or 0
+            metrics["n_stale"] = 0
+        dcounts = self.table.delta_file_counts()
+        metrics["n_buckets_touched"] = len(dcounts)
+        if dcounts and max(dcounts.values()) >= self.compact_delta_threshold:
+            self.table.compact()
+            metrics["compacted"] = True
+        return metrics
+
+    # ------------------------------------------------- copy-on-write merge
+    def _merge(
+        self,
+        ups: DataFrame,
+        *,
+        epoch_id: int,
+        watermark: dict[str, int],
+        extra_epochs: list[int] | None = None,
+    ) -> dict[str, Any]:
+        m = self.table.manifest()
+        nb = m.n_buckets
+        ups = ups.withColumn("_b", bucket_expr("doc_id", nb))
+        ups, merged_schema, payload_cols, ptypes = self._conform_source(ups)
+        new_wm = watermark
 
         # bucket pruning: collect touched bucket ids (≤ n_buckets values)
         buckets = [r["_b"] for r in ups.select("_b").distinct().collect()]
@@ -323,9 +461,7 @@ class CdcEngine:
 
         metrics = {
             "epoch_id": epoch_id,
-            "lsn_min": wm_row["lsn_min"],
-            "lsn_max": new_wm["lsn"],
-            "n_events": wm_row["n_events"],
+            "mode": "cow",
             "n_insert": counts.get("insert", 0),
             "n_update": counts.get("update", 0),
             "n_delete": counts.get("delete", 0),

@@ -48,22 +48,60 @@ class EpochStore:
         return sorted(int(k) for k in self._index())
 
     def write_epoch(self, epoch_id: int, events_df: DataFrame) -> dict[str, Any]:
+        """Land one epoch. Stats (offsets, watermark, reorg markers) are
+        collected by an Observation on the SAME write job — one pass over
+        the data, and the engine can then apply the epoch without its own
+        pre-scan (the stats play the role Kafka topic metadata plays for
+        a real bus)."""
+        from pyspark.sql import Observation
+
         out = os.path.join(self.path, f"epoch-{epoch_id:08d}.parquet")
-        events_df.write.mode("overwrite").parquet(out)
         schema = events_df.schema
-        stats = (
-            self.spark.read.schema(schema)
-            .parquet(out)
-            .agg(
-                F.min("stream_pos").alias("pos_min"),
-                F.max("stream_pos").alias("pos_max"),
-                F.min("lsn").alias("lsn_min"),
-                F.max("lsn").alias("lsn_max"),
-                F.count("*").alias("n"),
-            )
-            .first()
-            .asDict()
+        obs = Observation()
+        observed = events_df.observe(
+            obs,
+            F.min("stream_pos").alias("pos_min"),
+            F.max("stream_pos").alias("pos_max"),
+            F.min("lsn").alias("lsn_min"),
+            F.max("lsn").alias("lsn_max"),
+            F.max(F.struct("lsn", "seq")).alias("wm_ls"),
+            F.count(F.lit(1)).alias("n"),
+            F.collect_list(
+                F.when(
+                    F.col("op") == "R",
+                    F.struct("stream_pos", "lsn", "rollback_to_lsn"),
+                )
+            ).alias("markers"),
         )
+        observed.write.mode("overwrite").parquet(out)
+        got = obs.get
+        stats = {
+            "pos_min": got["pos_min"],
+            "pos_max": got["pos_max"],
+            "lsn_min": got["lsn_min"],
+            "lsn_max": got["lsn_max"],
+            "n": got["n"],
+            "watermark": (
+                {
+                    "lsn": got["wm_ls"]["lsn"],
+                    "seq": got["wm_ls"]["seq"],
+                    "pos": got["pos_max"],
+                }
+                if got["n"]
+                else None
+            ),
+            "markers": sorted(
+                (
+                    {
+                        "stream_pos": r["stream_pos"],
+                        "lsn": r["lsn"],
+                        "rollback_to_lsn": r["rollback_to_lsn"],
+                    }
+                    for r in got["markers"]
+                ),
+                key=lambda r: r["stream_pos"],
+            ),
+        }
         idx = self._index()
         idx[str(epoch_id)] = {
             "file": f"epoch-{epoch_id:08d}.parquet",
@@ -72,6 +110,9 @@ class EpochStore:
         }
         self._write_index(idx)
         return stats
+
+    def epoch_stats(self, epoch_id: int) -> dict[str, Any] | None:
+        return self._index().get(str(epoch_id))
 
     def _schema_of(self, meta: dict[str, Any]) -> T.StructType:
         return T.StructType.fromJson(json.loads(meta["schema"]))

@@ -157,12 +157,23 @@ class SnapshotTable:
         )
 
     # ------------------------------------------------------------------ read
-    def read(self, version: int | None = None, buckets: list[int] | None = None) -> DataFrame:
+    def read(
+        self,
+        version: int | None = None,
+        buckets: list[int] | None = None,
+        resolve: bool = True,
+    ) -> DataFrame:
         """Read a snapshot, optionally pruned to a set of buckets.
 
         Files written under older schema versions are read with their own
         schema and cast to the current one (null backfill for added
         columns, upcast for widened types) — schema-on-read evolution.
+
+        Merge-on-read: if the selection contains delta files (appended by
+        streaming upserts), ``resolve=True`` collapses them to the
+        last-writer row per key via a ``max(struct(order_cols, ...))``
+        aggregation — one shuffle, map-side combined, the exact same
+        guard ordering the copy-on-write merge uses.
         """
         m = self.manifest(version)
         cur = m.schema()
@@ -174,8 +185,11 @@ class SnapshotTable:
             return self.spark.createDataFrame([], cur)
 
         by_sv: dict[int, list[str]] = {}
+        has_delta = False
         for f in files:
             by_sv.setdefault(f["schema_version"], []).append(os.path.join(self.path, f["path"]))
+            if f.get("kind", "base") == "delta":
+                has_delta = True
 
         parts: list[DataFrame] = []
         for sv, paths in sorted(by_sv.items()):
@@ -196,6 +210,32 @@ class SnapshotTable:
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
+        if has_delta and resolve:
+            out = self._resolve_last_writer(out, m)
+        return out
+
+    def _resolve_last_writer(self, df: DataFrame, m: Manifest) -> DataFrame:
+        """Collapse base+delta rows to the newest row per key, ordered by
+        the table's order columns (lsn, seq) — ties broken by
+        updated_epoch (newer commit wins; identical-content redeliveries
+        make ties value-identical)."""
+        order_cols = [c for c in ("lsn", "seq", "updated_epoch") if c in df.columns]
+        other = [c for c in df.columns if c != m.key and c not in order_cols]
+        w = F.max(
+            F.struct(*[F.col(c) for c in order_cols], *[F.col(c) for c in other])
+        ).alias("w")
+        g = df.groupBy(m.key).agg(w)
+        return g.select(
+            m.key,
+            *[F.col(f"w.{c}").alias(c) for c in df.columns if c != m.key],
+        ).select(df.columns)
+
+    def delta_file_counts(self, version: int | None = None) -> dict[int, int]:
+        """bucket -> number of delta files (compaction signal)."""
+        out: dict[int, int] = {}
+        for f in self.manifest(version).files:
+            if f.get("kind", "base") == "delta":
+                out[f["bucket"]] = out.get(f["bucket"], 0) + 1
         return out
 
     # ----------------------------------------------------------------- write
@@ -296,6 +336,81 @@ class SnapshotTable:
             ),
             parent=m.version,
             lineage=lineage or {},
+        )
+        self._write_manifest(new)
+        return new.version
+
+    def append_deltas(
+        self,
+        df: DataFrame,
+        *,
+        watermark: dict[str, int] | None = None,
+        epoch_id: int | None = None,
+        extra_epochs: list[int] | None = None,
+        lineage: dict[str, Any] | None = None,
+        new_schema: T.StructType | None = None,
+    ) -> int:
+        """Merge-on-read commit: append the rows as delta files (no read
+        of existing data, no join). Readers resolve last-writer per key;
+        ``compact()`` folds deltas back into base files. This is the
+        streaming-upsert fast path (Iceberg v2 MOR shape): apply cost is
+        O(batch), independent of table size."""
+        m = self.manifest()
+        schemas = dict(m.schemas)
+        sv = m.schema_version
+        if new_schema is not None and json.dumps(new_schema.jsonValue()) != m.schemas[str(sv)]:
+            sv += 1
+            schemas[str(sv)] = json.dumps(new_schema.jsonValue())
+        entries = self._write_data(df, m.n_buckets, m.key)
+        for e in entries:
+            e["schema_version"] = sv
+            e["kind"] = "delta"
+        new = Manifest(
+            version=m.version + 1,
+            key=m.key,
+            n_buckets=m.n_buckets,
+            schema_version=sv,
+            schemas=schemas,
+            files=m.files + entries,
+            watermark=watermark or m.watermark,
+            applied_epochs=sorted(
+                set(m.applied_epochs)
+                | ({epoch_id} if epoch_id is not None else set())
+                | set(extra_epochs or [])
+            ),
+            parent=m.version,
+            lineage=lineage or {},
+        )
+        self._write_manifest(new)
+        return new.version
+
+    def compact(self, buckets: list[int] | None = None) -> int:
+        """Fold delta files into base files for the given buckets (default:
+        every bucket that has deltas). Tombstone rows are preserved — they
+        keep guarding against stale replays until vacuumed."""
+        m = self.manifest()
+        with_deltas = sorted(self.delta_file_counts())
+        targets = with_deltas if buckets is None else [b for b in buckets if b in set(with_deltas)]
+        if not targets:
+            return m.version
+        resolved = self.read(buckets=targets, resolve=True)
+        entries = self._write_data(resolved, m.n_buckets, m.key)
+        tset = set(targets)
+        for e in entries:
+            e["schema_version"] = m.schema_version
+            e["kind"] = "base"
+        kept = [f for f in m.files if f["bucket"] not in tset]
+        new = Manifest(
+            version=m.version + 1,
+            key=m.key,
+            n_buckets=m.n_buckets,
+            schema_version=m.schema_version,
+            schemas=m.schemas,
+            files=kept + entries,
+            watermark=m.watermark,
+            applied_epochs=m.applied_epochs,
+            parent=m.version,
+            lineage={"compaction": {"buckets": targets}},
         )
         self._write_manifest(new)
         return new.version

@@ -27,12 +27,12 @@ def _final_state_dict(df):
     }
 
 
-def _run_engine(spark, tmp_path, epochs, redeliver=()):
+def _run_engine(spark, tmp_path, epochs, redeliver=(), mode="mor"):
     table = SnapshotTable.create(
         spark, str(tmp_path / "t"), TARGET_SCHEMA, key="doc_id", n_buckets=8
     )
     store = EpochStore(spark, str(tmp_path / "store"))
-    eng = CdcEngine(spark, table, epoch_store=store)
+    eng = CdcEngine(spark, table, epoch_store=store, mode=mode)
     for i, ev in enumerate(epochs):
         df = events_to_df(spark, ev)
         store.write_epoch(i, df)
@@ -42,13 +42,14 @@ def _run_engine(spark, tmp_path, epochs, redeliver=()):
     return table, eng
 
 
-@pytest.mark.parametrize("seed", [42, 7, 99])
-def test_engine_matches_oracle(spark, tmp_path, seed):
+@pytest.mark.parametrize("seed,mode", [(42, "mor"), (7, "mor"), (99, "mor"),
+                                       (42, "cow"), (21, "cow")])
+def test_engine_matches_oracle(spark, tmp_path, seed, mode):
     epochs = generate_changelog(seed=seed)
     flat = [e for ep in epochs for e in ep]
     expected = oracle_replay(flat)
 
-    table, _ = _run_engine(spark, tmp_path, epochs)
+    table, _ = _run_engine(spark, tmp_path, epochs, mode=mode)
     got = _final_state_dict(
         read_state(table).select("doc_id", "tokens", "n_tok", "source", "lsn", "seq")
     )
@@ -79,7 +80,7 @@ def test_stale_partial_redelivery_dropped_by_guard(spark, tmp_path):
     (≙ cond_upsert_on_blknum)."""
     epochs = generate_changelog(seed=11, n_epochs=4, p_reorg_epoch=0.0)
     flat = [e for ep in epochs for e in ep]
-    table, eng = _run_engine(spark, tmp_path, epochs)
+    table, eng = _run_engine(spark, tmp_path, epochs, mode="cow")
     before = _final_state_dict(read_state(table).select("doc_id", "tokens", "n_tok", "source", "lsn", "seq"))
     df = events_to_df(spark, epochs[1])
     metrics = eng.apply_epoch(df, 999)  # new epoch id, old content
@@ -89,13 +90,14 @@ def test_stale_partial_redelivery_dropped_by_guard(spark, tmp_path):
     assert after == before == oracle_replay(flat)
 
 
-def test_reorg_reverts_and_replays(spark, tmp_path):
+@pytest.mark.parametrize("mode", ["mor", "cow"])
+def test_reorg_reverts_and_replays(spark, tmp_path, mode):
     # force reorg on every epoch after the first: deep coverage of the
     # tombstone-then-reinsert path
     epochs = generate_changelog(seed=21, n_epochs=6, p_reorg_epoch=1.0, reorg_max_depth=8)
     flat = [e for ep in epochs for e in ep]
     assert any(e["op"] == "R" for e in flat)
-    table, _ = _run_engine(spark, tmp_path, epochs)
+    table, _ = _run_engine(spark, tmp_path, epochs, mode=mode)
     got = _final_state_dict(read_state(table).select("doc_id", "tokens", "n_tok", "source", "lsn", "seq"))
     assert got == oracle_replay(flat)
 
@@ -127,9 +129,38 @@ def test_metrics_lineage(spark, tmp_path):
     epochs = generate_changelog(seed=3, n_epochs=3, p_reorg_epoch=0.0)
     table, eng = _run_engine(spark, tmp_path, epochs)
     m = table.manifest()
-    lin = m.lineage
-    assert lin["epoch_id"] == 2
-    assert lin["n_events"] == len(epochs[2])
+    assert m.lineage["epoch_id"] == 2
     assert set(m.applied_epochs) == {0, 1, 2}
-    assert lin["n_insert"] + lin["n_update"] + lin["n_delete"] + lin["n_stale"] >= 0
-    assert lin["n_buckets_touched"] <= 8
+    rows = {r["epoch_id"]: r.asDict() for r in eng.read_metrics().collect()}
+    assert set(rows) == {0, 1, 2}
+    for i in range(3):
+        assert rows[i]["n_events"] == len(epochs[i])
+        assert rows[i]["lsn_min"] is not None and rows[i]["lsn_max"] >= rows[i]["lsn_min"]
+        assert rows[i]["n_insert"] + rows[i]["n_delete"] >= 0
+        assert rows[i]["merge_ms"] > 0
+
+
+def test_mor_stale_redelivery_loses_at_read(spark, tmp_path):
+    """MOR: stale rows appended under a new epoch id lose to newer rows
+    in the read-time resolver — final state unchanged."""
+    epochs = generate_changelog(seed=11, n_epochs=4, p_reorg_epoch=0.0)
+    flat = [e for ep in epochs for e in ep]
+    table, eng = _run_engine(spark, tmp_path, epochs, mode="mor")
+    before = _final_state_dict(read_state(table).select("doc_id", "tokens", "n_tok", "source", "lsn", "seq"))
+    eng.apply_epoch(events_to_df(spark, epochs[1]), 999)
+    after = _final_state_dict(read_state(table).select("doc_id", "tokens", "n_tok", "source", "lsn", "seq"))
+    assert after == before == oracle_replay(flat)
+
+
+def test_mor_compaction_preserves_state(spark, tmp_path):
+    epochs = generate_changelog(seed=61, n_epochs=5, p_reorg_epoch=0.3)
+    flat = [e for ep in epochs for e in ep]
+    table, eng = _run_engine(spark, tmp_path, epochs, mode="mor")
+    before = _final_state_dict(read_state(table).select("doc_id", "tokens", "n_tok", "source", "lsn", "seq"))
+    assert table.delta_file_counts(), "expected delta files before compaction"
+    table.compact()
+    assert not table.delta_file_counts()
+    after = _final_state_dict(read_state(table).select("doc_id", "tokens", "n_tok", "source", "lsn", "seq"))
+    assert after == before == oracle_replay(flat)
+    # tombstones survive compaction (stale-replay guard)
+    assert table.read().filter("deleted").count() > 0

@@ -9,7 +9,7 @@ from blockchain_etl_spark.tables.snapshot import SnapshotTable, bucket_expr
 
 
 def _mk_rows(spark, ids, lsn=1):
-    rows = [(f"doc-{i}", [i, i + 1], 2, "s", lsn, 0, 0) for i in ids]
+    rows = [(f"doc-{i}", [i, i + 1], 2, "s", lsn, 0, 0, False) for i in ids]
     return spark.createDataFrame(rows, TARGET_SCHEMA)
 
 
@@ -100,7 +100,7 @@ def test_schema_evolution_add_column_and_widen(spark, tmp_table_dir):
         ]
     )
     new_rows = spark.createDataFrame(
-        [("doc-new", [9], "s2", 7, 1, 1, 2**40, "en")],
+        [("doc-new", [9], "s2", 7, 1, 1, False, 2**40, "en")],
         T.StructType(
             [
                 T.StructField("doc_id", T.StringType()),
@@ -109,6 +109,7 @@ def test_schema_evolution_add_column_and_widen(spark, tmp_table_dir):
                 T.StructField("lsn", T.LongType()),
                 T.StructField("seq", T.IntegerType()),
                 T.StructField("updated_epoch", T.LongType()),
+                T.StructField("deleted", T.BooleanType()),
                 T.StructField("n_tok", T.LongType()),
                 T.StructField("lang", T.StringType()),
             ]
