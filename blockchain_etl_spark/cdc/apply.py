@@ -67,17 +67,43 @@ def _valid_expr():
 
 
 def _liveness_filter(df: DataFrame, markers: list[dict[str, Any]]) -> DataFrame:
-    """Drop events killed by any of the given (later) markers.
+    """Drop events killed by any of the given (later) markers — pure JVM
+    column expressions, no window, no shuffle.
 
-    Markers are rare (reorgs), so this is a conjunction of literal
-    predicates — pure JVM column expressions, no window, no shuffle.
+    Few markers → a flat conjunction of predicates. Many markers (long
+    retained logs can hold thousands of reorgs) → a single aggregate
+    over a literal array of (pos, rb) structs: constant expression
+    depth, O(#markers) vectorized work per row inside codegen.
     """
-    cond = F.lit(True)
-    for m in markers:
-        cond = cond & (
-            (F.col("stream_pos") > m["stream_pos"]) | (F.col("lsn") <= m["rollback_to_lsn"])
-        )
-    return df.filter(cond)
+    if not markers:
+        return df
+    if len(markers) <= 16:
+        cond = F.lit(True)
+        for m in markers:
+            cond = cond & (
+                (F.col("stream_pos") > m["stream_pos"])
+                | (F.col("lsn") <= m["rollback_to_lsn"])
+            )
+        return df.filter(cond)
+    arr = F.array(
+        *[
+            F.struct(
+                F.lit(m["stream_pos"]).alias("pos"),
+                F.lit(m["rollback_to_lsn"]).alias("rb"),
+            )
+            for m in markers
+        ]
+    )
+    # min rollback_to among markers strictly after this event
+    min_rb = F.aggregate(
+        arr,
+        F.lit(None).cast("long"),
+        lambda acc, m: F.when(
+            (m["pos"] > F.col("stream_pos")) & (acc.isNull() | (m["rb"] < acc)),
+            m["rb"],
+        ).otherwise(acc),
+    )
+    return df.filter(min_rb.isNull() | (F.col("lsn") <= min_rb))
 
 
 def dedup_last_writer(events: DataFrame, payload_cols: list[str] | None = None) -> DataFrame:

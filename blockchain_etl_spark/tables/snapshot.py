@@ -449,5 +449,58 @@ class SnapshotTable:
         return best
 
     # ------------------------------------------------------------- utilities
+    def vacuum_tombstones(self, older_than_lsn: int) -> int:
+        """Drop tombstone rows with lsn < older_than_lsn (safe once the
+        reorg lag + redelivery horizon has passed). Rewrites only buckets
+        that actually contain old tombstones."""
+        df = self.read(resolve=True)
+        if "deleted" not in df.columns:
+            return self.current_version()
+        old_ts = df.filter(F.col("deleted") & (F.col("lsn") < older_than_lsn))
+        m = self.manifest()
+        buckets = [
+            r["b"]
+            for r in old_ts.select(bucket_expr(m.key, m.n_buckets).alias("b"))
+            .distinct()
+            .collect()
+        ]
+        if not buckets:
+            return self.current_version()
+        keep = self.read(buckets=buckets, resolve=True).filter(
+            ~(F.col("deleted") & (F.col("lsn") < older_than_lsn))
+        )
+        return self.replace_buckets(
+            buckets, keep, lineage={"vacuum_tombstones_below": older_than_lsn}
+        )
+
+    def gc(self, keep_last_versions: int = 50) -> dict[str, int]:
+        """Delete manifests older than the last N versions and data files
+        no kept manifest references. N bounds reorg time travel — keep it
+        larger than the reorg lag in epochs (≙ the reference's 80-block
+        watermark)."""
+        versions = self.versions()
+        keep = set(versions[-keep_last_versions:])
+        referenced: set[str] = set()
+        for v in keep:
+            referenced.update(f["path"] for f in self.manifest(v).files)
+        n_manifests = 0
+        for v in versions:
+            if v not in keep:
+                os.remove(self._manifest_path(v))
+                n_manifests += 1
+        n_files = 0
+        data_root = os.path.join(self.path, "data")
+        for commit_dir in os.listdir(data_root):
+            cpath = os.path.join(data_root, commit_dir)
+            for root, _dirs, files in os.walk(cpath):
+                for fn in files:
+                    rel = os.path.relpath(os.path.join(root, fn), self.path)
+                    if fn.endswith(".parquet") and rel not in referenced:
+                        os.remove(os.path.join(root, fn))
+                        n_files += 1
+            if not any(files for _r, _d, files in os.walk(cpath)):
+                shutil.rmtree(cpath, ignore_errors=True)
+        return {"manifests_removed": n_manifests, "files_removed": n_files}
+
     def drop(self) -> None:
         shutil.rmtree(self.path, ignore_errors=True)
