@@ -194,6 +194,75 @@ FROM documents
 # Text analysis
 # --------------------------------------------------------------------------
 
+def trace_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parent-error status propagation over a synthesized call forest
+    (≙ trace_status_calculator.py:32-85): path depth/shape and error
+    flags derive deterministically from events, so DuckDB reproduces
+    the forest and the EXISTS-ancestor semantics exactly."""
+    from blockchain_etl_spark.operators.tree import propagate_trace_status
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    depth = F.col("event_id") % 3
+    path = F.slice(
+        F.array((F.col("event_id") % 2), ((F.col("event_id") / 2).cast("long") % 2)),
+        1,
+        depth.cast("int"),
+    )
+    traces = e.select(
+        "user_id",
+        "event_id",
+        path.alias("trace_address"),
+        (F.col("event_id") % 7 == 0).alias("error"),
+    )
+    out = propagate_trace_status(traces, ["user_id"])
+    return out.select(
+        "event_id",
+        F.concat_ws(",", F.col("trace_address").cast("array<string>")).alias("trace_path"),
+        "status",
+    )
+
+
+_TRACE_STATUS_SQL = """
+WITH tr AS (
+  SELECT user_id, event_id,
+         list_slice([event_id % 2, (event_id // 2) % 2], 1, (event_id % 3)::INT)
+           AS trace_address,
+         (event_id % 7 = 0) AS error
+  FROM events
+)
+SELECT a.event_id,
+       coalesce(array_to_string(a.trace_address, ','), '') AS trace_path,
+       CASE WHEN a.error OR EXISTS (
+         SELECT 1 FROM tr b
+         WHERE b.user_id = a.user_id AND b.error
+           AND len(b.trace_address) <= len(a.trace_address)
+           AND b.trace_address = list_slice(a.trace_address, 1, len(b.trace_address))
+       ) THEN 0 ELSE 1 END AS status
+FROM tr a
+"""
+
+
+def rule_engine_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rule-DSL predicate compiled to a Catalyst expression (≙
+    rule_engine parser + Rule.filter, /root/reference/rule_engine/
+    parser.py:178-500, blockchainetl/alert/rule.py:25-34)."""
+    from blockchain_etl_spark.functions.rules import rule_filter
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    rule = "event_type in ['purchase','signup'] and value > 50 and event_type =~ '^(p|s).*'"
+    return e.filter(rule_filter(rule)).select(
+        "event_id", "event_type", F.round("value", 2).alias("value")
+    )
+
+
+_RULE_FILTER_SQL = """
+SELECT event_id, event_type, round(value, 2) AS value
+FROM events
+WHERE event_type IN ('purchase','signup') AND value > 50
+  AND regexp_matches(event_type, '^(p|s).*')
+"""
+
+
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
     feats = X.quality_features("text")
@@ -294,6 +363,8 @@ QUERIES: dict[str, callable] = {
     "item_id_stamping": relational.item_id_stamping,
     "flatten_list_fields": relational.flatten_list_fields,
     "hex_decode": relational.hex_decode,
+    "trace_status": trace_status,
+    "rule_engine_filter": rule_engine_filter,
     # training-data ops
     "exact_dedup": dedup.exact_dedup,
     "minhash_lsh_pairs": dedup.minhash_lsh_pairs,
@@ -512,6 +583,8 @@ def oracle_sqls() -> dict[str, str]:
                    round(avg(jaccard), 6) AS mean_jaccard
             FROM pairs GROUP BY source, lang
         """,
+        "trace_status": _TRACE_STATUS_SQL,
+        "rule_engine_filter": _RULE_FILTER_SQL,
         "text_quality": _TEXT_QUALITY_SQL,
         "token_counts": _TOKEN_COUNTS_SQL,
         "doc_fingerprints": _FINGERPRINT_SQL,
