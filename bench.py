@@ -2,13 +2,17 @@
 
 Headline metric: end-to-end change-event apply throughput (events/sec)
 to a final-state-equivalent snapshot table (BASELINE.json), measured by
-running the full CDC engine (epoch store write → validate → dedup →
-LSN-guarded bucket MERGE → atomic manifest commit with ledger+lineage)
-over a deterministic synthetic change-log.
+running the full CDC engine (epoch store read → validate → dedup →
+LSN-guarded append/MERGE → atomic manifest commit with ledger+lineage)
+over a deterministic synthetic change-log, including compaction.
 
 Scaling-efficiency evidence (north rule: ≥0.8 from N to 4N executors;
 sandboxed as two local parallelism levels): the same job runs at
-local[CPUS/4] and local[CPUS]; efficiency = thr_4N / (4 * thr_N).
+local[CPUS/4] and local[CPUS] — **each in its own subprocess** (a shared
+JVM would hand the second run a JIT-warmed VM and corrupt the
+comparison) with an untimed warmup epoch, shuffle dirs on tmpfs
+(local-mode shuffles otherwise serialize on one disk — a cluster has
+per-executor NVMe). efficiency = thr_4N / (4 * thr_N).
 
 Also times the headline catalog queries at $SPARK_GRAFT_SF_DIR.
 
@@ -23,13 +27,12 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import subprocess
 import sys
 import tempfile
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-
-from blockchain_etl_spark.session import get_spark  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -47,6 +50,8 @@ HEADLINE_QUERIES = [
     "brute_topk",
     "ann_lsh_topk",
     "binary_features",
+    "trace_status",
+    "rule_engine_filter",
 ]
 
 
@@ -58,29 +63,53 @@ def _sf_from_dir(d: str) -> float:
         return 0.1
 
 
-def run_cdc_apply(cores: int, n_events: int, n_epochs: int = 8, n_docs: int = 100_000):
-    """Full engine run at a given parallelism; returns (elapsed_s, thr)."""
+def _tmpfs_local_dir() -> str | None:
+    if os.path.isdir("/dev/shm"):
+        d = "/dev/shm/spark-bench-local"
+        os.makedirs(d, exist_ok=True)
+        return d
+    return None
+
+
+def cdc_run(cores: int, n_events: int, n_epochs: int = 8, n_docs: int = 100_000) -> dict:
+    """Full engine run at a given parallelism (executed inside a fresh
+    subprocess by main()). Warmup epoch first (untimed)."""
     from pyspark.sql import functions as F
 
     from blockchain_etl_spark.cdc.apply import CdcEngine
     from blockchain_etl_spark.cdc.generator import generate_changelog_spark
     from blockchain_etl_spark.cdc.schema import TARGET_SCHEMA
+    from blockchain_etl_spark.session import get_spark
     from blockchain_etl_spark.streaming.epoch_store import EpochStore
     from blockchain_etl_spark.tables.snapshot import SnapshotTable
 
+    extra = {}
+    shm = _tmpfs_local_dir()
+    if shm:
+        extra["spark.local.dir"] = shm
     spark = get_spark(
-        f"bench-cdc-{cores}",
-        master=f"local[{cores}]",
-        shuffle_partitions=cores,
+        f"bench-cdc-{cores}", master=f"local[{cores}]",
+        shuffle_partitions=cores, extra_conf=extra,
     )
     workdir = tempfile.mkdtemp(prefix=f"bench-cdc-{cores}-")
     try:
+        # ---- warmup (JIT + codegen), untimed -----------------------------
+        wstore = EpochStore(spark, os.path.join(workdir, "wstore"))
+        wtable = SnapshotTable.create(
+            spark, os.path.join(workdir, "wtarget"), TARGET_SCHEMA, n_buckets=32
+        )
+        weng = CdcEngine(spark, wtable, epoch_store=wstore)
+        wev = generate_changelog_spark(spark, 100_000, n_docs=10_000, partitions=cores)
+        wstore.write_epoch(0, wev)
+        weng.apply_epoch(wstore.read_epoch(0), 0)
+        wtable.compact()
+
+        # ---- staged input (landing cost not part of apply metric) --------
         events = generate_changelog_spark(
             spark, n_events, n_docs=n_docs, partitions=cores * 2
         )
         per = n_events // n_epochs
         store = EpochStore(spark, os.path.join(workdir, "store"))
-        # stage the epochs first (source landing is not part of apply cost)
         for i in range(n_epochs):
             ep = events.filter(
                 (F.col("stream_pos") >= i * per)
@@ -103,11 +132,28 @@ def run_cdc_apply(cores: int, n_events: int, n_epochs: int = 8, n_docs: int = 10
         elapsed = t_apply + t_compact
         n_final = engine.read_state().count()
         assert n_final > 0
-        return elapsed, n_events / elapsed, {"apply_sec": round(t_apply, 3),
-                                             "compact_sec": round(t_compact, 3)}
+        return {
+            "cores": cores,
+            "elapsed_sec": round(elapsed, 3),
+            "events_per_sec": round(n_events / elapsed),
+            "apply_sec": round(t_apply, 3),
+            "compact_sec": round(t_compact, 3),
+            "n_final_docs": n_final,
+        }
     finally:
         spark.stop()
         shutil.rmtree(workdir, ignore_errors=True)
+
+
+def _cdc_run_subprocess(cores: int, n_events: int) -> dict:
+    out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--cdc-run", str(cores), str(n_events)],
+        capture_output=True, text=True, timeout=3000,
+        cwd=os.path.dirname(os.path.abspath(__file__)),
+    )
+    if out.returncode != 0:
+        raise RuntimeError(f"cdc run failed: {out.stderr[-2000:]}")
+    return json.loads(out.stdout.strip().splitlines()[-1])
 
 
 def main():
@@ -117,38 +163,43 @@ def main():
     out: dict = {"metric": "cdc_apply_e2e_sec", "unit": "sec", "sf": sf,
                  "n_events": n_events, "cpus": CPUS}
 
-    # --- headline: CDC apply at full parallelism -------------------------
-    t_full, thr_full, detail = run_cdc_apply(CPUS, n_events)
-    out["value"] = round(t_full, 3)
-    out["events_per_sec"] = round(thr_full)
-    out["detail"] = detail
+    full = _cdc_run_subprocess(CPUS, n_events)
+    out["value"] = full["elapsed_sec"]
+    out["events_per_sec"] = full["events_per_sec"]
+    out["detail"] = full
 
-    # --- scaling evidence: N vs 4N cores --------------------------------
     if os.environ.get("BENCH_SKIP_SCALING") != "1":
-        small = max(1, CPUS // 4)
-        t_small, thr_small, _ = run_cdc_apply(small, n_events)
+        small_cores = max(1, CPUS // 4)
+        small = _cdc_run_subprocess(small_cores, n_events)
         out["scaling"] = {
-            "cores_n": small,
+            "cores_n": small_cores,
             "cores_4n": CPUS,
-            "throughput_n": round(thr_small),
-            "throughput_4n": round(thr_full),
-            "elapsed_n_sec": round(t_small, 3),
-            "elapsed_4n_sec": round(t_full, 3),
-            "efficiency": round(thr_full / (4.0 * thr_small), 3),
+            "throughput_n": small["events_per_sec"],
+            "throughput_4n": full["events_per_sec"],
+            "elapsed_n_sec": small["elapsed_sec"],
+            "elapsed_4n_sec": full["elapsed_sec"],
+            "efficiency": round(
+                full["events_per_sec"] / (4.0 * small["events_per_sec"]), 3
+            ),
         }
 
     # --- catalog queries at SF_DIR ---------------------------------------
     from blockchain_etl_spark import catalog
+    from blockchain_etl_spark.session import get_spark
 
-    spark = get_spark("bench-queries", master=f"local[{CPUS}]", shuffle_partitions=CPUS)
+    extra = {}
+    shm = _tmpfs_local_dir()
+    if shm:
+        extra["spark.local.dir"] = shm
+    spark = get_spark("bench-queries", master=f"local[{CPUS}]",
+                      shuffle_partitions=CPUS, extra_conf=extra)
     queries: dict[str, float] = {}
     try:
         for name in HEADLINE_QUERIES:
             fn = catalog.QUERIES[name]
             t0 = time.monotonic()
-            n = fn(spark, SF_DIR).count()
+            fn(spark, SF_DIR).count()
             queries[name] = round(time.monotonic() - t0, 3)
-            _ = n
     finally:
         spark.stop()
     out["queries"] = queries
@@ -157,4 +208,8 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) >= 2 and sys.argv[1] == "--cdc-run":
+        ep = int(sys.argv[4]) if len(sys.argv) > 4 else 8
+        print(json.dumps(cdc_run(int(sys.argv[2]), int(sys.argv[3]), n_epochs=ep)))
+    else:
+        main()

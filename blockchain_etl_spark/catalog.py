@@ -194,6 +194,36 @@ FROM documents
 # Text analysis
 # --------------------------------------------------------------------------
 
+def explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-to-many flatten: tokenized docs exploded to (doc_id, pos,
+    token) rows (≙ block→transactions explode / TransferBatch
+    posexplode, SURVEY §2.4)."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = X.tokenize("text", vocab=_VOCAB)
+    return (
+        d.filter(F.col("doc_id") % 10 == 0)  # bounded output for the gate
+        .select("doc_id", toks.alias("tokens"))
+        .select("doc_id", F.posexplode("tokens").alias("pos", "token"))
+    )
+
+
+_EXPLODE_TOKENS_SQL = f"""
+WITH t AS (
+  SELECT doc_id,
+         list_transform(list_filter(string_split_regex(text, '\\s+'), w -> w <> ''),
+                        w -> ((('0x' || substr(md5(w), 1, 6))::BIGINT % {_VOCAB}))::INT)
+           AS tokens
+  FROM documents WHERE doc_id % 10 = 0
+),
+e AS (
+  SELECT doc_id, tokens,
+         unnest(generate_series(0, len(tokens) - 1)) AS pos
+  FROM t
+)
+SELECT doc_id, pos::INT AS pos, tokens[pos + 1] AS token FROM e
+"""
+
+
 def trace_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Parent-error status propagation over a synthesized call forest
     (≙ trace_status_calculator.py:32-85): path depth/shape and error
@@ -365,6 +395,7 @@ QUERIES: dict[str, callable] = {
     "hex_decode": relational.hex_decode,
     "trace_status": trace_status,
     "rule_engine_filter": rule_engine_filter,
+    "explode_tokens": explode_tokens,
     # training-data ops
     "exact_dedup": dedup.exact_dedup,
     "minhash_lsh_pairs": dedup.minhash_lsh_pairs,
@@ -585,6 +616,7 @@ def oracle_sqls() -> dict[str, str]:
         """,
         "trace_status": _TRACE_STATUS_SQL,
         "rule_engine_filter": _RULE_FILTER_SQL,
+        "explode_tokens": _EXPLODE_TOKENS_SQL,
         "text_quality": _TEXT_QUALITY_SQL,
         "token_counts": _TOKEN_COUNTS_SQL,
         "doc_fingerprints": _FINGERPRINT_SQL,
