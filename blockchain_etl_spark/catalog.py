@@ -45,14 +45,23 @@ def derive_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("event_type").isin("purchase", "signup"), F.lit("I"))
         .otherwise(F.lit("U"))
     )
+    # tokenize each document ONCE (5k docs), not once per event (100k+):
+    # the join then carries the token arrays — at scale this is the
+    # dimension-side precompute that keeps the per-event path array-copy
+    # only, no per-event hashing
+    d_tok = d.select(
+        F.col("doc_id").alias("doc_key"),
+        X.tokenize(F.col("text"), vocab=_VOCAB).alias("_toks"),
+        "source",
+    )
     ev = e.select(
         F.col("event_id"),
         op.alias("op"),
         doc_key.alias("doc_key"),
-    ).join(d.select(F.col("doc_id").alias("doc_key"), "text", "source"), "doc_key", "left")
+    ).join(d_tok, "doc_key", "left")
 
     lsn = F.expr(f"event_id div {_LSN_DIV}")
-    tokens = X.tokenize(F.col("text"), vocab=_VOCAB)
+    tokens = F.col("_toks")
     payload = F.col("op").isin("I", "U")
     n_tok = (
         F.size(tokens)
