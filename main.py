@@ -1,0 +1,152 @@
+"""spark-submit entry point for the CDC engine.
+
+Cluster invocation (north rule: spark-submit --py-files on a
+multi-executor cluster):
+
+    python tools/make_pyfiles.py                       # builds dist/blockchain_etl_spark.zip
+    spark-submit \
+      --master yarn --deploy-mode cluster \
+      --num-executors 1000 --executor-cores 4 --executor-memory 16g \
+      --conf spark.sql.shuffle.partitions=4096 \
+      --conf spark.sql.adaptive.enabled=true \
+      --py-files dist/blockchain_etl_spark.zip \
+      main.py tail --landing /data/changelog --table /lake/target_docs \
+                   --store /lake/epoch_store --buckets 4096
+
+Subcommands:
+    init     create the target table
+    tail     apply all pending epochs from a landing dir (micro-batch)
+    stream   run the Structured Streaming driver with a checkpoint dir
+    replay   batch-replay a full change-log into a fresh table
+    compact  fold delta files into base files
+    vacuum   drop tombstones older than an LSN
+    show     print table state / manifest / metrics
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def _spark(args):
+    from blockchain_etl_spark.session import get_spark
+
+    return get_spark("blockchain-etl-spark", master=args.master or None)
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="blockchain-etl-spark")
+    p.add_argument("--master", default=None, help="override spark master (local default)")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    sp = sub.add_parser("init")
+    sp.add_argument("--table", required=True)
+    sp.add_argument("--buckets", type=int, default=64)
+
+    sp = sub.add_parser("tail")
+    sp.add_argument("--landing", required=True)
+    sp.add_argument("--table", required=True)
+    sp.add_argument("--store", required=True)
+    sp.add_argument("--buckets", type=int, default=64)
+    sp.add_argument("--mode", choices=["mor", "cow"], default="mor")
+
+    sp = sub.add_parser("stream")
+    sp.add_argument("--landing", required=True)
+    sp.add_argument("--table", required=True)
+    sp.add_argument("--store", required=True)
+    sp.add_argument("--checkpoint", required=True)
+    sp.add_argument("--buckets", type=int, default=64)
+    sp.add_argument("--continuous", action="store_true",
+                    help="keep running (default: drain available and exit)")
+
+    sp = sub.add_parser("replay")
+    sp.add_argument("--events", required=True, help="parquet dir of the full change-log")
+    sp.add_argument("--table", required=True)
+    sp.add_argument("--buckets", type=int, default=64)
+
+    sp = sub.add_parser("compact")
+    sp.add_argument("--table", required=True)
+
+    sp = sub.add_parser("vacuum")
+    sp.add_argument("--table", required=True)
+    sp.add_argument("--older-than-lsn", type=int, required=True)
+
+    sp = sub.add_parser("show")
+    sp.add_argument("--table", required=True)
+    sp.add_argument("--what", choices=["state", "manifest", "metrics"], default="manifest")
+
+    args = p.parse_args(argv)
+
+    from blockchain_etl_spark.cdc.apply import CdcEngine, read_state
+    from blockchain_etl_spark.cdc.schema import EVENT_SCHEMA, TARGET_SCHEMA
+    from blockchain_etl_spark.streaming.epoch_store import EpochStore
+    from blockchain_etl_spark.streaming.tail import ChangeLogTailer, run_structured_stream
+    from blockchain_etl_spark.tables.snapshot import SnapshotTable
+
+    spark = _spark(args)
+
+    if args.cmd == "init":
+        SnapshotTable.create(spark, args.table, TARGET_SCHEMA, n_buckets=args.buckets)
+        print(json.dumps({"created": args.table, "buckets": args.buckets}))
+        return 0
+
+    if args.cmd in ("tail", "stream"):
+        table = SnapshotTable(spark, args.table)
+        if not table.exists():
+            SnapshotTable.create(spark, args.table, TARGET_SCHEMA, n_buckets=args.buckets)
+        store = EpochStore(spark, args.store)
+        engine = CdcEngine(spark, table, epoch_store=store,
+                           mode=getattr(args, "mode", "mor"))
+        if args.cmd == "tail":
+            metrics = ChangeLogTailer(spark, args.landing, engine).run_once()
+            print(json.dumps({"applied_epochs": [m["epoch_id"] for m in metrics],
+                              "metrics": metrics}, default=str))
+        else:
+            run_structured_stream(spark, args.landing, engine, args.checkpoint,
+                                  available_now=not args.continuous)
+            print(json.dumps({"table_version": table.current_version()}))
+        return 0
+
+    if args.cmd == "replay":
+        from blockchain_etl_spark.cdc.replay import replay_final_state
+        from pyspark.sql import functions as F
+
+        table = SnapshotTable.create(spark, args.table, TARGET_SCHEMA, n_buckets=args.buckets)
+        events = spark.read.schema(EVENT_SCHEMA).parquet(args.events)
+        final = replay_final_state(events).withColumn(
+            "updated_epoch", F.lit(0)
+        ).withColumn("deleted", F.lit(False))
+        table.overwrite(final.select([f.name for f in TARGET_SCHEMA.fields]))
+        print(json.dumps({"rows": table.read().count()}))
+        return 0
+
+    table = SnapshotTable(spark, args.table)
+    if args.cmd == "compact":
+        v = table.compact()
+        print(json.dumps({"version": v}))
+    elif args.cmd == "vacuum":
+        v = table.vacuum_tombstones(args.older_than_lsn)
+        print(json.dumps({"version": v}))
+    elif args.cmd == "show":
+        if args.what == "state":
+            read_state(table).show(50, truncate=60)
+        elif args.what == "metrics":
+            CdcEngine(spark, table).read_metrics().show(50, truncate=120)
+        else:
+            m = table.manifest()
+            print(json.dumps({
+                "version": m.version, "watermark": m.watermark,
+                "applied_epochs": m.applied_epochs[-20:],
+                "n_files": len(m.files), "schema_version": m.schema_version,
+                "lineage": m.lineage,
+            }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,62 @@
+"""End-to-end through the spark-submit entry point (main.py) — the
+production invocation path, exercised in-process."""
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import main as climod
+from blockchain_etl_spark.cdc.generator import events_to_df, generate_changelog
+from blockchain_etl_spark.cdc.oracle import oracle_replay
+
+
+def test_cli_tail_compact_show(spark, tmp_path, capsys, monkeypatch):
+    # route the CLI onto the test session instead of building a new one
+    monkeypatch.setattr(climod, "_spark", lambda args: spark)
+    epochs = generate_changelog(seed=71, n_epochs=3)
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    for i, ep in enumerate(epochs):
+        events_to_df(spark, ep).coalesce(1).write.mode("overwrite").parquet(
+            str(landing / f"epoch-{i:08d}.parquet")
+        )
+    table = str(tmp_path / "t")
+    store = str(tmp_path / "s")
+
+    assert climod.main(["init", "--table", table, "--buckets", "8"]) == 0
+    assert climod.main(["tail", "--landing", str(landing), "--table", table,
+                        "--store", store]) == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    applied = json.loads(out[-1])["applied_epochs"]
+    assert applied == [0, 1, 2]
+
+    assert climod.main(["compact", "--table", table]) == 0
+    assert climod.main(["show", "--table", table, "--what", "manifest"]) == 0
+    man = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert man["applied_epochs"] == [0, 1, 2]
+
+    # final state equals the oracle
+    from blockchain_etl_spark.cdc.apply import read_state
+    from blockchain_etl_spark.tables.snapshot import SnapshotTable
+
+    got = {
+        r["doc_id"]: list(r["tokens"])
+        for r in read_state(SnapshotTable(spark, table)).collect()
+    }
+    exp = {k: v["tokens"] for k, v in
+           oracle_replay([e for ep in epochs for e in ep]).items()}
+    assert got == exp
+
+
+def test_make_pyfiles(tmp_path):
+    from tools.make_pyfiles import main as mk
+
+    out = mk()
+    assert os.path.exists(out)
+    import zipfile
+
+    names = zipfile.ZipFile(out).namelist()
+    assert "blockchain_etl_spark/cdc/apply.py" in names
+    assert "blockchain_etl_spark/tables/snapshot.py" in names
