@@ -168,6 +168,7 @@ class CdcEngine:
         events_df: DataFrame,
         epoch_id: int,
         stats: dict[str, Any] | None = None,
+        use_store_stats: bool = True,
     ) -> dict[str, Any] | None:
         """Apply one epoch exactly-once. Returns metrics, or None if the
         epoch was already applied (ledger skip).
@@ -182,7 +183,7 @@ class CdcEngine:
 
         wm = m.watermark
         prior_epochs = list(m.applied_epochs)
-        if stats is None and self.epoch_store is not None:
+        if stats is None and use_store_stats and self.epoch_store is not None:
             stats = self.epoch_store.epoch_stats(epoch_id)
         if stats is not None and "watermark" in stats:
             pre = {

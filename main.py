@@ -54,6 +54,9 @@ def main(argv=None):
     sp.add_argument("--store", required=True)
     sp.add_argument("--buckets", type=int, default=64)
     sp.add_argument("--mode", choices=["mor", "cow"], default="mor")
+    sp.add_argument("--lag", type=int, default=0,
+                    help="confirmation lag: hold head LSNs in a pending "
+                         "overlay at <table>_pending (≙ --lag 80)")
 
     sp = sub.add_parser("stream")
     sp.add_argument("--landing", required=True)
@@ -103,9 +106,22 @@ def main(argv=None):
         engine = CdcEngine(spark, table, epoch_store=store,
                            mode=getattr(args, "mode", "mor"))
         if args.cmd == "tail":
-            metrics = ChangeLogTailer(spark, args.landing, engine).run_once()
-            print(json.dumps({"applied_epochs": [m["epoch_id"] for m in metrics],
-                              "metrics": metrics}, default=str))
+            if args.lag > 0:
+                from blockchain_etl_spark.streaming.lagged import LaggedTailer
+
+                lt = LaggedTailer(spark, engine, store,
+                                  args.table.rstrip("/") + "_pending", lag=args.lag)
+                results = []
+                for eid in ChangeLogTailer(spark, args.landing, engine).pending_epochs():
+                    df = spark.read.schema(EVENT_SCHEMA).parquet(
+                        os.path.join(args.landing, f"epoch-{eid:08d}.parquet")
+                    )
+                    results.append(lt.process_epoch(df, eid))
+                print(json.dumps({"processed": results}, default=str))
+            else:
+                metrics = ChangeLogTailer(spark, args.landing, engine).run_once()
+                print(json.dumps({"applied_epochs": [m["epoch_id"] for m in metrics],
+                                  "metrics": metrics}, default=str))
         else:
             run_structured_stream(spark, args.landing, engine, args.checkpoint,
                                   available_now=not args.continuous)

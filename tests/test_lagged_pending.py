@@ -1,0 +1,54 @@
+"""Confirmation-lag zone: finalized table never rolls back under
+reorgs ≤ lag; latest view (finalized ⊕ pending) equals the oracle."""
+
+from blockchain_etl_spark.cdc.apply import CdcEngine
+from blockchain_etl_spark.cdc.generator import events_to_df, generate_changelog
+from blockchain_etl_spark.cdc.oracle import oracle_replay
+from blockchain_etl_spark.cdc.schema import TARGET_SCHEMA
+from blockchain_etl_spark.streaming.epoch_store import EpochStore
+from blockchain_etl_spark.streaming.lagged import LaggedTailer
+from blockchain_etl_spark.tables.snapshot import SnapshotTable
+
+
+def _d(df):
+    return {
+        r["doc_id"]: (tuple(r["tokens"]), r["n_tok"], r["lsn"], r["seq"])
+        for r in df.collect()
+    }
+
+
+def test_lagged_finalized_never_rolls_back(spark, tmp_path):
+    lag = 15  # > reorg_max_depth of the generator
+    epochs = generate_changelog(seed=29, n_epochs=6, p_reorg_epoch=0.6, reorg_max_depth=10)
+    flat = [e for ep in epochs for e in ep]
+    assert any(e["op"] == "R" for e in flat)
+
+    table = SnapshotTable.create(spark, str(tmp_path / "fin"), TARGET_SCHEMA, n_buckets=8)
+    store = EpochStore(spark, str(tmp_path / "store"))
+    engine = CdcEngine(spark, table, epoch_store=store)
+    tailer = LaggedTailer(spark, engine, store, str(tmp_path / "pending"), lag=lag)
+
+    final_wms = []
+    for i, ep in enumerate(epochs):
+        out = tailer.process_epoch(events_to_df(spark, ep), i)
+        final_wms.append(out["final_lsn"])
+
+    # finalized watermark is monotonic, and no rollback commit ever hit
+    # the finalized table (reorg depth < lag)
+    assert final_wms == sorted(final_wms)
+    for v in table.versions():
+        assert "rollback_to" not in table.manifest(v).lineage
+
+    # latest view == oracle over the full stream
+    got = _d(
+        tailer.latest_view().select("doc_id", "tokens", "n_tok", "lsn", "seq")
+    )
+    exp = {
+        k: (tuple(v["tokens"]), v["n_tok"], v["lsn"], v["seq"])
+        for k, v in oracle_replay(flat).items()
+    }
+    assert got == exp
+
+    # finalized alone is a strict prefix: every finalized row is ≤ final_lsn
+    fin_rows = engine.read_state().collect()
+    assert all(r["lsn"] <= final_wms[-1] for r in fin_rows)
