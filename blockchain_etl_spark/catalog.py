@@ -203,6 +203,38 @@ FROM documents
 # Text analysis
 # --------------------------------------------------------------------------
 
+def decimal_vsum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overflow-safe big-integer aggregation (≙ ``vsum``,
+    /root/reference/blockchainetl/misc/pandas_extra.py:19-22, and the
+    uint256 Numeric(78)→string downcast lesson,
+    item_exporter_builder.py:89,210): wei-scale decimal(38,0) values
+    summed exactly, returned as strings."""
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    wei = (
+        F.round(F.col("value") * 1_000_000).cast("decimal(20,0)").cast("decimal(38,0)")
+        * F.lit(10**12).cast("decimal(13,0)")  # NOT `** 12` — pow is double
+    )
+    return e.groupBy("event_type").agg(
+        F.sum(wei).cast("decimal(38,0)").cast("string").alias("sum_wei"),
+        F.max(wei).cast("decimal(38,0)").cast("string").alias("max_wei"),
+        F.count("*").alias("n"),
+    )
+
+
+_DECIMAL_VSUM_SQL = """
+WITH w AS (
+  SELECT event_type,
+         round(value * 1000000)::DECIMAL(38,0) * 1000000000000::DECIMAL(38,0) AS wei
+  FROM events
+)
+SELECT event_type,
+       sum(wei)::DECIMAL(38,0)::VARCHAR AS sum_wei,
+       max(wei)::DECIMAL(38,0)::VARCHAR AS max_wei,
+       count(*) AS n
+FROM w GROUP BY event_type
+"""
+
+
 def explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-to-many flatten: tokenized docs exploded to (doc_id, pos,
     token) rows (≙ block→transactions explode / TransferBatch
@@ -405,6 +437,7 @@ QUERIES: dict[str, callable] = {
     "trace_status": trace_status,
     "rule_engine_filter": rule_engine_filter,
     "explode_tokens": explode_tokens,
+    "decimal_vsum": decimal_vsum,
     # training-data ops
     "exact_dedup": dedup.exact_dedup,
     "minhash_lsh_pairs": dedup.minhash_lsh_pairs,
@@ -626,6 +659,7 @@ def oracle_sqls() -> dict[str, str]:
         "trace_status": _TRACE_STATUS_SQL,
         "rule_engine_filter": _RULE_FILTER_SQL,
         "explode_tokens": _EXPLODE_TOKENS_SQL,
+        "decimal_vsum": _DECIMAL_VSUM_SQL,
         "text_quality": _TEXT_QUALITY_SQL,
         "token_counts": _TOKEN_COUNTS_SQL,
         "doc_fingerprints": _FINGERPRINT_SQL,
