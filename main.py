@@ -72,6 +72,12 @@ def main(argv=None):
     sp.add_argument("--table", required=True)
     sp.add_argument("--buckets", type=int, default=64)
 
+    sp = sub.add_parser("reconcile")
+    sp.add_argument("--table", required=True)
+    sp.add_argument("--store", required=True)
+    sp.add_argument("--expected-range", default=None, help="lo:hi expected LSN range")
+    sp.add_argument("--no-autofix", action="store_true")
+
     sp = sub.add_parser("compact")
     sp.add_argument("--table", required=True)
 
@@ -139,6 +145,22 @@ def main(argv=None):
         ).withColumn("deleted", F.lit(False))
         table.overwrite(final.select([f.name for f in TARGET_SCHEMA.fields]))
         print(json.dumps({"rows": table.read().count()}))
+        return 0
+
+    if args.cmd == "reconcile":
+        from blockchain_etl_spark.cdc.reconcile import reconcile
+
+        engine = CdcEngine(
+            spark, SnapshotTable(spark, args.table), epoch_store=EpochStore(spark, args.store)
+        )
+        rng = None
+        if args.expected_range:
+            lo, hi = args.expected_range.split(":")
+            rng = (int(lo), int(hi))
+        print(json.dumps(
+            reconcile(engine, expected_lsn_range=rng, autofix=not args.no_autofix),
+            default=str,
+        ))
         return 0
 
     table = SnapshotTable(spark, args.table)
