@@ -71,7 +71,40 @@ def _tmpfs_local_dir() -> str | None:
     return None
 
 
-def cdc_run(cores: int, n_events: int, n_epochs: int = 8, n_docs: int = 100_000) -> dict:
+def stage_events(store_dir: str, n_events: int, n_epochs: int,
+                 n_docs: int = 100_000, cores: int | None = None) -> None:
+    """Stage the synthetic change-log once (full parallelism) so pinned
+    scaling subprocesses share the identical input without re-staging."""
+    from pyspark.sql import functions as F
+
+    from blockchain_etl_spark.cdc.generator import generate_changelog_spark
+    from blockchain_etl_spark.session import get_spark
+    from blockchain_etl_spark.streaming.epoch_store import EpochStore
+
+    cores = cores or CPUS
+    extra = {}
+    shm = _tmpfs_local_dir()
+    if shm:
+        extra["spark.local.dir"] = shm
+    spark = get_spark("bench-stage", master=f"local[{cores}]",
+                      shuffle_partitions=cores, extra_conf=extra)
+    try:
+        events = generate_changelog_spark(spark, n_events, n_docs=n_docs,
+                                          partitions=cores * 2)
+        per = n_events // n_epochs
+        store = EpochStore(spark, store_dir)
+        for i in range(n_epochs):
+            ep = events.filter(
+                (F.col("stream_pos") >= i * per)
+                & (F.col("stream_pos") < ((i + 1) * per if i < n_epochs - 1 else n_events))
+            )
+            store.write_epoch(i, ep)
+    finally:
+        spark.stop()
+
+
+def cdc_run(cores: int, n_events: int, n_epochs: int = 8, n_docs: int = 100_000,
+            staged_store: str | None = None) -> dict:
     """Full engine run at a given parallelism (executed inside a fresh
     subprocess by main()). Warmup epoch first (untimed).
 
@@ -115,17 +148,20 @@ def cdc_run(cores: int, n_events: int, n_epochs: int = 8, n_docs: int = 100_000)
         wtable.compact()
 
         # ---- staged input (landing cost not part of apply metric) --------
-        events = generate_changelog_spark(
-            spark, n_events, n_docs=n_docs, partitions=cores * 2
-        )
         per = n_events // n_epochs
-        store = EpochStore(spark, os.path.join(workdir, "store"))
-        for i in range(n_epochs):
-            ep = events.filter(
-                (F.col("stream_pos") >= i * per)
-                & (F.col("stream_pos") < ((i + 1) * per if i < n_epochs - 1 else n_events))
+        if staged_store:
+            store = EpochStore(spark, staged_store)  # shared, read-only here
+        else:
+            events = generate_changelog_spark(
+                spark, n_events, n_docs=n_docs, partitions=cores * 2
             )
-            store.write_epoch(i, ep)
+            store = EpochStore(spark, os.path.join(workdir, "store"))
+            for i in range(n_epochs):
+                ep = events.filter(
+                    (F.col("stream_pos") >= i * per)
+                    & (F.col("stream_pos") < ((i + 1) * per if i < n_epochs - 1 else n_events))
+                )
+                store.write_epoch(i, ep)
 
         table = SnapshotTable.create(
             spark, os.path.join(workdir, "target"), TARGET_SCHEMA,
@@ -165,10 +201,11 @@ def cdc_run(cores: int, n_events: int, n_epochs: int = 8, n_docs: int = 100_000)
 
 
 def _cdc_run_subprocess(
-    cores: int, n_events: int, n_epochs: int = 8, pin: bool = False
+    cores: int, n_events: int, n_epochs: int = 8, pin: bool = False,
+    staged_store: str | None = None,
 ) -> dict:
     cmd = [sys.executable, os.path.abspath(__file__), "--cdc-run",
-           str(cores), str(n_events), str(n_epochs)]
+           str(cores), str(n_events), str(n_epochs), staged_store or "-"]
     if pin and shutil.which("taskset"):
         # confine the whole JVM (tasks + GC + IO threads) to exactly
         # `cores` CPUs — local[K] alone bounds task slots, not CPU use,
@@ -203,8 +240,15 @@ def main():
         # per epoch, amortized at real scale) doesn't mask the data path.
         scale_events = int(os.environ.get("BENCH_SCALE_EVENTS",
                                           str(max(8_000_000, n_events))))
-        n4 = _cdc_run_subprocess(8, scale_events, n_epochs=4, pin=True)
-        n1 = _cdc_run_subprocess(2, scale_events, n_epochs=4, pin=True)
+        staged = tempfile.mkdtemp(prefix="bench-scale-store-")
+        stage_events(staged, scale_events, n_epochs=4)
+        try:
+            n4 = _cdc_run_subprocess(8, scale_events, n_epochs=4, pin=True,
+                                     staged_store=staged)
+            n1 = _cdc_run_subprocess(2, scale_events, n_epochs=4, pin=True,
+                                     staged_store=staged)
+        finally:
+            shutil.rmtree(staged, ignore_errors=True)
         out["scaling"] = {
             "cores_n": 2,
             "cores_4n": 8,
@@ -253,6 +297,8 @@ def main():
 if __name__ == "__main__":
     if len(sys.argv) >= 2 and sys.argv[1] == "--cdc-run":
         ep = int(sys.argv[4]) if len(sys.argv) > 4 else 8
-        print(json.dumps(cdc_run(int(sys.argv[2]), int(sys.argv[3]), n_epochs=ep)))
+        staged = sys.argv[5] if len(sys.argv) > 5 and sys.argv[5] != "-" else None
+        print(json.dumps(cdc_run(int(sys.argv[2]), int(sys.argv[3]),
+                                 n_epochs=ep, staged_store=staged)))
     else:
         main()

@@ -151,6 +151,7 @@ class CdcEngine:
         collect_metrics: bool = True,
         mode: str = "mor",
         compact_delta_threshold: int = 16,
+        dlq_path: str | None = None,
     ):
         self.spark = spark
         self.table = table
@@ -158,6 +159,9 @@ class CdcEngine:
         self.collect_metrics = collect_metrics
         self.mode = mode
         self.compact_delta_threshold = compact_delta_threshold
+        # dead-letter queue for rejected events (≙ skip-and-save,
+        # blockchainetl/streaming/streamer_jsonl_skiper.py + env.py:43-45)
+        self.dlq_path = dlq_path
 
     def read_state(self, version: int | None = None) -> DataFrame:
         return read_state(self.table, version=version)
@@ -286,6 +290,14 @@ class CdcEngine:
                 obs,
                 F.sum(F.when(~_valid_expr(), 1).otherwise(0)).alias("n_rejected"),
                 F.count(F.lit(1)).alias("n_batch"),
+            )
+        if self.dlq_path is not None:
+            # persist the rejected rows themselves, not just the count —
+            # repairable upstream and auditable (skip-and-save semantics)
+            import os as _os
+
+            batch_events.filter(~_valid_expr()).write.mode("overwrite").parquet(
+                _os.path.join(self.dlq_path, f"epoch-{epoch_id:08d}")
             )
         valid = batch_events.filter(_valid_expr())
 

@@ -104,7 +104,8 @@ def flatten_topics(topics: Column | str, n: int = 4) -> list[Column]:
     list_field_item_converter.py:34-59, item_exporter_builder.py:90-91).
     """
     c = F.col(topics) if isinstance(topics, str) else topics
-    out = [c[i].alias(f"topic{i}") for i in range(n)]
+    # F.get is null-on-out-of-bounds (ANSI mode makes c[i] throw)
+    out = [F.get(c, i).alias(f"topic{i}") for i in range(n)]
     out.append(F.size(c).alias("n_topics"))
     return out
 

@@ -263,10 +263,10 @@ def flatten_list_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != "")
     return d.select(
         "doc_id",
-        w[0].alias("word0"),
-        w[1].alias("word1"),
-        w[2].alias("word2"),
-        w[3].alias("word3"),
+        F.get(w, 0).alias("word0"),  # null-safe OOB (ANSI mode)
+        F.get(w, 1).alias("word1"),
+        F.get(w, 2).alias("word2"),
+        F.get(w, 3).alias("word3"),
         F.size(w).alias("n_words"),
         F.concat_ws(",", F.slice(w, 1, 4)).alias("first4_joined"),
     )
