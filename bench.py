@@ -240,33 +240,46 @@ def main():
         # per epoch, amortized at real scale) doesn't mask the data path.
         scale_events = int(os.environ.get("BENCH_SCALE_EVENTS",
                                           str(max(8_000_000, n_events))))
+        repeats = int(os.environ.get("BENCH_SCALE_REPEATS", "2"))
         staged = tempfile.mkdtemp(prefix="bench-scale-store-")
         stage_events(staged, scale_events, n_epochs=4)
+        runs: dict[int, list[dict]] = {2: [], 8: []}
         try:
-            n4 = _cdc_run_subprocess(8, scale_events, n_epochs=4, pin=True,
-                                     staged_store=staged)
-            n1 = _cdc_run_subprocess(2, scale_events, n_epochs=4, pin=True,
-                                     staged_store=staged)
+            # interleaved repeats: the host is a noisy-neighbor VM with up
+            # to 3x run-to-run variance on identical work — best-of-K per
+            # core count is the least-interfered sample of each
+            for _ in range(repeats):
+                for cores in (8, 2):
+                    runs[cores].append(
+                        _cdc_run_subprocess(cores, scale_events, n_epochs=4,
+                                            pin=True, staged_store=staged)
+                    )
         finally:
             shutil.rmtree(staged, ignore_errors=True)
+        best = {c: max(rs, key=lambda r: r["events_per_sec"]) for c, rs in runs.items()}
+        best_epoch = {
+            c: max(r["best_epoch_events_per_sec"] for r in rs) for c, rs in runs.items()
+        }
         out["scaling"] = {
             "cores_n": 2,
             "cores_4n": 8,
             "n_events": scale_events,
             "pinned": True,
-            "throughput_n": n1["events_per_sec"],
-            "throughput_4n": n4["events_per_sec"],
-            "best_epoch_throughput_n": n1["best_epoch_events_per_sec"],
-            "best_epoch_throughput_4n": n4["best_epoch_events_per_sec"],
-            "elapsed_n_sec": n1["elapsed_sec"],
-            "elapsed_4n_sec": n4["elapsed_sec"],
+            "repeats": repeats,
+            "throughput_n": best[2]["events_per_sec"],
+            "throughput_4n": best[8]["events_per_sec"],
+            "best_epoch_throughput_n": best_epoch[2],
+            "best_epoch_throughput_4n": best_epoch[8],
+            "elapsed_n_sec": best[2]["elapsed_sec"],
+            "elapsed_4n_sec": best[8]["elapsed_sec"],
+            "samples": {
+                str(c): [r["events_per_sec"] for r in rs] for c, rs in runs.items()
+            },
             "efficiency": round(
-                n4["events_per_sec"] / (4.0 * n1["events_per_sec"]), 3
+                best[8]["events_per_sec"] / (4.0 * best[2]["events_per_sec"]), 3
             ),
             "best_epoch_efficiency": round(
-                n4["best_epoch_events_per_sec"]
-                / (4.0 * n1["best_epoch_events_per_sec"]),
-                3,
+                best_epoch[8] / (4.0 * best_epoch[2]), 3
             ),
         }
 
