@@ -53,9 +53,20 @@ _EVENT_META = {"stream_pos", "lsn", "seq", "op", "doc_id", "rollback_to_lsn", "e
 _TARGET_META = ["doc_id", "lsn", "seq", "updated_epoch", "deleted"]
 
 
-def read_state(table: SnapshotTable, version: int | None = None) -> DataFrame:
-    """Logical table state: tombstones filtered out."""
-    return table.read(version=version).filter(~F.col("deleted")).drop("deleted")
+def read_state(
+    table: SnapshotTable,
+    version: int | None = None,
+    buckets: list[int] | None = None,
+) -> DataFrame:
+    """Logical table state: tombstones filtered out. ``buckets`` prunes
+    the read to the hash buckets of interest (point-lookup path: compute
+    ``bucket_expr(key, n_buckets)`` for the keys you want and read only
+    those buckets' files)."""
+    return (
+        table.read(version=version, buckets=buckets)
+        .filter(~F.col("deleted"))
+        .drop("deleted")
+    )
 
 
 def _valid_expr():

@@ -440,13 +440,15 @@ class SnapshotTable:
         return new.version
 
     def latest_version_at_or_before(self, lsn: int) -> int | None:
-        """Newest version whose watermark.lsn <= lsn (for reorg replay)."""
-        best = None
-        for v in self.versions():
-            m = self.manifest(v)
-            if m.watermark["lsn"] <= lsn:
-                best = v
-        return best
+        """Newest version whose watermark.lsn <= lsn (for reorg replay).
+
+        Scans backward from the current version; the first match is by
+        construction the newest — O(reorg depth in commits) manifest
+        reads in the common case, not O(history)."""
+        for v in reversed(self.versions()):
+            if self.manifest(v).watermark["lsn"] <= lsn:
+                return v
+        return None
 
     # ------------------------------------------------------------- utilities
     def vacuum_tombstones(self, older_than_lsn: int) -> int:
