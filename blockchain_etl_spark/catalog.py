@@ -421,6 +421,7 @@ QUERIES: dict[str, callable] = {
     "enrich_join": relational.enrich_join,
     "broadcast_dim_join": relational.broadcast_dim_join,
     "missing_anti_join": relational.missing_anti_join,
+    "join_mismatch_diagnostics": relational.join_mismatch_diagnostics,
     "full_outer_sendrecv": relational.full_outer_sendrecv,
     "prev_event_join": relational.prev_event_join,
     "holder_detail_agg": relational.holder_detail_agg,
@@ -503,6 +504,19 @@ def oracle_sqls() -> dict[str, str]:
         "missing_anti_join": """
             SELECT o_orderkey FROM orders
             WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
+        """,
+        "join_mismatch_diagnostics": """
+            WITH o AS (SELECT DISTINCT o_orderkey AS k FROM orders),
+                 li AS (SELECT DISTINCT l_orderkey AS k FROM lineitem),
+                 d AS (
+                   SELECT k, 'left_only' AS side FROM o
+                   WHERE k NOT IN (SELECT k FROM li)
+                   UNION ALL
+                   SELECT k, 'right_only' AS side FROM li
+                   WHERE k NOT IN (SELECT k FROM o)
+                 )
+            SELECT side, count(*) AS n_keys, min(k) AS min_key, max(k) AS max_key
+            FROM d GROUP BY side
         """,
         "full_outer_sendrecv": """
             WITH send AS (

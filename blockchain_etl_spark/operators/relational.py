@@ -66,6 +66,21 @@ def missing_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.join(li, o.o_orderkey == li.l_orderkey, "left_anti").select("o_orderkey")
 
 
+def join_mismatch_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-cardinality mismatch diagnostics: the left_only/right_only
+    key set differences the reference computes when an enrich join
+    doesn't line up (``_handle_not_matched_error``,
+    /root/reference/ethereumetl/streaming/enrich.py:42-69, diffs at
+    :60-63) — as anti-joins with a side tag."""
+    o = _t(spark, sf_dir, "orders").select(F.col("o_orderkey").alias("k")).distinct()
+    li = _t(spark, sf_dir, "lineitem").select(F.col("l_orderkey").alias("k")).distinct()
+    left_only = o.join(li, "k", "left_anti").withColumn("side", F.lit("left_only"))
+    right_only = li.join(o, "k", "left_anti").withColumn("side", F.lit("right_only"))
+    return left_only.unionByName(right_only).groupBy("side").agg(
+        F.count("*").alias("n_keys"), F.min("k").alias("min_key"), F.max("k").alias("max_key")
+    )
+
+
 def full_outer_sendrecv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Send-side ⋈ recv-side full outer with zero-fill (≙ out/vin outer
     merge, /root/reference/ethereumetl/streaming/eth_balance_adapter.py:475-510):
