@@ -47,7 +47,14 @@ def entry(spark: SparkSession) -> DataFrame:
         )
         store.write_epoch(i, ep)
         engine.apply_epoch(store.read_epoch(i), i)
-    return engine.read_state().select("doc_id", "tokens", "n_tok", "source", "lsn", "seq")
+    return engine.read_state().select(
+        "doc_id",
+        F.concat_ws(",", F.col("tokens").cast("array<string>")).alias("tokens_csv"),
+        "n_tok",
+        "source",
+        "lsn",
+        "seq",
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

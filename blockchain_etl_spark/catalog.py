@@ -143,13 +143,24 @@ last AS (
   SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY stream_pos DESC) AS rn
   FROM live
 )
-SELECT doc_id, tokens, n_tok, source, lsn, seq
+SELECT doc_id, array_to_string(tokens, ',') AS tokens_csv, n_tok, source, lsn, seq
 FROM last WHERE rn = 1 AND op <> 'D'
 """
 
 
 def cdc_replay_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return replay_final_state(derive_changelog(spark, sf_dir))
+    # token arrays are serialized to a deterministic CSV string so the
+    # driver's canonicalizer (pandas sort/hash) can compare them; n_tok
+    # keeps the length invariant checkable
+    final = replay_final_state(derive_changelog(spark, sf_dir))
+    return final.select(
+        "doc_id",
+        F.concat_ws(",", F.col("tokens").cast("array<string>")).alias("tokens_csv"),
+        "n_tok",
+        "source",
+        "lsn",
+        "seq",
+    )
 
 
 def cdc_changelog_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -183,7 +194,7 @@ def tokenize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = X.tokenize("text", vocab=_VOCAB)
     return d.select(
         F.format_string("doc-%06d", F.col("doc_id")).alias("doc_id"),
-        toks.alias("tokens"),
+        F.concat_ws(",", toks.cast("array<string>")).alias("tokens_csv"),
         F.size(toks).alias("n_tok"),
         "source",
     )
@@ -191,8 +202,10 @@ def tokenize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _TOKENIZE_SQL = f"""
 SELECT 'doc-' || lpad(doc_id::VARCHAR, 6, '0') AS doc_id,
-       list_transform(list_filter(string_split_regex(text, '\\s+'), w -> w <> ''),
-                      w -> ((('0x' || substr(md5(w), 1, 6))::BIGINT % {_VOCAB}))::INT) AS tokens,
+       array_to_string(
+         list_transform(list_filter(string_split_regex(text, '\\s+'), w -> w <> ''),
+                        w -> ((('0x' || substr(md5(w), 1, 6))::BIGINT % {_VOCAB}))::INT),
+         ',') AS tokens_csv,
        len(list_filter(string_split_regex(text, '\\s+'), w -> w <> ''))::INT AS n_tok,
        source
 FROM documents
@@ -465,8 +478,9 @@ def _planes_sql_literal() -> str:
     )
 
 
-def _srp_bucket_sql_expr(vec: str) -> str:
-    planes = similarity.srp_planes()
+def _srp_bucket_sql_expr(vec: str, planes: list[list[float]] | None = None) -> str:
+    if planes is None:
+        planes = similarity.srp_planes()
     terms = []
     for p in planes:
         lit = "[" + ", ".join(repr(x) for x in p) + "]::DOUBLE[]"
@@ -650,26 +664,7 @@ def oracle_sqls() -> dict[str, str]:
         """,
         "minhash_lsh_pairs": _minhash_sql(),
         "simhash_buckets": _simhash_sql(),
-        "ngram_jaccard_blocks": """
-            WITH d AS (
-              SELECT doc_id, source, lang,
-                     list_distinct(list_filter(string_split_regex(text, '\\s+'),
-                                               x -> x <> '')) AS wset
-              FROM documents WHERE doc_id % 10 = 0
-            ),
-            pairs AS (
-              SELECT a.source, a.lang,
-                     len(list_intersect(a.wset, b.wset))::DOUBLE
-                       / len(list_distinct(a.wset || b.wset)) AS jaccard
-              FROM d a JOIN d b
-                ON a.source = b.source AND a.lang = b.lang AND a.doc_id < b.doc_id
-            )
-            SELECT source, lang,
-                   count(*) AS n_pairs,
-                   sum(CASE WHEN jaccard >= 0.5 THEN 1 ELSE 0 END) AS n_near_dups,
-                   round(avg(jaccard), 6) AS mean_jaccard
-            FROM pairs GROUP BY source, lang
-        """,
+        "ngram_jaccard_blocks": _ngram_jaccard_sql(),
         "trace_status": _TRACE_STATUS_SQL,
         "rule_engine_filter": _RULE_FILTER_SQL,
         "explode_tokens": _EXPLODE_TOKENS_SQL,
@@ -713,20 +708,7 @@ def oracle_sqls() -> dict[str, str]:
               FROM scored
             ) WHERE rk <= 10
         """,
-        "embedding_near_dup": f"""
-            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, {bucket} AS bucket
-                       FROM embeddings),
-            pairs AS (
-              SELECT a.bucket,
-                     round(list_dot_product(a.v, b.v) / (sqrt(list_sum(list_transform(a.v, v -> v * v))) * sqrt(list_sum(list_transform(b.v, v -> v * v)))), 6)
-                       AS sim
-              FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-            )
-            SELECT bucket, count(*) AS n_pairs,
-                   sum(CASE WHEN sim >= 0.9 THEN 1 ELSE 0 END) AS n_near_dups,
-                   round(max(sim), 6) AS max_sim
-            FROM pairs GROUP BY bucket
-        """,
+        "embedding_near_dup": _embedding_near_dup_sql(),
         "binary_features": """
             SELECT doc_id,
                    length(text)::INT AS n_bytes,
@@ -773,6 +755,97 @@ def _minhash_sql(num_hashes: int = 8, bands: int = 4, sample_mod: int = 5) -> st
         FROM banded a JOIN banded b
           ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
         GROUP BY a.doc_id, b.doc_id
+    """
+
+
+def _embedding_near_dup_sql(n_bands: int = 2) -> str:
+    planes = similarity.srp_planes(similarity.N_PLANES * n_bands)
+    band_selects = []
+    for b in range(n_bands):
+        expr = _srp_bucket_sql_expr(
+            "embedding", planes[b * similarity.N_PLANES : (b + 1) * similarity.N_PLANES]
+        )
+        band_selects.append(
+            f"SELECT vec_id, iv, nrm, {b} AS band, {expr} AS bucket FROM e"
+        )
+    banded = "\n              UNION ALL ".join(band_selects)
+    return f"""
+        WITH e AS (
+          SELECT vec_id, embedding,
+                 list_transform(embedding::DOUBLE[], x -> floor(x * 1000000)::BIGINT) AS iv,
+                 list_sum(list_transform(
+                   list_transform(embedding::DOUBLE[], x -> floor(x * 1000000)::BIGINT),
+                   x -> x * x))::BIGINT AS nrm
+          FROM embeddings
+        ),
+        banded AS (
+              {banded}
+        ),
+        pairs AS (
+          SELECT a.band, a.bucket,
+                 list_sum(list_transform(generate_series(1, len(a.iv)),
+                                         i -> a.iv[i] * b.iv[i]))::BIGINT AS dot,
+                 a.nrm AS na, b.nrm AS nb
+          FROM banded a JOIN banded b
+            ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+        )
+        SELECT band, bucket, count(*) AS n_pairs,
+               sum(CASE WHEN dot > 0
+                         AND 100 * (dot::HUGEINT * dot) >= 81 * (na::HUGEINT * nb)
+                        THEN 1 ELSE 0 END) AS n_near_dups,
+               max(dot) AS max_dot
+        FROM pairs GROUP BY band, bucket
+    """
+
+
+def _ngram_jaccard_sql(num_hashes: int = 8, bands: int = 4, sample_mod: int = 10) -> str:
+    rows = num_hashes // bands
+    return f"""
+        WITH d AS (
+          SELECT doc_id, source, lang,
+                 list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS words
+          FROM documents WHERE doc_id % {sample_mod} = 0
+        ),
+        dd AS (
+          SELECT doc_id, source, lang, list_distinct(words) AS wset,
+                 CASE WHEN len(words) >= 1 THEN
+                   list_transform(generate_series(0, len(words) - 1),
+                                  i -> array_to_string(list_slice(words, i + 1, i + 1), ' '))
+                 ELSE [array_to_string(words, ' ')] END AS shingles
+          FROM d
+        ),
+        sig AS (
+          SELECT doc_id, source, lang, wset,
+                 list_transform(generate_series(0, {num_hashes - 1}),
+                   s -> list_min(list_transform(shingles,
+                          g -> md5(s::VARCHAR || '|' || g)))) AS sig
+          FROM dd
+        ),
+        banded AS (
+          SELECT doc_id, b.band,
+                 md5(array_to_string(list_slice(sig, b.band * {rows} + 1,
+                                                b.band * {rows} + {rows}), '|')) AS bucket
+          FROM sig, (SELECT unnest(generate_series(0, {bands - 1})) AS band) b
+        ),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM banded a JOIN banded b
+            ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+        ),
+        p AS (
+          SELECT da.source, da.lang,
+                 len(list_intersect(da.wset, db.wset)) AS inter,
+                 len(list_distinct(da.wset || db.wset)) AS uni
+          FROM cand
+          JOIN sig da ON da.doc_id = cand.doc_a
+          JOIN sig db ON db.doc_id = cand.doc_b
+        )
+        SELECT source, lang,
+               count(*) AS n_pairs,
+               sum(CASE WHEN 2 * inter >= uni THEN 1 ELSE 0 END) AS n_near_dups,
+               sum(inter) AS sum_intersect,
+               sum(uni) AS sum_union
+        FROM p GROUP BY source, lang
     """
 
 

@@ -276,6 +276,27 @@ class CdcEngine:
                             batch_events, allowMissingColumns=True
                         )
 
+        if markers:
+            # the committed watermark must reflect only LIVE events: the
+            # pre-scan max(lsn,seq) saw reorg-killed rows and R markers,
+            # and a watermark past the max live lsn would make
+            # latest_version_at_or_before() skip valid snapshots on a
+            # later reorg (and break reconcile's watermark invariant).
+            # Markers are rare, so the extra agg only runs on reorg epochs.
+            row2 = batch_events.agg(
+                F.max(F.struct("lsn", "seq")).alias("ls"),
+                F.max("stream_pos").alias("pos"),
+            ).first()
+            if row2["ls"] is not None:
+                pre["ls"] = row2["ls"]
+                pre["pos"] = row2["pos"]
+            else:
+                # every event in the epoch was killed: don't advance past
+                # the (possibly just rolled-back) committed watermark
+                cur = self.table.manifest().watermark
+                pre["ls"] = {"lsn": cur["lsn"], "seq": cur["seq"]}
+                pre["pos"] = cur["pos"]
+
         if pre["n_events"] == 0:
             # empty epoch: ledger-only commit (exactly-once)
             self.table.replace_buckets(

@@ -75,7 +75,7 @@ def reconcile(
 
     # --- watermark consistency ----------------------------------------------
     report["watermark"] = m.watermark
-    report["consistent"] = dupes == 0 and not report.get("unapplied_epochs") or bool(
-        report.get("reapplied")
+    report["consistent"] = dupes == 0 and (
+        not report.get("unapplied_epochs") or bool(report.get("reapplied"))
     )
     return report

@@ -48,6 +48,23 @@ def l2_distance(a: Column | str, b: Column | str) -> Column:
     )
 
 
+def int_embedding(a: Column | str, scale: int = 1_000_000) -> Column:
+    """Fixed-point quantization: floor(x · scale) as array<long>. floor is
+    bit-identical across engines (unlike half-up vs half-even rounding),
+    so integer similarity math built on this matches any float64 oracle
+    exactly."""
+    return F.transform(_d(a), lambda x: F.floor(x * scale).cast("long"))
+
+
+def idot(a: Column | str, b: Column | str) -> Column:
+    """Exact integer dot product over array<long> columns."""
+    return F.aggregate(
+        F.zip_with(_c(a), _c(b), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
 def random_hyperplane_bits(a: Column | str, planes: list[list[float]]) -> Column:
     """Sign bits of <a, p> for a fixed list of hyperplanes — the SRP-LSH
     bucket key for cosine ANN. Planes are literals (broadcast into the

@@ -10,9 +10,8 @@ operator here has an exact DuckDB oracle twin. Scale notes per operator:
   shingle→minhash→band→bucket-join plan, where bucket is the join key
   and AQE splits hot buckets.
 - simhash: per-row signature; exact-bucket grouping is one shuffle.
-- n-gram jaccard: blocked (source, lang) + deterministic subsample —
-  the block key bounds the pair blow-up; at scale the block would be
-  an LSH bucket instead.
+- n-gram jaccard: blocked on MinHash LSH band buckets (bounded block
+  cardinality), exact integer jaccard on the deduped candidate pairs.
 """
 
 from __future__ import annotations
@@ -77,46 +76,65 @@ def minhash_lsh_pairs(
 def simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash per document + exact-signature dup grouping.
     (32-bit so the bit-fold stays in exact integer range for the SQL
-    oracle; hamming-radius pairing is in ``simhash_near_pairs``.)"""
+    oracle; hamming-radius pairing is in ``simhash_near_pairs``.)
+
+    Plan shape: explode words → ONE md5 per word in a plain codegen'd
+    projection (the previous formulation recomputed each word's md5
+    inside HOF lambdas, 32× per word — no CSE there) → 32 literal-shift
+    bit votes summed per doc (hash agg with map-side partial combine) →
+    sign-fold. One shuffle on doc_id carrying 32 small ints per word —
+    at 10^10 docs this is the same single-shuffle budget as any per-doc
+    signature, with the md5 cost cut 32×.
+    """
     d = _docs(spark, sf_dir)
-    sh = d.select("doc_id", simhash32(X.words("text")).alias("simhash"))
+    # explode_outer keeps zero-word docs (they get a null hash row → all
+    # vote sums null → simhash 0, same as the oracle's empty-fold)
+    w = d.select("doc_id", F.explode_outer(X.words("text")).alias("w")).select(
+        "doc_id",
+        F.conv(F.substring(F.md5("w"), 1, 8), 16, 10).cast("long").alias("h"),
+    )
+    votes = w.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.shiftright(F.col("h"), 31 - j).bitwiseAND(F.lit(1)) * 2 - 1
+            ).alias(f"v{j}")
+            for j in range(32)
+        ]
+    )
+    simhash = None
+    for j in range(32):
+        bit = F.when(F.col(f"v{j}") > 0, F.lit(1 << (31 - j)).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        simhash = bit if simhash is None else simhash + bit
+    sh = votes.select("doc_id", simhash.alias("simhash"))
     return sh.groupBy("simhash").agg(
         F.count("*").alias("n_docs"), F.min("doc_id").alias("keep_doc_id")
     )
 
 
-def simhash32(feature_arr) -> F.Column:
-    """32-bit SimHash over string features: bit j = sign of the vote sum,
-    votes from bit j of md5(feature). Pure column expressions."""
-    def bit_of(ft, j):
-        # bit (3 - j%4) of hex nibble j/4 of md5(ft); shiftleft/right only
-        # take literal shift amounts, so use exact 2^k arithmetic instead
-        nibble = F.conv(F.md5(ft).substr((j / 4).cast("int") + 1, F.lit(1)), 16, 10).cast("int")
-        k = (3 - F.pmod(j, F.lit(4))).cast("int")
-        return (nibble / F.pow(F.lit(2.0), k)).cast("int") % 2
-
-    return F.aggregate(
-        F.sequence(F.lit(0), F.lit(31)),
-        F.lit(0).cast("long"),
-        lambda acc, j: acc
-        + F.when(
-            F.aggregate(
-                feature_arr,
-                F.lit(0),
-                lambda a, ft: a + F.when(bit_of(ft, j) == 1, 1).otherwise(-1),
-            )
-            > 0,
-            F.pow(F.lit(2.0), (31 - j).cast("int")).cast("long"),
-        ).otherwise(F.lit(0).cast("long")),
-    )
-
-
 def ngram_jaccard_blocks(
-    spark: SparkSession, sf_dir: str, sample_mod: int = 10, threshold: float = 0.5
+    spark: SparkSession,
+    sf_dir: str,
+    sample_mod: int = 10,
+    num_hashes: int = 8,
+    bands: int = 4,
 ) -> DataFrame:
-    """Blocked n-gram Jaccard near-dup: within (source, lang) blocks,
-    word-set jaccard over deterministically-subsampled docs; compact
-    per-block aggregate output (pair count + mean jaccard)."""
+    """n-gram Jaccard near-dup over MinHash-LSH candidate blocks.
+
+    Blocking is the LSH band bucket (shingle → minhash signature → band
+    → bucket self-join), NOT a coarse (source, lang) block: bucket
+    cardinality is bounded (≈ n / 16^32 per band at hash width, AQE
+    splits residual hot buckets), so the pair join never goes quadratic
+    in a data-defined block size. Candidates sharing ≥1 band are deduped
+    to one pair, then exact word-set jaccard is evaluated on the pair.
+
+    All aggregates are INTEGER-exact: the jaccard ≥ 0.5 test is the
+    integer predicate 2·|A∩B| ≥ |A∪B| and the output carries the exact
+    intersect/union size sums — no float summation anywhere, so the
+    DuckDB oracle matches bit-for-bit.
+    """
+    rows = num_hashes // bands
     d = (
         _docs(spark, sf_dir)
         .filter(F.col("doc_id") % sample_mod == 0)
@@ -125,20 +143,40 @@ def ngram_jaccard_blocks(
             "source",
             "lang",
             F.array_distinct(X.words("text")).alias("wset"),
+            X.minhash_signature(X.shingles("text", k=1), num_hashes=num_hashes).alias(
+                "sig"
+            ),
         )
     )
-    a = d.alias("a")
-    b = d.alias("b")
-    jac = F.size(F.array_intersect(F.col("a.wset"), F.col("b.wset"))).cast("double") / F.size(
-        F.array_union(F.col("a.wset"), F.col("b.wset"))
-    )
-    pairs = (
-        a.join(b, ["source", "lang"])
+    banded = d.select(
+        "doc_id", F.explode(X.minhash_bands(F.col("sig"), bands, rows)).alias("bb")
+    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    cand = (
+        banded.alias("a")
+        .join(banded.alias("b"), ["band", "bucket"])
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select("source", "lang", jac.alias("jaccard"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
     )
-    return pairs.groupBy("source", "lang").agg(
+    da = d.select(
+        F.col("doc_id").alias("doc_a"), "source", "lang", F.col("wset").alias("wa")
+    )
+    db = d.select(F.col("doc_id").alias("doc_b"), F.col("wset").alias("wb"))
+    p = (
+        cand.join(da, "doc_a")
+        .join(db, "doc_b")
+        .select(
+            "source",
+            "lang",
+            F.size(F.array_intersect("wa", "wb")).alias("inter"),
+            F.size(F.array_union("wa", "wb")).alias("uni"),
+        )
+    )
+    return p.groupBy("source", "lang").agg(
         F.count("*").alias("n_pairs"),
-        F.sum(F.when(F.col("jaccard") >= threshold, 1).otherwise(0)).alias("n_near_dups"),
-        F.round(F.avg("jaccard"), 6).alias("mean_jaccard"),
+        F.sum(F.when(2 * F.col("inter") >= F.col("uni"), 1).otherwise(0)).alias(
+            "n_near_dups"
+        ),
+        F.sum("inter").alias("sum_intersect"),
+        F.sum("uni").alias("sum_union"),
     )

@@ -101,25 +101,77 @@ def ann_lsh_topk(
     )
 
 
-def embedding_near_dup(
-    spark: SparkSession, sf_dir: str, threshold: float = 0.9
-) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs within SRP buckets (the
-    embedding leg of the dedup family): pairs (a<b) with cosine ≥
-    threshold, compact per-bucket aggregate output."""
-    e = _emb(spark, sf_dir).withColumn(
-        "bucket", V.random_hyperplane_bits("embedding", srp_planes())
+N_BANDS = 2
+
+
+def embedding_near_dup(spark: SparkSession, sf_dir: str, n_bands: int = N_BANDS) -> DataFrame:
+    """Embedding-cosine near-duplicate candidates within BANDED SRP
+    buckets (the embedding leg of the dedup family).
+
+    Scale shape: each of ``n_bands`` independent 8-plane SRP bands maps a
+    vector to one of 256 buckets, so block cardinality is ≈ n/256 per
+    band (vs one coarse block) and recall comes from the OR across
+    bands — the standard banded-LSH layout; more planes per band bound
+    the bucket further at 10^10 rows, AQE splits residual hot buckets.
+
+    All similarity math is INTEGER-exact: embeddings are fixed-point
+    quantized (floor(x·10^6) as long), the cosine ≥ 0.9 test is the
+    exact integer predicate dot > 0 ∧ 100·dot² ≥ 81·‖a‖²·‖b‖² evaluated
+    in decimal(38,0) — no float accumulation, so the DuckDB (HUGEINT)
+    oracle matches bit-for-bit.
+    """
+    planes = srp_planes(N_PLANES * n_bands)
+    e = _emb(spark, sf_dir).select(
+        "vec_id",
+        V.int_embedding("embedding").alias("iv"),
+        *[
+            V.random_hyperplane_bits(
+                "embedding", planes[b * N_PLANES : (b + 1) * N_PLANES]
+            ).alias(f"_bkt{b}")
+            for b in range(n_bands)
+        ],
     )
-    a = e.select(F.col("vec_id").alias("ia"), F.col("embedding").alias("va"), "bucket")
-    b = e.select(F.col("vec_id").alias("ib"), F.col("embedding").alias("vb"), "bucket")
-    sim = F.round(V.cosine("va", "vb"), 6)
+    e = e.withColumn("nrm", V.idot("iv", "iv"))
+    banded = e.select(
+        "vec_id",
+        "iv",
+        "nrm",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"), F.col(f"_bkt{b}").alias("bucket")
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("vec_id", "iv", "nrm", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    a = banded.select(
+        "band",
+        "bucket",
+        F.col("vec_id").alias("ia"),
+        F.col("iv").alias("va"),
+        F.col("nrm").alias("na"),
+    )
+    b_ = banded.select(
+        "band",
+        "bucket",
+        F.col("vec_id").alias("ib"),
+        F.col("iv").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
     pairs = (
-        a.join(b, "bucket")
+        a.join(b_, ["band", "bucket"])
         .filter(F.col("ia") < F.col("ib"))
-        .select("bucket", sim.alias("sim"))
+        .select("band", "bucket", V.idot("va", "vb").alias("dot"), "na", "nb")
     )
-    return pairs.groupBy("bucket").agg(
+    dec = lambda c: F.col(c).cast("decimal(38,0)")
+    near = (F.col("dot") > 0) & (
+        dec("dot") * F.col("dot") * 100 >= dec("na") * F.col("nb") * 81
+    )
+    return pairs.groupBy("band", "bucket").agg(
         F.count("*").alias("n_pairs"),
-        F.sum(F.when(F.col("sim") >= threshold, 1).otherwise(0)).alias("n_near_dups"),
-        F.round(F.max("sim"), 6).alias("max_sim"),
+        F.sum(F.when(near, 1).otherwise(0)).alias("n_near_dups"),
+        F.max("dot").alias("max_dot"),
     )

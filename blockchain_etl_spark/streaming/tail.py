@@ -23,6 +23,7 @@ import re
 from typing import TYPE_CHECKING, Any
 
 from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
 
 from blockchain_etl_spark.cdc.schema import EVENT_SCHEMA
 
@@ -72,11 +73,16 @@ def run_structured_stream(
 ):
     """Drive the engine from a Structured Streaming file source.
 
-    Epoch identity inside the ledger is the streaming batch_id, so a
-    restarted query that redelivers a batch (checkpoint wrote the offset
-    but the sink crashed mid-apply... impossible here since the manifest
-    commit IS the sink transaction, but also after checkpoint loss) is
-    deduplicated by the ledger — exactly-once end to end.
+    Epoch identity inside the ledger is derived from batch CONTENT (the
+    batch's min stream_pos), NOT the streaming batch_id: after checkpoint
+    loss batch ids restart at 0 and only coincide with the previously
+    applied epochs if file grouping and trigger pacing happen to repeat —
+    keying on content makes redelivery of the same events hit the same
+    ledger entry regardless of how the source re-batches them. A batch
+    that collides with an applied epoch but carries events PAST the
+    committed watermark (re-batched grouping straddling the applied
+    boundary) is a misalignment and fails loudly instead of being
+    silently skipped.
     """
     # epoch files land as directories epoch-N.parquet/part-*.parquet; glob
     # one level down so the file source sees the leaf parquet files. The
@@ -89,10 +95,28 @@ def run_structured_stream(
     )
 
     def handle(batch_df, batch_id: int):
+        # content-derived epoch identity (one small agg per batch; the
+        # landing write below recomputes full stats via Observation)
+        row = batch_df.agg(
+            F.min("stream_pos").alias("lo"), F.max("stream_pos").alias("hi")
+        ).first()
+        if row["lo"] is None:
+            return  # empty batch: nothing to key or apply
+        epoch_id = int(row["lo"])
+        m = engine.table.manifest()
+        wm_pos = m.watermark["pos"] if m.watermark["pos"] is not None else -1
+        if epoch_id in m.applied_epochs and int(row["hi"]) > wm_pos:
+            raise RuntimeError(
+                f"stream/ledger misalignment: batch keyed epoch {epoch_id} was "
+                f"already applied but carries events up to pos {row['hi']} past "
+                f"the committed watermark {m.watermark['pos']} — the source "
+                "re-batched files across an applied-epoch boundary; reprocess "
+                "with the original pacing or reconcile()"
+            )
         if engine.epoch_store is not None:
-            engine.epoch_store.write_epoch(batch_id, batch_df)
-            batch_df = engine.epoch_store.read_epoch(batch_id)
-        engine.apply_epoch(batch_df, batch_id)
+            engine.epoch_store.write_epoch(epoch_id, batch_df)
+            batch_df = engine.epoch_store.read_epoch(epoch_id)
+        engine.apply_epoch(batch_df, epoch_id)
 
     writer = stream.writeStream.foreachBatch(handle).option(
         "checkpointLocation", checkpoint_dir

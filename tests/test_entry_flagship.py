@@ -13,7 +13,7 @@ from blockchain_etl_spark.catalog import cdc_replay_final_state
 
 def _d(df):
     return {
-        r["doc_id"]: (tuple(r["tokens"]), r["n_tok"], r["source"], r["lsn"], r["seq"])
+        r["doc_id"]: (r["tokens_csv"], r["n_tok"], r["source"], r["lsn"], r["seq"])
         for r in df.collect()
     }
 

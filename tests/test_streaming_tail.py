@@ -85,3 +85,27 @@ def test_structured_streaming_driver(spark, tmp_path):
     v = table.current_version()
     run_structured_stream(spark, d, eng, ckpt, available_now=True)
     assert table.current_version() == v
+
+
+def test_structured_streaming_survives_checkpoint_loss(spark, tmp_path):
+    """After checkpoint LOSS the file source restarts batch ids at 0 and
+    redelivers everything. Epoch identity is content-derived (min
+    stream_pos), so redelivered batches hit the same ledger entries and
+    are no-ops; new files still apply. batch_id-keyed ledgers silently
+    drop the new data here."""
+    epochs = generate_changelog(seed=31, n_epochs=4)
+    d = _landing(spark, tmp_path, epochs[:2])
+    eng, table = _mk_engine(spark, tmp_path)
+    run_structured_stream(
+        spark, d, eng, str(tmp_path / "ckpt1"), available_now=True, max_files_per_trigger=1
+    )
+    assert _state(table) == _expected(epochs[:2])
+
+    # checkpoint lost: fresh dir → redelivery of epochs 0-1 + new 2-3
+    d = _landing(spark, tmp_path, epochs)
+    v = table.current_version()
+    run_structured_stream(
+        spark, d, eng, str(tmp_path / "ckpt2"), available_now=True, max_files_per_trigger=1
+    )
+    assert table.current_version() > v
+    assert _state(table) == _expected(epochs)
