@@ -8,6 +8,7 @@ value hashes, so every alias here matches the SQL exactly.
 
 from __future__ import annotations
 
+import pandas as pd  # noqa: F401 — pandas_udf type hints resolve against module globals
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -347,6 +348,43 @@ WHERE event_type IN ('purchase','signup') AND value > 50
 """
 
 
+def rule_label_alert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """label_of + tag_value_usd rule UDFs end-to-end (≙ rule_udf.py:7-33 +
+    alert_exporter.py:149-150): the labels dim is broadcast-joined once
+    (with_labels), then the rule predicate and the risk-tag ladder run as
+    pure Catalyst expressions over the joined column."""
+    from blockchain_etl_spark.functions.rules import rule_filter, rule_to_sql
+    from blockchain_etl_spark.operators.alerts import with_labels
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "user_id", "value"
+    )
+    labels = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        F.col("c_custkey").alias("address"), F.col("c_mktsegment").alias("label")
+    )
+    tagged = with_labels(e, labels, ["user_id"])
+    rule = "label_of(user_id) == 'BUILDING' and value > 100"
+    tag = rule_to_sql("tag_value_usd(value, 200, 400)")
+    return tagged.filter(rule_filter(rule)).select(
+        "event_id",
+        "user_id",
+        F.round("value", 2).alias("value"),
+        F.col("user_id_label").alias("user_label"),
+        F.expr(tag).alias("risk_tag"),
+    )
+
+
+_RULE_LABEL_SQL = """
+SELECT event_id, user_id, round(value, 2) AS value,
+       c_mktsegment AS user_label,
+       CASE WHEN value > 400 THEN 'Level 1 risk control alert'
+            WHEN value > 200 THEN 'Level 2 risk control alert'
+            ELSE '' END AS risk_tag
+FROM events LEFT JOIN customer ON user_id = c_custkey
+WHERE coalesce(c_mktsegment, '') = 'BUILDING' AND value > 100
+"""
+
+
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
     feats = X.quality_features("text")
@@ -422,6 +460,454 @@ FROM sh
 
 
 # --------------------------------------------------------------------------
+# ABI-decode extractors end-to-end: synthesize deterministic hex logs FROM
+# the events table (so DuckDB derives the identical logs), then run the
+# reference-semantic extraction (WETH rewrite, weird-event rejection,
+# erc1155 head-tail batch decode).
+# --------------------------------------------------------------------------
+
+from blockchain_etl_spark.operators import extractors as EXT
+
+
+def _synth_eth_logs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events → deterministic ERC20-ish logs: Transfer / WETH Deposit /
+    WETH Withdrawal / unrelated-topic / anonymous / weird-data mix."""
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    eid = F.col("event_id").cast("string")
+    word = lambda tag: F.concat(
+        F.lit("0x" + "0" * 24), F.substring(F.md5(F.concat(F.lit(tag), eid)), 1, 40)
+    )
+    addr = lambda tag: F.concat(
+        F.lit("0x"), F.substring(F.md5(F.concat(F.lit(tag), eid)), 1, 40)
+    )
+    vi = F.floor(F.col("value") * 100).cast("long")
+    whex = lambda v: F.lpad(F.lower(F.hex(v)), 64, "0")
+    kind = F.col("event_id") % 5
+    weird = F.col("event_id") % 13 == 7
+    # Deposit/Withdrawal at a NON-weth address (not rewritten → dropped)
+    nonweth = F.col("event_id") % 7 == 3
+    weth_addr = F.when(nonweth, addr("a")).otherwise(F.lit(EXT.WETH_TOKEN_ADDRESS))
+    topics = (
+        F.when(F.col("event_id") % 31 == 0, F.array().cast("array<string>"))
+        .when(kind <= 1, F.array(F.lit(EXT.TRANSFER_EVENT_TOPIC), word("f"), word("t")))
+        .when(kind == 2, F.array(F.lit(EXT.DEPOSIT_EVENT_TOPIC), word("f")))
+        .when(kind == 3, F.array(F.lit(EXT.WITHDRAWAL_EVENT_TOPIC), word("f")))
+        .otherwise(F.array(F.concat(F.lit("0x"), F.md5(F.concat(F.lit("o"), eid)))))
+    )
+    data = F.concat(
+        F.lit("0x"), F.when(weird, F.concat(whex(vi), whex(vi + 1))).otherwise(whex(vi))
+    )
+    return e.select(
+        "event_id",
+        F.when(kind.isin(2, 3), weth_addr).otherwise(addr("a")).alias("address"),
+        topics.alias("topics"),
+        data.alias("data"),
+    )
+
+
+def log_transfer_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """≙ EthTokenTransferExtractor end-to-end
+    (token_transfer_extractor.py:62-109) over synthesized hex logs."""
+    return EXT.extract_token_transfers(_synth_eth_logs(spark, sf_dir))
+
+
+_SYNTH_LOGS_CTE = f"""
+  ev AS (
+    SELECT event_id, floor(value * 100)::BIGINT AS vi FROM events
+  ),
+  logs AS (
+    SELECT event_id,
+           CASE WHEN event_id % 5 IN (2, 3) THEN
+                  CASE WHEN event_id % 7 = 3
+                       THEN '0x' || substr(md5('a' || event_id::VARCHAR), 1, 40)
+                       ELSE '{EXT.WETH_TOKEN_ADDRESS}' END
+                ELSE '0x' || substr(md5('a' || event_id::VARCHAR), 1, 40)
+           END AS address,
+           CASE WHEN event_id % 31 = 0 THEN []::VARCHAR[]
+                WHEN event_id % 5 <= 1 THEN
+                  ['{EXT.TRANSFER_EVENT_TOPIC}',
+                   '0x' || repeat('0', 24) || substr(md5('f' || event_id::VARCHAR), 1, 40),
+                   '0x' || repeat('0', 24) || substr(md5('t' || event_id::VARCHAR), 1, 40)]
+                WHEN event_id % 5 = 2 THEN
+                  ['{EXT.DEPOSIT_EVENT_TOPIC}',
+                   '0x' || repeat('0', 24) || substr(md5('f' || event_id::VARCHAR), 1, 40)]
+                WHEN event_id % 5 = 3 THEN
+                  ['{EXT.WITHDRAWAL_EVENT_TOPIC}',
+                   '0x' || repeat('0', 24) || substr(md5('f' || event_id::VARCHAR), 1, 40)]
+                ELSE ['0x' || md5('o' || event_id::VARCHAR)]
+           END AS topics,
+           '0x' || lpad(lower(hex(vi)), 64, '0')
+                || CASE WHEN event_id % 13 = 7
+                        THEN lpad(lower(hex(vi + 1)), 64, '0') ELSE '' END AS data
+    FROM ev
+  )
+"""
+
+_LOG_TRANSFER_SQL = f"""
+WITH {_SYNTH_LOGS_CTE},
+rw AS (
+  SELECT event_id, lower(address) AS token_address, data,
+         CASE WHEN lower(address) = '{EXT.WETH_TOKEN_ADDRESS}'
+                   AND topics[1] = '{EXT.DEPOSIT_EVENT_TOPIC}'
+              THEN ['{EXT.TRANSFER_EVENT_TOPIC}', '{EXT.ZERO_ADDR}', topics[2]]
+              WHEN lower(address) = '{EXT.WETH_TOKEN_ADDRESS}'
+                   AND topics[1] = '{EXT.WITHDRAWAL_EVENT_TOPIC}'
+              THEN ['{EXT.TRANSFER_EVENT_TOPIC}', topics[2], '{EXT.ZERO_ADDR}']
+              ELSE topics END AS t
+  FROM logs WHERE len(topics) >= 1
+),
+twd AS (
+  SELECT event_id, token_address,
+         t || list_transform(generate_series(0, (length(data) - 2) // 64 - 1),
+                             i -> substr(data, 3 + i * 64, 64)) AS w
+  FROM rw
+)
+SELECT event_id, token_address,
+       lower('0x' || right(w[2], 40)) AS from_address,
+       lower('0x' || right(w[3], 40)) AS to_address,
+       ('0x' || right(w[4], 16))::BIGINT AS value
+FROM twd WHERE w[1] = '{EXT.TRANSFER_EVENT_TOPIC}' AND len(w) = 4
+"""
+
+
+def _synth_erc1155_logs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events → deterministic ERC1155 logs: TransferSingle / TransferBatch
+    (head-tail encoded, 1-3 ids) / count-mismatch batch / unrelated."""
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    eid = F.col("event_id").cast("string")
+    word = lambda tag: F.concat(
+        F.lit("0x" + "0" * 24), F.substring(F.md5(F.concat(F.lit(tag), eid)), 1, 40)
+    )
+    whex = lambda v: F.lpad(F.lower(F.hex(v)), 64, "0")
+    kind = F.col("event_id") % 4
+    cnt = (F.col("event_id") % 3 + 1).cast("int")
+    ids = F.transform(
+        F.sequence(F.lit(0), cnt - 1), lambda j: whex(F.col("event_id") * 7 + j)
+    )
+    vals = F.transform(
+        F.sequence(F.lit(0), cnt - 1), lambda j: whex(F.col("event_id") * 11 + j)
+    )
+    va_cnt = F.when(kind == 3, cnt + 1).otherwise(cnt)  # kind 3: mismatch
+    batch_words = F.concat(
+        F.array(whex(F.lit(64)), whex(64 + 32 * (cnt + 1))),
+        F.array(whex(cnt)),
+        ids,
+        F.array(whex(va_cnt)),
+        vals,
+    )
+    single_words = F.array(whex(F.col("event_id") * 7), whex(F.col("event_id") * 11))
+    data_words = F.when(kind == 0, single_words).otherwise(batch_words)
+    topic0 = F.when(kind == 0, F.lit(EXT.TRANSFER_SINGLE_TOPIC)).otherwise(
+        F.lit(EXT.TRANSFER_BATCH_TOPIC)
+    )
+    topics = F.when(
+        F.col("event_id") % 29 == 0,
+        F.array(F.concat(F.lit("0x"), F.md5(F.concat(F.lit("x"), eid)))),
+    ).otherwise(F.array(topic0, word("p"), word("f"), word("t")))
+    return e.select(
+        "event_id",
+        F.concat(F.lit("0x"), F.substring(F.md5(F.concat(F.lit("c"), eid)), 1, 40)).alias(
+            "address"
+        ),
+        topics.alias("topics"),
+        F.concat(F.lit("0x"), F.concat_ws("", data_words)).alias("data"),
+    )
+
+
+def erc1155_batch_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """≙ EthErc1155TransferExtractor end-to-end
+    (erc1155_transfer_extractor.py:24-123) over synthesized hex logs."""
+    return EXT.extract_erc1155_transfers(_synth_erc1155_logs(spark, sf_dir))
+
+
+_ERC1155_SQL = f"""
+WITH ev AS (SELECT event_id, event_id % 4 AS kind, (event_id % 3 + 1)::INT AS cnt
+            FROM events),
+logs AS (
+  SELECT event_id,
+         '0x' || substr(md5('c' || event_id::VARCHAR), 1, 40) AS address,
+         CASE WHEN event_id % 29 = 0
+              THEN ['0x' || md5('x' || event_id::VARCHAR)]
+              ELSE [CASE WHEN kind = 0 THEN '{EXT.TRANSFER_SINGLE_TOPIC}'
+                         ELSE '{EXT.TRANSFER_BATCH_TOPIC}' END,
+                    '0x' || repeat('0', 24) || substr(md5('p' || event_id::VARCHAR), 1, 40),
+                    '0x' || repeat('0', 24) || substr(md5('f' || event_id::VARCHAR), 1, 40),
+                    '0x' || repeat('0', 24) || substr(md5('t' || event_id::VARCHAR), 1, 40)]
+         END AS topics,
+         CASE WHEN kind = 0
+              THEN [lpad(lower(hex(event_id * 7)), 64, '0'),
+                    lpad(lower(hex(event_id * 11)), 64, '0')]
+              ELSE [lpad(lower(hex(64)), 64, '0'),
+                    lpad(lower(hex(64 + 32 * (cnt + 1))), 64, '0'),
+                    lpad(lower(hex(cnt)), 64, '0')]
+                   || list_transform(generate_series(0, cnt - 1),
+                                     j -> lpad(lower(hex(event_id * 7 + j)), 64, '0'))
+                   || [lpad(lower(hex(CASE WHEN kind = 3 THEN cnt + 1 ELSE cnt END)), 64, '0')]
+                   || list_transform(generate_series(0, cnt - 1),
+                                     j -> lpad(lower(hex(event_id * 11 + j)), 64, '0'))
+         END AS dw
+  FROM ev
+),
+twd AS (
+  SELECT event_id, lower(address) AS token_address, topics || dw AS w
+  FROM logs WHERE len(topics) >= 1
+),
+hdr AS (
+  SELECT event_id, token_address, w,
+         lower('0x' || right(w[2], 40)) AS operator,
+         lower('0x' || right(w[3], 40)) AS from_address,
+         lower('0x' || right(w[4], 40)) AS to_address
+  FROM twd
+),
+single AS (
+  SELECT event_id, token_address, operator, from_address, to_address,
+         'TransferSingle' AS xfer_type, 0 AS id_pos, 1 AS id_cnt,
+         ('0x' || right(w[5], 16))::BIGINT AS id,
+         ('0x' || right(w[6], 16))::BIGINT AS value
+  FROM hdr WHERE w[1] = '{EXT.TRANSFER_SINGLE_TOPIC}' AND len(w) = 6
+),
+batch0 AS (
+  SELECT *, ('0x' || right(w[7], 16))::BIGINT::INT AS id_cnt
+  FROM hdr WHERE w[1] = '{EXT.TRANSFER_BATCH_TOPIC}' AND len(w) >= 8
+),
+batch AS (
+  SELECT event_id, token_address, operator, from_address, to_address,
+         'TransferBatch' AS xfer_type, id_cnt,
+         unnest(list_transform(generate_series(0, id_cnt - 1), i -> struct_pack(
+           id_pos := i::INT,
+           id := ('0x' || right(w[8 + i], 16))::BIGINT,
+           value := ('0x' || right(w[9 + i + id_cnt], 16))::BIGINT)),
+           recursive := true)
+  FROM batch0
+  WHERE id_cnt >= 1
+    AND ('0x' || right(w[8 + id_cnt], 16))::BIGINT = id_cnt
+)
+SELECT event_id, token_address, operator, from_address, to_address,
+       xfer_type, id_pos, id_cnt, id, value FROM single
+UNION ALL
+SELECT event_id, token_address, operator, from_address, to_address,
+       xfer_type, id_pos, id_cnt, id, value FROM batch
+"""
+
+
+# --------------------------------------------------------------------------
+# Unbounded-depth call-tree flatten: synthetic heap-shaped geth trace
+# forest (JSON), flattened by the mapInPandas DFS; DuckDB twin derives the
+# identical rows with a recursive CTE (no JSON) — comparing the two
+# validates the decode end to end.
+# --------------------------------------------------------------------------
+
+
+def call_tree_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """≙ _iterate_geth_trace recursion (trace_mapper.py:149-290) at
+    arbitrary depth. Forest shape per event: n = 1 + event_id % 7 nodes
+    in binary-heap layout (node i's children are 2i+1, 2i+2)."""
+    import hashlib
+    import json as _json
+
+    from blockchain_etl_spark.operators.tree import flatten_geth_traces
+
+    @F.pandas_udf("string")
+    def synth(eids: pd.Series) -> pd.Series:
+        def h(tag: str, e: int, i: int) -> str:
+            return "0x" + hashlib.md5(f"{tag}{e}-{i}".encode()).hexdigest()[:40]
+
+        def node(e: int, i: int, n: int) -> dict:
+            return {
+                "type": ["call", "staticcall", "delegatecall"][i % 3],
+                "from": h("n", e, i),
+                "to": h("m", e, i),
+                "value": e * 100 + i,
+                "error": (e + i) % 11 == 0,
+                "calls": [node(e, j, n) for j in (2 * i + 1, 2 * i + 2) if j < n],
+            }
+
+        return eids.map(lambda e: _json.dumps(node(int(e), 0, 1 + int(e) % 7)))
+
+    e = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .filter(F.col("event_id") % 20 == 0)
+        .select("event_id", synth("event_id").alias("trace_json"))
+    )
+    flat = flatten_geth_traces(e, json_col="trace_json", id_cols=("event_id",))
+    return flat.select(
+        "event_id",
+        F.concat_ws(",", F.col("trace_address").cast("array<string>")).alias(
+            "path_csv"
+        ),
+        "call_type",
+        "from_address",
+        "to_address",
+        "value",
+        "error",
+        "n_children",
+        "depth",
+    )
+
+
+_CALL_TREE_SQL = """
+WITH RECURSIVE ev AS (
+  SELECT event_id, (1 + event_id % 7)::INT AS n FROM events WHERE event_id % 20 = 0
+),
+nodes AS (
+  SELECT event_id, n, 0 AS i, ''::VARCHAR AS path_csv, 0 AS depth FROM ev
+  UNION ALL
+  SELECT p.event_id, p.n, 2 * p.i + 1 + o.o AS i,
+         CASE WHEN p.path_csv = '' THEN o.o::VARCHAR
+              ELSE p.path_csv || ',' || o.o::VARCHAR END,
+         p.depth + 1
+  FROM nodes p, (SELECT unnest([0, 1]) AS o) o
+  WHERE 2 * p.i + 1 + o.o < p.n
+)
+SELECT event_id, path_csv,
+       CASE i % 3 WHEN 0 THEN 'call' WHEN 1 THEN 'staticcall'
+            ELSE 'delegatecall' END AS call_type,
+       '0x' || substr(md5('n' || event_id::VARCHAR || '-' || i::VARCHAR), 1, 40)
+         AS from_address,
+       '0x' || substr(md5('m' || event_id::VARCHAR || '-' || i::VARCHAR), 1, 40)
+         AS to_address,
+       event_id * 100 + i AS value,
+       (event_id + i) % 11 = 0 AS error,
+       least(greatest(n - (2 * i + 1), 0), 2)::INT AS n_children,
+       depth
+FROM nodes
+"""
+
+
+def trace_union_synthetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trace scan ∪ synthetic genesis rows (≙ export_traces_job's union of
+    scanned traces with synthetic genesis/daofork transfer rows,
+    ethereumetl/jobs/export_traces_job.py + eth_special_trace.py): the
+    synthetic side is a literal dimension unioned under the same schema."""
+    e = spark.read.parquet(f"{sf_dir}/events.parquet").filter(
+        F.col("event_id") % 50 == 0
+    )
+    traces = e.select(
+        F.format_string("trace-%d", "event_id").alias("trace_id"),
+        F.lit("call").alias("trace_type"),
+        F.floor(F.col("value") * 100).cast("long").alias("value_c"),
+    )
+    r = spark.read.parquet(f"{sf_dir}/region.parquet")
+    genesis = r.select(
+        F.format_string("genesis-%d", "r_regionkey").alias("trace_id"),
+        F.lit("genesis").alias("trace_type"),
+        (F.col("r_regionkey") * 1000 + 7).cast("long").alias("value_c"),
+    )
+    return traces.unionByName(genesis)
+
+
+_TRACE_UNION_SQL = """
+SELECT 'trace-' || event_id::VARCHAR AS trace_id, 'call' AS trace_type,
+       floor(value * 100)::BIGINT AS value_c
+FROM events WHERE event_id % 50 = 0
+UNION ALL
+SELECT 'genesis-' || r_regionkey::VARCHAR, 'genesis', (r_regionkey * 1000 + 7)::BIGINT
+FROM region
+"""
+
+
+def receipt_missing_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Missing-receipt backfill (≙ the receipt scan's missing-txhash fill,
+    export_receipts_job.py + check/fill semantics): every order key gets a
+    row — joined receipts where present, 'backfilled' placeholders where
+    the receipt side has no match."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        F.col("o_orderkey").alias("k"), F.col("o_totalprice").alias("total")
+    )
+    rc = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .groupBy(F.col("l_orderkey").alias("k"))
+        .agg(F.count("*").alias("n_items"))
+    )
+    j = o.join(rc, "k", "left")
+    return j.select(
+        "k",
+        F.round("total", 2).alias("total"),
+        F.coalesce("n_items", F.lit(0)).alias("n_items"),
+        F.when(F.col("n_items").isNull(), "backfilled").otherwise("ok").alias("status"),
+    )
+
+
+_RECEIPT_FILL_SQL = """
+SELECT o_orderkey AS k, round(o_totalprice, 2) AS total,
+       coalesce(n_items, 0) AS n_items,
+       CASE WHEN n_items IS NULL THEN 'backfilled' ELSE 'ok' END AS status
+FROM orders LEFT JOIN (
+  SELECT l_orderkey, count(*) AS n_items FROM lineitem GROUP BY l_orderkey
+) r ON o_orderkey = l_orderkey
+"""
+
+
+# --------------------------------------------------------------------------
+# Bytecode contract classifier end-to-end: synthetic EVM dispatchers
+# (pure column-expression synthesis — PUSH2 noise + PUSH4 selector runs),
+# classified by the mapInPandas scanner + JVM selector-set predicates.
+# The DuckDB twin derives the expected classification from the same
+# event_id rule.
+# --------------------------------------------------------------------------
+
+
+def contract_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """≙ EthContractService.get_contract classification
+    (eth_contract_service.py:38-140)."""
+    from blockchain_etl_spark.operators import contracts as C
+
+    run = lambda sigs: "".join("63" + C.sighash(s)[2:] for s in sigs)
+    erc20 = run(C.ERC20_REQUIRED)
+    erc721 = run(["balanceOf(address)", "ownerOf(uint256)", "approve(address,uint256)",
+                  "transferFrom(address,address,uint256)"])
+    partial = run(["totalSupply()", "transfer(address,uint256)"])
+    noise = "616301" + "5b00"  # PUSH2 0x6301 (looks like PUSH4!) + JUMPDEST STOP
+    kind = F.col("event_id") % 4
+    bytecode = (
+        F.when(kind == 0, F.lit("0x" + noise + erc20))
+        .when(kind == 1, F.lit("0x" + noise + erc721))
+        .when(kind == 2, F.lit("0x" + noise + partial))
+        .otherwise(F.lit("0x"))
+    )
+    e = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .filter(F.col("event_id") % 10 == 0)
+        .select("event_id", bytecode.alias("bytecode"))
+    )
+    out = C.classify_contracts(e)
+    return out.select(
+        "event_id",
+        F.concat_ws(",", "function_sighashes").alias("sighashes_csv"),
+        F.size("function_sighashes").alias("n_sig"),
+        "is_erc20",
+        "is_erc721",
+    )
+
+
+def _contract_classify_sql() -> str:
+    from blockchain_etl_spark.operators import contracts as C
+
+    csv20 = ",".join(sorted(C.sighash(s) for s in C.ERC20_REQUIRED))
+    csv721 = ",".join(
+        sorted(
+            C.sighash(s)
+            for s in ["balanceOf(address)", "ownerOf(uint256)",
+                      "approve(address,uint256)",
+                      "transferFrom(address,address,uint256)"]
+        )
+    )
+    csvpart = ",".join(
+        sorted(C.sighash(s) for s in ["totalSupply()", "transfer(address,uint256)"])
+    )
+    return f"""
+        SELECT event_id,
+               CASE event_id % 4 WHEN 0 THEN '{csv20}' WHEN 1 THEN '{csv721}'
+                    WHEN 2 THEN '{csvpart}' ELSE '' END AS sighashes_csv,
+               (CASE event_id % 4 WHEN 0 THEN {len(set(C.ERC20_REQUIRED))}
+                     WHEN 1 THEN 4 WHEN 2 THEN 2 ELSE 0 END)::INT AS n_sig,
+               event_id % 4 = 0 AS is_erc20,
+               event_id % 4 = 1 AS is_erc721
+        FROM events WHERE event_id % 10 = 0
+    """
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -450,8 +936,15 @@ QUERIES: dict[str, callable] = {
     "hex_decode": relational.hex_decode,
     "trace_status": trace_status,
     "rule_engine_filter": rule_engine_filter,
+    "rule_label_alert": rule_label_alert,
     "explode_tokens": explode_tokens,
     "decimal_vsum": decimal_vsum,
+    "log_transfer_extract": log_transfer_extract,
+    "erc1155_batch_decode": erc1155_batch_decode,
+    "call_tree_flatten": call_tree_flatten,
+    "contract_classify": contract_classify,
+    "trace_union_synthetic": trace_union_synthetic,
+    "receipt_missing_fill": receipt_missing_fill,
     # training-data ops
     "exact_dedup": dedup.exact_dedup,
     "minhash_lsh_pairs": dedup.minhash_lsh_pairs,
@@ -667,8 +1160,15 @@ def oracle_sqls() -> dict[str, str]:
         "ngram_jaccard_blocks": _ngram_jaccard_sql(),
         "trace_status": _TRACE_STATUS_SQL,
         "rule_engine_filter": _RULE_FILTER_SQL,
+        "rule_label_alert": _RULE_LABEL_SQL,
         "explode_tokens": _EXPLODE_TOKENS_SQL,
         "decimal_vsum": _DECIMAL_VSUM_SQL,
+        "log_transfer_extract": _LOG_TRANSFER_SQL,
+        "erc1155_batch_decode": _ERC1155_SQL,
+        "call_tree_flatten": _CALL_TREE_SQL,
+        "contract_classify": _contract_classify_sql(),
+        "trace_union_synthetic": _TRACE_UNION_SQL,
+        "receipt_missing_fill": _RECEIPT_FILL_SQL,
         "text_quality": _TEXT_QUALITY_SQL,
         "token_counts": _TOKEN_COUNTS_SQL,
         "doc_fingerprints": _FINGERPRINT_SQL,

@@ -47,6 +47,39 @@ _TOKEN_RE = re.compile(
 
 _KEYWORDS = {"and", "or", "not", "in", "true", "false", "null"}
 
+def _label_of(args: list[str]) -> str:
+    """≙ rule UDF ``label_of`` (rule_udf.py:7-18): address → label from the
+    labels dim, '' when absent. The reference does a per-row DB lookup;
+    Spark-first this is a BROADCAST-joined column — pre-join the dim with
+    ``operators.alerts.with_labels(df, labels, cols=[...])`` which adds
+    ``<col>_label``, and the rule references that column. Compiling to the
+    joined column keeps the rule a pure Catalyst expression (no per-row
+    lookup anywhere)."""
+    col = args[0].strip("()")
+    if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_.]*", col):
+        raise RuleSyntaxError(
+            f"label_of() takes a column reference, got {args[0]!r}"
+        )
+    return f"coalesce({col}_label, '')"
+
+
+def _tag_value_usd(args: list[str]) -> str:
+    """≙ rule UDF ``tag_value_usd`` (rule_udf.py:21-33): threshold ladder →
+    'Level N risk control alert' (highest threshold exceeded = level 1),
+    '' otherwise — compiled to a CASE chain over the sorted literal
+    thresholds."""
+    value, raw = args[0], args[1:]
+    try:
+        ts = sorted((float(t) for t in raw), reverse=True)
+    except ValueError as e:
+        raise RuleSyntaxError(f"tag_value_usd thresholds must be literals: {e}")
+    whens = " ".join(
+        f"WHEN {value} > {t:g} THEN 'Level {i + 1} risk control alert'"
+        for i, t in enumerate(ts)
+    )
+    return f"CASE {whens} ELSE '' END"
+
+
 _FUNC_MAP = {
     "wei2eth": lambda args: f"({args[0]}) / 1e18",
     "toDateTime": lambda args: f"from_unixtime({args[0]})",
@@ -56,6 +89,8 @@ _FUNC_MAP = {
     "lower": lambda args: f"lower({args[0]})",
     "upper": lambda args: f"upper({args[0]})",
     "length": lambda args: f"length({args[0]})",
+    "label_of": _label_of,
+    "tag_value_usd": _tag_value_usd,
 }
 
 

@@ -31,6 +31,31 @@ class RuleSet:
         return out
 
 
+def with_labels(
+    df: DataFrame,
+    labels: DataFrame,
+    cols: list[str],
+    key: str = "address",
+    label: str = "label",
+) -> DataFrame:
+    """Attach ``<col>_label`` for each address column via a BROADCAST left
+    join against the labels dim (≙ LabelService per-row DB lookups,
+    rule_udf.py:7-18 and alert_exporter.py:149-150 from_label/to_label —
+    one dim scan instead of 10^10 point queries). Rules then use
+    ``label_of(col)`` which compiles to ``coalesce(col_label, '')``."""
+    from pyspark.sql import functions as F
+
+    out = df
+    for c in cols:
+        dim = F.broadcast(
+            labels.select(
+                F.col(key).alias(f"__k_{c}"), F.col(label).alias(f"{c}_label")
+            )
+        )
+        out = out.join(dim, out[c] == dim[f"__k_{c}"], "left").drop(f"__k_{c}")
+    return out
+
+
 def track_frontier(
     events: DataFrame, seeds: DataFrame, hops: int, key: str = "user_id"
 ) -> DataFrame:

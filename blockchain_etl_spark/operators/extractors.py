@@ -1,0 +1,168 @@
+"""ABI-decode extractors: hex logs → typed transfer rows, end to end.
+
+Spark-first re-expression of the reference extraction services:
+
+- ``extract_token_transfers`` ≙ EthTokenTransferExtractor
+  (/root/reference/ethereumetl/service/token_transfer_extractor.py:62-109):
+  the WETH Deposit/Withdrawal→Transfer topic rewrite, the
+  topics+split_to_words(data) concatenation, the ``!= 4 words`` weird-
+  event rejection, and word→address / hex→dec decoding — all as pure
+  column expressions (one codegen'd projection per log, zero Python).
+
+- ``extract_erc1155_transfers`` ≙ EthErc1155TransferExtractor
+  (/root/reference/ethereumetl/service/erc1155_transfer_extractor.py:24-123):
+  TransferSingle (6 words exactly) and TransferBatch head-tail dynamic-
+  array decode (offset words, id_cnt at word 6, ids, va_cnt, values) with
+  the id_cnt != va_cnt rejection; the per-id fan-out is a
+  ``posexplode``-style ``explode(sequence(...))`` — row-count ×id_cnt,
+  no shuffle.
+
+Scale note: both extractors are narrow maps over the log scan —
+predicate pushdown on topic0/address reaches the parquet scan, and the
+explode multiplies rows before the first shuffle of whatever runs
+downstream. At 10^10 logs there is no state and no join here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from blockchain_etl_spark.functions.ids import normalized_address, split_to_words
+
+TRANSFER_EVENT_TOPIC = (
+    "0xddf252ad1be2c89b69c2b068fc378daa952ba7f163c4a11628f55a4df523b3ef"
+)
+DEPOSIT_EVENT_TOPIC = (
+    "0xe1fffcc4923d04b559f4d29a8bfc6cda04eb5b0d3c460751c2402c5c5cc9109c"
+)
+WITHDRAWAL_EVENT_TOPIC = (
+    "0x7fcf532c15f0a6db0bd6d0e038bea71d30d808c7d98cb3bf7268a95bf5081b65"
+)
+TRANSFER_SINGLE_TOPIC = (
+    "0xc3d58168c5ae7397731d063d5bbf3d657854427343f4c083240f7aacaa2d0f62"
+)
+TRANSFER_BATCH_TOPIC = (
+    "0x4a39dc06d4c0dbc64b70af90fd698a233a518aa5d07e595d983b8c0526c8f7fb"
+)
+WETH_TOKEN_ADDRESS = "0xc02aaa39b223fe8d0a0e5c4f27ead9083c756cc2"
+ZERO_ADDR = "0x0000000000000000000000000000000000000000"
+
+
+def hex_word_to_long(word: Column) -> Column:
+    """hex_to_dec of a 32-byte word whose value fits in int64 (the last
+    16 hex chars; ≙ hex_to_dec, /root/reference/blockchainetl/utils.py:45-57
+    for the value range an exact cross-engine oracle can carry)."""
+    return F.conv(F.substring(word, -16, 16), 16, 10).cast("long")
+
+
+def word_to_addr(word: Column) -> Column:
+    """word→address: lowercase 0x + last 40 hex chars (≙ word_to_address
+    + to_normalized_address, /root/reference/ethereumetl/utils.py:47-68)."""
+    return F.lower(F.concat(F.lit("0x"), F.substring(word, -40, 40)))
+
+
+def extract_token_transfers(logs: DataFrame) -> DataFrame:
+    """logs(event_id, address, topics:array<string>, data:string) →
+    token transfers. Anonymous logs (empty topics) are skipped; WETH
+    Deposit/Withdrawal logs are rewritten to Transfer shape; logs whose
+    topics+data words != 4 are rejected as weird events."""
+    t0 = F.get("topics", 0)
+    t1 = F.get("topics", 1)
+    addr_norm = normalized_address("address")
+    is_weth = addr_norm == WETH_TOKEN_ADDRESS
+    topics2 = (
+        F.when(
+            is_weth & (t0 == DEPOSIT_EVENT_TOPIC),
+            F.array(F.lit(TRANSFER_EVENT_TOPIC), F.lit(ZERO_ADDR), t1),
+        )
+        .when(
+            is_weth & (t0 == WITHDRAWAL_EVENT_TOPIC),
+            F.array(F.lit(TRANSFER_EVENT_TOPIC), t1, F.lit(ZERO_ADDR)),
+        )
+        .otherwise(F.col("topics"))
+    )
+    w = F.concat(topics2, split_to_words("data"))
+    out = logs.filter(F.size("topics") >= 1).select(
+        "event_id", addr_norm.alias("token_address"), w.alias("w")
+    )
+    return (
+        out.filter((F.get("w", 0) == TRANSFER_EVENT_TOPIC) & (F.size("w") == 4))
+        .select(
+            "event_id",
+            "token_address",
+            word_to_addr(F.get("w", 1)).alias("from_address"),
+            word_to_addr(F.get("w", 2)).alias("to_address"),
+            hex_word_to_long(F.get("w", 3)).alias("value"),
+        )
+    )
+
+
+def extract_erc1155_transfers(logs: DataFrame) -> DataFrame:
+    """logs → ERC1155 transfer rows (one per (log, id_pos)).
+
+    TransferSingle: exactly 6 words (4 topics + id + value).
+    TransferBatch head-tail decode (0-based words): [4]=ids offset,
+    [5]=values offset, [6]=id_cnt, [7..6+id_cnt]=ids,
+    [7+id_cnt]=va_cnt, then values; id_cnt != va_cnt → rejected.
+    """
+    w = F.concat(F.col("topics"), split_to_words("data"))
+    base = logs.filter(F.size("topics") >= 1).select(
+        "event_id", normalized_address("address").alias("token_address"), w.alias("w")
+    )
+    hdr = [
+        word_to_addr(F.get("w", 1)).alias("operator"),
+        word_to_addr(F.get("w", 2)).alias("from_address"),
+        word_to_addr(F.get("w", 3)).alias("to_address"),
+    ]
+    single = (
+        base.filter((F.get("w", 0) == TRANSFER_SINGLE_TOPIC) & (F.size("w") == 6))
+        .select(
+            "event_id",
+            "token_address",
+            *hdr,
+            F.lit("TransferSingle").alias("xfer_type"),
+            F.lit(0).alias("id_pos"),
+            F.lit(1).alias("id_cnt"),
+            hex_word_to_long(F.get("w", 4)).alias("id"),
+            hex_word_to_long(F.get("w", 5)).alias("value"),
+        )
+    )
+    batch = (
+        base.filter((F.get("w", 0) == TRANSFER_BATCH_TOPIC) & (F.size("w") >= 8))
+        .withColumn("id_cnt", hex_word_to_long(F.get("w", 6)).cast("int"))
+        # id_cnt >= 1 also guards sequence(0, -1); an empty batch emits
+        # no rows, same as the reference's range(0, 0) loop
+        .filter(
+            (F.col("id_cnt") >= 1)
+            & (hex_word_to_long(F.get("w", F.col("id_cnt") + 7)) == F.col("id_cnt"))
+        )
+        .select(
+            "event_id",
+            "token_address",
+            *hdr,
+            F.lit("TransferBatch").alias("xfer_type"),
+            "id_cnt",
+            "w",
+            F.explode(F.sequence(F.lit(0), F.col("id_cnt") - 1)).alias("id_pos"),
+        )
+        .select(
+            "event_id",
+            "token_address",
+            "operator",
+            "from_address",
+            "to_address",
+            "xfer_type",
+            "id_pos",
+            "id_cnt",
+            hex_word_to_long(F.get("w", F.col("id_pos") + 7)).alias("id"),
+            hex_word_to_long(
+                F.get("w", F.col("id_pos") + F.col("id_cnt") + 8)
+            ).alias("value"),
+        )
+    )
+    cols = [
+        "event_id", "token_address", "operator", "from_address", "to_address",
+        "xfer_type", "id_pos", "id_cnt", "id", "value",
+    ]
+    return single.select(*cols).unionByName(batch.select(*cols))

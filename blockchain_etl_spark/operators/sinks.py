@@ -62,22 +62,61 @@ class MultiSink:
             s.write(df, **kw)
 
 
+def to_bus_records(
+    df: DataFrame,
+    entity: str,
+    topic_mapping: dict[str, str] | None = None,
+    topic_prefix: str = "",
+    key_cols: list[str] | None = None,
+) -> DataFrame:
+    """entity rows → message-bus records (topic, key, value): one JSON
+    value per item, topic from the entity→topic mapping (≙
+    kafka_item_exporter.py:28-40 item_type_to_topic_mapping + the
+    json.dumps per item). This is the exact frame Spark's Kafka writer
+    consumes — the transport below is swappable (Kafka / file double)."""
+    topic = (topic_mapping or {}).get(entity, f"{topic_prefix}{entity}")
+    key = (
+        F.concat_ws("|", *[F.col(c).cast("string") for c in key_cols])
+        if key_cols
+        else F.lit(None).cast("string")
+    )
+    return df.select(
+        F.lit(topic).alias("topic"),
+        key.alias("key"),
+        F.to_json(F.struct(*df.columns)).alias("value"),
+    )
+
+
 class KafkaSink:
     """≙ kafka_item_exporter.py:9-45 (JSON per item, topic per entity).
-    Requires the spark-sql-kafka jar — not in this image; the writer
-    raises with the exact production invocation documented."""
+    The record shape is built by ``to_bus_records`` (contract-tested
+    without a broker); the transport itself requires the spark-sql-kafka
+    jar — absent in this image, the writer raises with the production
+    invocation documented."""
 
-    def __init__(self, bootstrap: str, topic_prefix: str = ""):
+    def __init__(
+        self,
+        bootstrap: str,
+        topic_prefix: str = "",
+        topic_mapping: dict[str, str] | None = None,
+        key_cols: list[str] | None = None,
+    ):
         self.bootstrap = bootstrap
         self.topic_prefix = topic_prefix
+        self.topic_mapping = topic_mapping
+        self.key_cols = key_cols
+
+    def records(self, df: DataFrame, entity: str) -> DataFrame:
+        return to_bus_records(
+            df, entity, self.topic_mapping, self.topic_prefix, self.key_cols
+        )
 
     def write(self, df: DataFrame, entity: str) -> None:
-        payload = df.select(F.to_json(F.struct(*df.columns)).alias("value"))
         try:
             (
-                payload.write.format("kafka")
+                self.records(df, entity)
+                .write.format("kafka")
                 .option("kafka.bootstrap.servers", self.bootstrap)
-                .option("topic", f"{self.topic_prefix}{entity}")
                 .save()
             )
         except Exception as e:  # jar absent in this image
@@ -86,3 +125,62 @@ class KafkaSink:
                 "classpath (spark-submit --packages org.apache.spark:"
                 "spark-sql-kafka-0-10_2.13:<spark-version>)"
             ) from e
+
+
+class PubSubSink:
+    """≙ google_pubsub_item_exporter.py (topic-per-entity JSON messages).
+    Shares ``to_bus_records`` with the Kafka leg — the record contract is
+    identical; the transport (google-cloud-pubsub client, absent from
+    this image) is the only difference, so it is exercised through the
+    FileBusSink double and raises here with the production dependency
+    documented."""
+
+    def __init__(self, project: str, topic_mapping: dict[str, str] | None = None,
+                 topic_prefix: str = ""):
+        self.project = project
+        self.topic_mapping = topic_mapping
+        self.topic_prefix = topic_prefix
+
+    def records(self, df: DataFrame, entity: str) -> DataFrame:
+        return to_bus_records(df, entity, self.topic_mapping, self.topic_prefix)
+
+    def write(self, df: DataFrame, entity: str) -> None:
+        raise NotImplementedError(
+            "pub/sub transport needs google-cloud-pubsub (pip) and GCP "
+            "credentials; publish records() per partition via "
+            "foreachPartition(publisher.publish) in production"
+        )
+
+
+class JsonlSink:
+    """Composite JSONL file sink (≙ composite_item_exporter +
+    jsonl converters: one JSON object per line, per-entity directory)."""
+
+    def __init__(self, out_dir: str):
+        self.out_dir = out_dir
+
+    def write(self, df: DataFrame, entity: str) -> str:
+        out = os.path.join(self.out_dir, f"entity={entity}")
+        df.select(F.to_json(F.struct(*df.columns)).alias("value")).write.mode(
+            "overwrite"
+        ).text(out)
+        return out
+
+
+class FileBusSink:
+    """File-backed broker double: the same (topic, key, value) records as
+    KafkaSink, landed as parquet under {out}/{topic}/ — both a contract
+    test double for the Kafka leg and a real landing-dir bus (the shape
+    the reference's file exporter + Redis notify pattern serves,
+    file_item_exporter.py + redis_item_exporter.py)."""
+
+    def __init__(self, out_dir: str, **kw):
+        self.out_dir = out_dir
+        self.kw = kw
+
+    def write(self, df: DataFrame, entity: str) -> str:
+        rec = to_bus_records(df, entity, **self.kw)
+        topic = rec.select("topic").first()["topic"]
+        out = os.path.join(self.out_dir, topic)
+        rec.write.mode("append").parquet(out)
+        return out

@@ -64,10 +64,73 @@ def propagate_trace_status(
 
 def flatten_call_tree(df: DataFrame, calls_col: str = "calls") -> DataFrame:
     """Flatten one level of nested calls per row, assigning child paths —
-    applied iteratively for fixed depth, or via a vectorized pandas UDF
-    for unbounded depth (≙ trace_mapper._iterate_geth_trace). Each child
-    gets trace_address = parent path + [position]."""
+    applied iteratively for fixed depth. For unbounded depth use
+    ``flatten_geth_traces`` below. Each child gets trace_address =
+    parent path + [position]."""
     children = df.select(
         "*", F.posexplode_outer(F.col(calls_col)).alias("_pos", "_child")
     )
     return children
+
+
+def flatten_geth_traces(
+    df: DataFrame, json_col: str = "trace_json", id_cols: tuple[str, ...] = ("tx_id",)
+) -> DataFrame:
+    """Unbounded-depth geth call-tree flatten (≙ the recursive
+    ``_iterate_geth_trace``, trace_mapper.py:149-290): one row per call
+    with ``trace_address`` = the child-position path from the root.
+
+    Spark structs cannot be recursive, so arbitrarily nested traces
+    arrive as JSON strings; the decode is an explicit-stack DFS inside an
+    Arrow-batched ``mapInPandas`` — per-transaction O(tree) work, no
+    shuffle, embarrassingly parallel across 10^10 tx. (This is the one
+    place built-in operators genuinely can't express the semantics:
+    Catalyst has no recursive type and ``get_json_object`` paths are
+    compile-time literals.)"""
+    import pyspark.sql.types as T
+
+    id_fields = [f for f in df.schema.fields if f.name in id_cols]
+    out_schema = T.StructType(
+        [
+            *id_fields,
+            T.StructField("trace_address", T.ArrayType(T.IntegerType())),
+            T.StructField("call_type", T.StringType()),
+            T.StructField("from_address", T.StringType()),
+            T.StructField("to_address", T.StringType()),
+            T.StructField("value", T.LongType()),
+            T.StructField("error", T.BooleanType()),
+            T.StructField("n_children", T.IntegerType()),
+            T.StructField("depth", T.IntegerType()),
+        ]
+    )
+    ids = [f.name for f in id_fields]
+
+    def gen(batches):
+        import json as _json
+
+        import pandas as pd
+
+        for pdf in batches:
+            out: dict[str, list] = {f.name: [] for f in out_schema.fields}
+            for row in pdf.itertuples(index=False):
+                idv = {c: getattr(row, c) for c in ids}
+                stack = [((), _json.loads(getattr(row, json_col)))]
+                while stack:
+                    path, node = stack.pop()
+                    calls = node.get("calls") or []
+                    for c in ids:
+                        out[c].append(idv[c])
+                    out["trace_address"].append(list(path))
+                    out["call_type"].append(node.get("type"))
+                    out["from_address"].append(node.get("from"))
+                    out["to_address"].append(node.get("to"))
+                    v = node.get("value")
+                    out["value"].append(None if v is None else int(v))
+                    out["error"].append(bool(node.get("error")))
+                    out["n_children"].append(len(calls))
+                    out["depth"].append(len(path))
+                    for i, ch in enumerate(calls):
+                        stack.append(((*path, i), ch))
+            yield pd.DataFrame(out)
+
+    return df.select(*ids, json_col).mapInPandas(gen, schema=out_schema)

@@ -73,3 +73,67 @@ def fetch_lsn_range(
         lsn_lo, lsn_hi, 1, partitions or spark.sparkContext.defaultParallelism
     )
     return rng.mapInPandas(fetch, EVENT_SCHEMA)
+
+
+class AdaptiveRangeFetcher:
+    """Driver-side adaptive batch sizing + retry-with-backoff (≙
+    BatchWorkExecutor, /root/reference/blockchainetl/executors/
+    batch_work_executor.py:52-110: halve the batch on a retriable
+    failure, re-grow after sustained success; and the streamer's
+    block_batch_size pacing, blockchainetl/streaming/streamer.py:153).
+
+    Spark already retries failed TASKS; this handles the orthogonal
+    failure mode — the upstream system (RPC node, binlog server)
+    rejecting a whole range because it is too large or briefly
+    unavailable. The fetch callable covers [lo, hi) and raises on
+    failure; chunks shrink geometrically to ``min_batch``, and after
+    ``grow_after`` consecutive successes the size doubles back toward
+    ``max_batch``.
+    """
+
+    def __init__(
+        self,
+        fetch_fn,
+        max_batch: int = 128,
+        min_batch: int = 1,
+        max_retries: int = 5,
+        backoff_sec: float = 0.0,
+        grow_after: int = 2,
+    ):
+        self.fetch_fn = fetch_fn
+        self.max_batch = max_batch
+        self.min_batch = min_batch
+        self.max_retries = max_retries
+        self.backoff_sec = backoff_sec
+        self.grow_after = grow_after
+        self.batch_size = max_batch
+        self._streak = 0
+
+    def run(self, lo: int, hi: int) -> Iterator[tuple[int, int, DataFrame]]:
+        """Yield (start, end, df) chunks covering [lo, hi) in order."""
+        import time as _time
+
+        pos = lo
+        while pos < hi:
+            end = min(pos + self.batch_size, hi)
+            attempts = 0
+            while True:
+                try:
+                    df = self.fetch_fn(pos, end)
+                    break
+                except Exception:
+                    attempts += 1
+                    if attempts > self.max_retries:
+                        raise
+                    self._streak = 0
+                    if self.batch_size > self.min_batch:
+                        self.batch_size = max(self.min_batch, self.batch_size // 2)
+                        end = min(pos + self.batch_size, hi)
+                    if self.backoff_sec:
+                        _time.sleep(self.backoff_sec * (2 ** (attempts - 1)))
+            self._streak += 1
+            if self._streak >= self.grow_after and self.batch_size < self.max_batch:
+                self.batch_size = min(self.max_batch, self.batch_size * 2)
+                self._streak = 0
+            yield pos, end, df
+            pos = end

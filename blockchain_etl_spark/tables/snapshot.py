@@ -140,6 +140,14 @@ class SnapshotTable:
             f.flush()
             os.fsync(f.fileno())
         os.replace(tmp, ptr)
+        # version→watermark sidecar: makes latest_version_at_or_before an
+        # index scan with ZERO per-version manifest reads. Crash after the
+        # pointer swap but before this append is healed by the lookup's
+        # backfill path.
+        with open(self._index_path(), "a") as f:
+            f.write(
+                json.dumps({"version": m.version, "lsn": m.watermark["lsn"]}) + "\n"
+            )
 
     def current_version(self) -> int:
         with open(os.path.join(self.path, "manifests", "LATEST")) as f:
@@ -439,14 +447,45 @@ class SnapshotTable:
         self._write_manifest(new)
         return new.version
 
+    def _index_path(self) -> str:
+        return os.path.join(self.path, "manifests", "INDEX.jsonl")
+
+    def _version_lsn_index(self) -> list[tuple[int, int]]:
+        """(version, watermark.lsn) pairs in commit order, from the
+        sidecar index; versions missing from the index (pre-index tables,
+        crash between pointer swap and index append) are backfilled once
+        from their manifests."""
+        entries: list[tuple[int, int]] = []
+        try:
+            with open(self._index_path()) as f:
+                for line in f:
+                    if line.strip():
+                        d = json.loads(line)
+                        entries.append((d["version"], d["lsn"]))
+        except FileNotFoundError:
+            pass
+        known = {v for v, _ in entries}
+        missing = [v for v in self.versions() if v not in known]
+        if missing:
+            with open(self._index_path(), "a") as f:
+                for v in missing:
+                    lsn = self.manifest(v).watermark["lsn"]
+                    entries.append((v, lsn))
+                    f.write(json.dumps({"version": v, "lsn": lsn}) + "\n")
+        entries.sort()
+        return entries
+
     def latest_version_at_or_before(self, lsn: int) -> int | None:
         """Newest version whose watermark.lsn <= lsn (for reorg replay).
 
-        Scans backward from the current version; the first match is by
-        construction the newest — O(reorg depth in commits) manifest
-        reads in the common case, not O(history)."""
-        for v in reversed(self.versions()):
-            if self.manifest(v).watermark["lsn"] <= lsn:
+        One sidecar-index read + one directory listing — no per-version
+        manifest JSON parses (watermarks are NOT monotonic across
+        versions because a rollback commit restores an older watermark,
+        so this is a backward scan over the in-memory index, newest
+        match first). GC-pruned versions are skipped via the live set."""
+        live = set(self.versions())
+        for v, wlsn in reversed(self._version_lsn_index()):
+            if v in live and wlsn <= lsn:
                 return v
         return None
 
@@ -490,6 +529,14 @@ class SnapshotTable:
             if v not in keep:
                 os.remove(self._manifest_path(v))
                 n_manifests += 1
+        if n_manifests:
+            # compact the version→lsn sidecar to the kept versions
+            kept_entries = [(v, l) for v, l in self._version_lsn_index() if v in keep]
+            tmp = self._index_path() + f".tmp-{uuid.uuid4().hex}"
+            with open(tmp, "w") as f:
+                for v, l in kept_entries:
+                    f.write(json.dumps({"version": v, "lsn": l}) + "\n")
+            os.replace(tmp, self._index_path())
         n_files = 0
         data_root = os.path.join(self.path, "data")
         for commit_dir in os.listdir(data_root):

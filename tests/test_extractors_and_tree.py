@@ -1,0 +1,172 @@
+"""Round-2 operators: ABI-decode extractors (token transfer + erc1155),
+unbounded-depth call-tree flatten, label_of/tag_value_usd rule UDFs, and
+the manifest version→lsn sidecar index."""
+
+import json
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from blockchain_etl_spark.operators import extractors as EXT
+from blockchain_etl_spark.operators.tree import flatten_geth_traces
+
+W = lambda h: "0x" + "0" * (64 - len(h)) + h  # left-pad to a 32-byte word
+ADDR_A = "a" * 40
+ADDR_B = "b" * 40
+
+
+def _logs(spark, rows):
+    return spark.createDataFrame(
+        rows, "event_id long, address string, topics array<string>, data string"
+    )
+
+
+def test_token_transfer_extract_and_weth_rewrite(spark):
+    rows = [
+        # plain Transfer: topics [T, from, to] + 1 data word
+        (1, "0x" + "c" * 40, [EXT.TRANSFER_EVENT_TOPIC, W(ADDR_A), W(ADDR_B)], W("64")),
+        # WETH Deposit → Transfer(zero → dst)
+        (2, EXT.WETH_TOKEN_ADDRESS, [EXT.DEPOSIT_EVENT_TOPIC, W(ADDR_A)], W("c8")),
+        # WETH Withdrawal → Transfer(src → zero)
+        (3, EXT.WETH_TOKEN_ADDRESS, [EXT.WITHDRAWAL_EVENT_TOPIC, W(ADDR_A)], W("2a")),
+        # Deposit at a NON-weth address: not rewritten, not a transfer
+        (4, "0x" + "d" * 40, [EXT.DEPOSIT_EVENT_TOPIC, W(ADDR_A)], W("01")),
+        # weird event: Transfer with 2 data words (5 total) → rejected
+        (5, "0x" + "c" * 40, [EXT.TRANSFER_EVENT_TOPIC, W(ADDR_A), W(ADDR_B)],
+         W("64")[0:66] + "0" * 63 + "1"),
+        # anonymous log → skipped
+        (6, "0x" + "c" * 40, [], W("64")),
+    ]
+    out = {
+        r["event_id"]: r.asDict()
+        for r in EXT.extract_token_transfers(_logs(spark, rows)).collect()
+    }
+    assert set(out) == {1, 2, 3}
+    assert out[1]["from_address"] == "0x" + ADDR_A
+    assert out[1]["to_address"] == "0x" + ADDR_B
+    assert out[1]["value"] == 0x64
+    assert out[2]["from_address"] == EXT.ZERO_ADDR
+    assert out[2]["to_address"] == "0x" + ADDR_A
+    assert out[2]["value"] == 0xC8
+    assert out[3]["from_address"] == "0x" + ADDR_A
+    assert out[3]["to_address"] == EXT.ZERO_ADDR
+
+
+def test_erc1155_single_and_batch(spark):
+    hdr = [W(ADDR_A), W(ADDR_A), W(ADDR_B)]  # operator, from, to
+    batch_words = [
+        W("40"), W("a0"),       # offsets
+        W("2"), W("b"), W("c"),  # id_cnt=2, ids 11, 12
+        W("2"), W("14"), W("1e"),  # va_cnt=2, values 20, 30
+    ]
+    mismatch = [W("40"), W("a0"), W("2"), W("b"), W("c"), W("3"), W("14"), W("1e")]
+    rows = [
+        (1, "0x" + "c" * 40, [EXT.TRANSFER_SINGLE_TOPIC, *hdr],
+         "0x" + W("7")[2:] + W("5")[2:]),                                   # id 7 val 5
+        (2, "0x" + "c" * 40, [EXT.TRANSFER_BATCH_TOPIC, *hdr],
+         "0x" + "".join(w[2:] for w in batch_words)),
+        (3, "0x" + "c" * 40, [EXT.TRANSFER_BATCH_TOPIC, *hdr],
+         "0x" + "".join(w[2:] for w in mismatch)),                           # cnt mismatch
+    ]
+    out = EXT.extract_erc1155_transfers(_logs(spark, rows)).collect()
+    by_key = {(r["event_id"], r["id_pos"]): r.asDict() for r in out}
+    assert set(by_key) == {(1, 0), (2, 0), (2, 1)}
+    assert by_key[(1, 0)]["xfer_type"] == "TransferSingle"
+    assert by_key[(1, 0)]["id"] == 7 and by_key[(1, 0)]["value"] == 5
+    assert by_key[(2, 0)]["id"] == 11 and by_key[(2, 0)]["value"] == 20
+    assert by_key[(2, 1)]["id"] == 12 and by_key[(2, 1)]["value"] == 30
+    assert by_key[(2, 1)]["id_cnt"] == 2
+
+
+def test_flatten_geth_traces_unbounded_depth(spark):
+    # a 70-deep linear chain — beyond any fixed-iteration flatten
+    node = {"type": "call", "from": "0xa", "to": "0xb", "value": 1, "calls": []}
+    for d in range(69):
+        node = {"type": "call", "from": "0xa", "to": "0xb", "value": 1,
+                "calls": [node], "error": d == 10}
+    df = spark.createDataFrame([(7, json.dumps(node))], "tx_id long, trace_json string")
+    rows = flatten_geth_traces(df).collect()
+    assert len(rows) == 70
+    depths = sorted(r["depth"] for r in rows)
+    assert depths == list(range(70))
+    paths = {tuple(r["trace_address"]) for r in rows}
+    assert tuple([0] * 69) in paths and () in paths
+    assert sum(1 for r in rows if r["error"]) == 1
+
+
+def test_rule_label_of_and_tag_value_usd(spark):
+    from blockchain_etl_spark.functions.rules import rule_filter, rule_to_sql
+    from blockchain_etl_spark.operators.alerts import with_labels
+
+    df = spark.createDataFrame(
+        [(1, "0xaa", 500.0), (2, "0xbb", 250.0), (3, "0xcc", 50.0)],
+        "id long, sender string, value double",
+    )
+    labels = spark.createDataFrame(
+        [("0xaa", "exchange"), ("0xbb", "mixer")], "address string, label string"
+    )
+    tagged = with_labels(df, labels, ["sender"])
+    hits = tagged.filter(rule_filter("label_of(sender) == 'mixer'")).collect()
+    assert [r["id"] for r in hits] == [2]
+    # unlabeled → '' (reference returns '' for unknown addresses)
+    empt = tagged.filter(rule_filter("label_of(sender) == ''")).collect()
+    assert [r["id"] for r in empt] == [3]
+    tags = tagged.select(
+        "id", F.expr(rule_to_sql("tag_value_usd(value, 100, 400)")).alias("t")
+    ).collect()
+    got = {r["id"]: r["t"] for r in tags}
+    assert got == {
+        1: "Level 1 risk control alert",
+        2: "Level 2 risk control alert",
+        3: "",
+    }
+
+
+def test_version_index_no_manifest_scans(spark, tmp_path):
+    """latest_version_at_or_before must not parse manifests per version —
+    the sidecar index answers the lookup."""
+    import pyspark.sql.types as T
+
+    from blockchain_etl_spark.tables import snapshot as snapmod
+    from blockchain_etl_spark.tables.snapshot import Manifest, SnapshotTable
+
+    schema = T.StructType(
+        [T.StructField("doc_id", T.StringType()), T.StructField("lsn", T.LongType())]
+    )
+    t = SnapshotTable.create(spark, str(tmp_path / "t"), schema, key="doc_id", n_buckets=4)
+    df = spark.createDataFrame([("d1", 0)], schema)
+    for lsn in (5, 10, 15):
+        t.append_deltas(df, watermark={"lsn": lsn, "seq": 0, "pos": lsn})
+
+    calls = {"n": 0}
+    orig = Manifest.from_json
+
+    def counting(s):
+        calls["n"] += 1
+        return orig(s)
+
+    snapmod.Manifest.from_json = staticmethod(counting)
+    try:
+        assert t.latest_version_at_or_before(10) is not None
+        assert calls["n"] == 0  # index-only lookup
+    finally:
+        snapmod.Manifest.from_json = staticmethod(orig)
+
+    # the index answer equals the scan answer for every probe
+    def scan(lsn):
+        for v in reversed(t.versions()):
+            if t.manifest(v).watermark["lsn"] <= lsn:
+                return v
+        return None
+
+    for probe in (-1, 0, 5, 7, 10, 14, 15, 99):
+        assert t.latest_version_at_or_before(probe) == scan(probe)
+
+    # backfill path: a table whose index was never written (pre-index)
+    os.remove(t._index_path())
+    assert t.latest_version_at_or_before(10) == scan(10)

@@ -56,3 +56,43 @@ def test_fetch_lsn_range_source(spark):
         (F.col("op") != "D") & (F.col("n_tok") != F.size("tokens"))
     ).count()
     assert bad == 0
+
+
+def test_adaptive_range_fetcher_halves_and_regrows():
+    """No Spark needed: the control loop is driver-side by design."""
+    from blockchain_etl_spark.sources.changelog_source import AdaptiveRangeFetcher
+
+    calls = []
+    fail_big = {"armed": True}
+
+    def fetch(lo, hi):
+        calls.append((lo, hi))
+        if fail_big["armed"] and hi - lo > 4:
+            raise RuntimeError("range too large for upstream")
+        return f"df[{lo},{hi})"
+
+    f = AdaptiveRangeFetcher(fetch, max_batch=16, min_batch=1, grow_after=2)
+    chunks = []
+    it = f.run(0, 40)
+    for start, end, df in it:
+        chunks.append((start, end))
+        if end >= 20:
+            fail_big["armed"] = False  # upstream recovers mid-stream
+    # full coverage, in order, no gaps or overlaps
+    assert chunks[0][0] == 0 and chunks[-1][1] == 40
+    for (s1, e1), (s2, e2) in zip(chunks, chunks[1:]):
+        assert e1 == s2
+    # it halved 16 -> 4 under failure, then grew back after successes
+    sizes = [e - s for s, e in chunks]
+    assert min(sizes) <= 4
+    assert max(sizes[-2:]) >= 8
+
+    # hard failure (min_batch still failing) eventually raises
+    def always_fail(lo, hi):
+        raise RuntimeError("down")
+
+    f2 = AdaptiveRangeFetcher(always_fail, max_batch=4, max_retries=2)
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError):
+        list(f2.run(0, 4))

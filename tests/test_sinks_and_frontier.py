@@ -43,3 +43,55 @@ def test_track_frontier_expands_hops(spark):
     hits = track_frontier(events, seeds, hops=2)
     assert hits.filter("hop = 1").count() == events.filter("user_id = 1").count()
     assert hits.filter("hop = 2").count() > 0
+
+
+def test_message_bus_contract(spark, tmp_path):
+    """Transport contract for the Kafka leg, exercised against the
+    file-backed broker double: (topic, key, value-JSON) records, topic
+    from the entity→topic mapping (≙ kafka_item_exporter.py:28-40), one
+    JSON object per item that round-trips to the source row."""
+    import json
+
+    from blockchain_etl_spark.operators.sinks import FileBusSink, KafkaSink
+
+    df = spark.createDataFrame(
+        [(1, "a", [1, 2]), (2, "b", [3])], "id long, s string, arr array<int>"
+    )
+    mapping = {"token_transfer": "eth.token_xfer.v1"}
+    bus = FileBusSink(str(tmp_path / "bus"), topic_mapping=mapping, key_cols=["id"])
+    out = bus.write(df, "token_transfer")
+    assert out.endswith("eth.token_xfer.v1")
+
+    back = spark.read.parquet(out).collect()
+    assert {r["topic"] for r in back} == {"eth.token_xfer.v1"}
+    assert sorted(r["key"] for r in back) == ["1", "2"]
+    decoded = sorted((json.loads(r["value"]) for r in back), key=lambda d: d["id"])
+    assert decoded == [
+        {"id": 1, "s": "a", "arr": [1, 2]},
+        {"id": 2, "s": "b", "arr": [3]},
+    ]
+
+    # KafkaSink builds the IDENTICAL record frame (only the transport
+    # differs); unmapped entities fall back to prefix+entity
+    k = KafkaSink("broker:9092", topic_prefix="pre.", topic_mapping=mapping)
+    rec = k.records(df, "other_entity").collect()
+    assert {r["topic"] for r in rec} == {"pre.other_entity"}
+
+
+def test_jsonl_and_pubsub_record_contract(spark, tmp_path):
+    import json
+
+    import pytest as _pytest
+
+    from blockchain_etl_spark.operators.sinks import JsonlSink, PubSubSink
+
+    df = spark.createDataFrame([(1, "x"), (2, "y")], "id long, s string")
+    out = JsonlSink(str(tmp_path / "jl")).write(df, "blocks")
+    lines = [json.loads(r["value"]) for r in spark.read.text(out).collect()]
+    assert sorted(lines, key=lambda d: d["id"]) == [{"id": 1, "s": "x"}, {"id": 2, "s": "y"}]
+
+    ps = PubSubSink("proj", topic_mapping={"blocks": "projects/p/topics/blocks"})
+    rec = ps.records(df, "blocks").collect()
+    assert {r["topic"] for r in rec} == {"projects/p/topics/blocks"}
+    with _pytest.raises(NotImplementedError):
+        ps.write(df, "blocks")
