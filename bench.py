@@ -161,15 +161,20 @@ def cdc_run(cores: int, n_events: int, n_epochs: int = 8, n_docs: int = 100_000,
     workdir = tempfile.mkdtemp(prefix=f"bench-cdc-{cores}-",
                                dir=_tmpfs_local_dir() or None)
     try:
-        # ---- warmup (JIT + codegen), untimed -----------------------------
+        # ---- warmup (JIT + codegen), untimed: TWO epochs through the
+        # exact store-read → validate → dedup → append → compact path —
+        # measured epoch times keep dropping for 3-4 epochs after a
+        # single small warmup, which silently taxes the first timed epoch
         wstore = EpochStore(spark, os.path.join(workdir, "wstore"))
         wtable = SnapshotTable.create(
             spark, os.path.join(workdir, "wtarget"), TARGET_SCHEMA, n_buckets=32
         )
         weng = CdcEngine(spark, wtable, epoch_store=wstore)
-        wev = generate_changelog_spark(spark, 100_000, n_docs=10_000, partitions=cores)
-        wstore.write_epoch(0, wev)
+        wev = generate_changelog_spark(spark, 400_000, n_docs=10_000, partitions=cores)
+        wstore.write_epoch(0, wev.filter(F.col("stream_pos") < 200_000))
+        wstore.write_epoch(1, wev.filter(F.col("stream_pos") >= 200_000))
         weng.apply_epoch(wstore.read_epoch(0), 0)
+        weng.apply_epoch(wstore.read_epoch(1), 1)
         wtable.compact()
 
         # ---- staged input (landing cost not part of apply metric) --------

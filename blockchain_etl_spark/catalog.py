@@ -55,11 +55,13 @@ def derive_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
         X.tokenize(F.col("text"), vocab=_VOCAB).alias("_toks"),
         "source",
     )
+    # the tokenized dim is small (n_docs rows) — broadcast it so the
+    # per-event side never shuffles
     ev = e.select(
         F.col("event_id"),
         op.alias("op"),
         doc_key.alias("doc_key"),
-    ).join(d_tok, "doc_key", "left")
+    ).join(F.broadcast(d_tok), "doc_key", "left")
 
     lsn = F.expr(f"event_id div {_LSN_DIV}")
     tokens = F.col("_toks")
@@ -152,8 +154,23 @@ FROM last WHERE rn = 1 AND op <> 'D'
 def cdc_replay_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     # token arrays are serialized to a deterministic CSV string so the
     # driver's canonicalizer (pandas sort/hash) can compare them; n_tok
-    # keeps the length invariant checkable
-    final = replay_final_state(derive_changelog(spark, sf_dir))
+    # keeps the length invariant checkable.
+    # R markers are derivable from the cheap events table alone — passing
+    # them avoids re-executing the whole events⋈documents derivation for
+    # the marker collect (measured ~2× on the flagship bench query)
+    lsn = F.expr(f"event_id div {_LSN_DIV}").cast("long")
+    mk = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .filter(F.col("event_id") % _REORG_MOD == _REORG_AT)
+        .select(
+            F.col("event_id").alias("stream_pos"),
+            lsn.alias("lsn"),
+            F.greatest(lsn - _REORG_DEPTH, F.lit(0)).cast("long").alias(
+                "rollback_to_lsn"
+            ),
+        )
+    )
+    final = replay_final_state(derive_changelog(spark, sf_dir), markers_df=mk)
     return final.select(
         "doc_id",
         F.concat_ws(",", F.col("tokens").cast("array<string>")).alias("tokens_csv"),
@@ -1222,35 +1239,59 @@ def oracle_sqls() -> dict[str, str]:
     }
 
 
-def _minhash_sql(num_hashes: int = 8, bands: int = 4, sample_mod: int = 5) -> str:
+def _minhash_banded_cte(num_hashes: int, bands: int, sample_mod: int) -> str:
+    """Shared CTE body: documents → k=1 shingles → ONE md5 base hash per
+    shingle → per-seed integer-mix minhash (exact twin of
+    dedup.minhash_banded) → (doc_id, band, bucket)."""
+    from blockchain_etl_spark.functions.text import _MH_MOD, minhash_coeffs
+
     rows = num_hashes // bands
+    coeffs = minhash_coeffs(num_hashes)
+    mins = ",\n                 ".join(
+        f"min(({a} * h + {b}) % {_MH_MOD}) AS m{s}"
+        for s, (a, b) in enumerate(coeffs)
+    )
+    band_rows = "\n          UNION ALL ".join(
+        "SELECT doc_id, {bnd} AS band, md5({expr}) AS bucket FROM sig".format(
+            bnd=bnd,
+            expr=" || '|' || ".join(
+                f"m{bnd * rows + r}::VARCHAR" for r in range(rows)
+            ),
+        )
+        for bnd in range(bands)
+    )
     return f"""
-        WITH d AS (
-          SELECT doc_id,
+        d AS (
+          SELECT doc_id, source, lang,
                  list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS words
           FROM documents WHERE doc_id % {sample_mod} = 0
         ),
-        sh AS (
-          SELECT doc_id,
+        shing AS (
+          SELECT doc_id, source, lang,
                  CASE WHEN len(words) >= 1 THEN
                    list_transform(generate_series(0, len(words) - 1),
                                   i -> array_to_string(list_slice(words, i + 1, i + 1), ' '))
-                 ELSE [array_to_string(words, ' ')] END AS shingles
+                 ELSE [array_to_string(words, ' ')] END AS shingles,
+                 list_distinct(words) AS wset
           FROM d
+        ),
+        w AS (
+          SELECT doc_id, ('0x' || substr(md5(g), 1, 15))::BIGINT % {_MH_MOD} AS h
+          FROM (SELECT doc_id, unnest(shingles) AS g FROM shing)
         ),
         sig AS (
           SELECT doc_id,
-                 list_transform(generate_series(0, {num_hashes - 1}),
-                   s -> list_min(list_transform(shingles,
-                          g -> md5(s::VARCHAR || '|' || g)))) AS sig
-          FROM sh
+                 {mins}
+          FROM w GROUP BY doc_id
         ),
         banded AS (
-          SELECT doc_id, b.band,
-                 md5(array_to_string(list_slice(sig, b.band * {rows} + 1,
-                                                b.band * {rows} + {rows}), '|')) AS bucket
-          FROM sig, (SELECT unnest(generate_series(0, {bands - 1})) AS band) b
-        )
+          {band_rows}
+        )"""
+
+
+def _minhash_sql(num_hashes: int = 8, bands: int = 4, sample_mod: int = 5) -> str:
+    return f"""
+        WITH {_minhash_banded_cte(num_hashes, bands, sample_mod)}
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared_bands
         FROM banded a JOIN banded b
           ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
@@ -1299,34 +1340,8 @@ def _embedding_near_dup_sql(n_bands: int = 2) -> str:
 
 
 def _ngram_jaccard_sql(num_hashes: int = 8, bands: int = 4, sample_mod: int = 10) -> str:
-    rows = num_hashes // bands
     return f"""
-        WITH d AS (
-          SELECT doc_id, source, lang,
-                 list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS words
-          FROM documents WHERE doc_id % {sample_mod} = 0
-        ),
-        dd AS (
-          SELECT doc_id, source, lang, list_distinct(words) AS wset,
-                 CASE WHEN len(words) >= 1 THEN
-                   list_transform(generate_series(0, len(words) - 1),
-                                  i -> array_to_string(list_slice(words, i + 1, i + 1), ' '))
-                 ELSE [array_to_string(words, ' ')] END AS shingles
-          FROM d
-        ),
-        sig AS (
-          SELECT doc_id, source, lang, wset,
-                 list_transform(generate_series(0, {num_hashes - 1}),
-                   s -> list_min(list_transform(shingles,
-                          g -> md5(s::VARCHAR || '|' || g)))) AS sig
-          FROM dd
-        ),
-        banded AS (
-          SELECT doc_id, b.band,
-                 md5(array_to_string(list_slice(sig, b.band * {rows} + 1,
-                                                b.band * {rows} + {rows}), '|')) AS bucket
-          FROM sig, (SELECT unnest(generate_series(0, {bands - 1})) AS band) b
-        ),
+        WITH {_minhash_banded_cte(num_hashes, bands, sample_mod)},
         cand AS (
           SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
           FROM banded a JOIN banded b
@@ -1337,8 +1352,8 @@ def _ngram_jaccard_sql(num_hashes: int = 8, bands: int = 4, sample_mod: int = 10
                  len(list_intersect(da.wset, db.wset)) AS inter,
                  len(list_distinct(da.wset || db.wset)) AS uni
           FROM cand
-          JOIN sig da ON da.doc_id = cand.doc_a
-          JOIN sig db ON db.doc_id = cand.doc_b
+          JOIN shing da ON da.doc_id = cand.doc_a
+          JOIN shing db ON db.doc_id = cand.doc_b
         )
         SELECT source, lang,
                count(*) AS n_pairs,

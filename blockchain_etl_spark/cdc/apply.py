@@ -96,14 +96,22 @@ def _liveness_filter(df: DataFrame, markers: list[dict[str, Any]]) -> DataFrame:
                 | (F.col("lsn") <= m["rollback_to_lsn"])
             )
         return df.filter(cond)
-    arr = F.array(
-        *[
-            F.struct(
-                F.lit(m["stream_pos"]).alias("pos"),
-                F.lit(m["rollback_to_lsn"]).alias("rb"),
+    # ONE literal string parsed by a foldable from_json — building
+    # thousands of per-marker lit()/struct() nodes costs Catalyst
+    # analysis time linear in #markers (measured: ~half the flagship
+    # query's wall at 474 markers), while a folded constant is O(1)
+    import json as _json
+
+    arr = F.from_json(
+        F.lit(
+            _json.dumps(
+                [
+                    {"pos": m["stream_pos"], "rb": m["rollback_to_lsn"]}
+                    for m in markers
+                ]
             )
-            for m in markers
-        ]
+        ),
+        "array<struct<pos:bigint,rb:bigint>>",
     )
     # min rollback_to among markers strictly after this event
     min_rb = F.aggregate(

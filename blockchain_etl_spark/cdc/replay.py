@@ -25,17 +25,27 @@ from pyspark.sql import functions as F
 from blockchain_etl_spark.cdc.apply import _liveness_filter, _valid_expr, dedup_last_writer
 
 
-def replay_final_state(events: DataFrame, markers: str = "collect") -> DataFrame:
+def replay_final_state(
+    events: DataFrame, markers: str = "collect", markers_df: DataFrame | None = None
+) -> DataFrame:
     """events: the full change-log. Returns final rows
-    (doc_id, tokens, n_tok, source, lsn, seq)."""
+    (doc_id, tokens, n_tok, source, lsn, seq).
+
+    ``markers_df``: optional pre-computed R markers (stream_pos, lsn,
+    rollback_to_lsn). When the change-log is itself a derived plan (a
+    join/transform, not a materialized table), collecting markers from
+    ``events`` re-executes the whole derivation — a caller that can
+    produce the markers from the cheap base table should pass them."""
     data = events.filter(F.col("op") != "R")
     if markers == "collect":
-        mk = [
-            r.asDict()
-            for r in events.filter(F.col("op") == "R")
-            .select("stream_pos", "lsn", "rollback_to_lsn")
-            .collect()
-        ]
+        src = (
+            markers_df
+            if markers_df is not None
+            else events.filter(F.col("op") == "R").select(
+                "stream_pos", "lsn", "rollback_to_lsn"
+            )
+        )
+        mk = [r.asDict() for r in src.collect()]
         live = _liveness_filter(data, mk)
     else:
         w = (

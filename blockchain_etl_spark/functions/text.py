@@ -80,6 +80,29 @@ def char_ngrams(text: Column | str, n: int = 3) -> Column:
 
 
 # ------------------------------------------------------------ minhash / lsh
+_MH_MOD = 1 << 31
+
+
+def minhash_coeffs(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) universal-hash coefficients, derivable by any
+    engine (md5-seeded, embedded as literals in plans AND oracle SQL)."""
+    import hashlib as _hl
+
+    out = []
+    for s in range(num_hashes):
+        h = _hl.md5(f"mh{s}".encode()).hexdigest()
+        out.append(((int(h[:8], 16) | 1) % _MH_MOD, int(h[8:16], 16) % _MH_MOD))
+    return out
+
+
+def shingle_hash31(shingle: Column) -> Column:
+    """ONE md5 per shingle → 31-bit base hash; per-seed minhash values are
+    integer mixes (a·h+b mod 2^31) of this base — the textbook minhash
+    optimization (k seeds of integer math instead of k cryptographic
+    hashes per shingle). All values < 2^62, exact in any int64 engine."""
+    return F.conv(F.substring(F.md5(shingle), 1, 15), 16, 10).cast("long") % _MH_MOD
+
+
 def minhash_signature(shingle_arr: Column, num_hashes: int = 16) -> Column:
     """MinHash signature: for seed s, min over shingles of
     ``md5(s || '|' || shingle)`` (hex strings compare lexicographically —

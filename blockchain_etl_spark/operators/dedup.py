@@ -38,6 +38,43 @@ def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def minhash_banded(
+    docs: DataFrame, num_hashes: int, bands: int, shingle_col: str = "shingles"
+) -> DataFrame:
+    """(doc_id, shingles) → (doc_id, band, bucket) LSH band keys.
+
+    Plan: explode shingles → ONE md5 per shingle in a codegen'd
+    projection → per-seed minhash as integer mixes aggregated with
+    map-side-combined min() (one small shuffle of num_hashes longs per
+    doc) → band bucket = md5 of the row-group. The per-seed md5s of the
+    classic formulation cost num_hashes cryptographic hashes per shingle
+    inside HOF lambdas (no CSE there); this is the standard
+    single-base-hash minhash."""
+    rows = num_hashes // bands
+    coeffs = X.minhash_coeffs(num_hashes)
+    w = docs.select("doc_id", F.explode(shingle_col).alias("sh")).select(
+        "doc_id", X.shingle_hash31(F.col("sh")).alias("h")
+    )
+    sig = w.groupBy("doc_id").agg(
+        *[
+            F.min((F.lit(a) * F.col("h") + F.lit(b)) % X._MH_MOD).alias(f"m{s}")
+            for s, (a, b) in enumerate(coeffs)
+        ]
+    )
+    bandcols = []
+    for bnd in range(bands):
+        cols = [F.col(f"m{bnd * rows + r}") for r in range(rows)]
+        bandcols.append(
+            F.struct(
+                F.lit(bnd).alias("band"),
+                F.md5(F.concat_ws("|", *cols)).alias("bucket"),
+            )
+        )
+    return sig.select("doc_id", F.explode(F.array(*bandcols)).alias("bb")).select(
+        "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+
+
 def minhash_lsh_pairs(
     spark: SparkSession,
     sf_dir: str,
@@ -49,18 +86,15 @@ def minhash_lsh_pairs(
     bucket self-join. Output: candidate pairs (a < b) with the number of
     shared band buckets. ``sample_mod`` deterministically subsamples doc
     ids to bound the oracle's pair count at test scale."""
-    rows = num_hashes // bands
     d = _docs(spark, sf_dir).filter(F.col("doc_id") % sample_mod == 0)
     # k=1 shingles (word sets): the synthetic corpus shares a small
     # vocabulary, so word-level jaccard is the signal; k is a dial (3-5
     # word shingles for web-scale text).
-    sig = d.select(
-        "doc_id",
-        X.minhash_signature(X.shingles("text", k=1), num_hashes=num_hashes).alias("sig"),
+    banded = minhash_banded(
+        d.select("doc_id", X.shingles("text", k=1).alias("shingles")),
+        num_hashes,
+        bands,
     )
-    banded = sig.select(
-        "doc_id", F.explode(X.minhash_bands(F.col("sig"), bands, rows)).alias("bb")
-    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -134,7 +168,6 @@ def ngram_jaccard_blocks(
     intersect/union size sums — no float summation anywhere, so the
     DuckDB oracle matches bit-for-bit.
     """
-    rows = num_hashes // bands
     d = (
         _docs(spark, sf_dir)
         .filter(F.col("doc_id") % sample_mod == 0)
@@ -143,14 +176,10 @@ def ngram_jaccard_blocks(
             "source",
             "lang",
             F.array_distinct(X.words("text")).alias("wset"),
-            X.minhash_signature(X.shingles("text", k=1), num_hashes=num_hashes).alias(
-                "sig"
-            ),
+            X.shingles("text", k=1).alias("shingles"),
         )
     )
-    banded = d.select(
-        "doc_id", F.explode(X.minhash_bands(F.col("sig"), bands, rows)).alias("bb")
-    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    banded = minhash_banded(d, num_hashes, bands)
     cand = (
         banded.alias("a")
         .join(banded.alias("b"), ["band", "bucket"])

@@ -172,7 +172,9 @@ def main(argv=None):
         print(json.dumps({"version": v}))
     elif args.cmd == "show":
         if args.what == "state":
-            read_state(table).show(50, truncate=60)
+            st = read_state(table)
+            st.show(50, truncate=60)
+            print(json.dumps({"rows": st.count()}))
         elif args.what == "metrics":
             CdcEngine(spark, table).read_metrics().show(50, truncate=120)
         else:
