@@ -294,6 +294,13 @@ def _cdc_run_subprocess(
 
 
 def main():
+    shm = _tmpfs_local_dir()
+    if shm:
+        # sweep leftovers from killed ballast/aborted runs so tmpfs never
+        # accumulates across bench invocations
+        for d in os.listdir(shm):
+            if d.startswith("bench-"):
+                shutil.rmtree(os.path.join(shm, d), ignore_errors=True)
     sf = _sf_from_dir(SF_DIR)
     n_events = int(os.environ.get("BENCH_EVENTS", str(max(400_000, int(40_000_000 * sf)))))
 
@@ -331,6 +338,12 @@ def main():
             # constant per-commit driver cost doesn't masquerade as poor
             # scaling (measured: 2s/commit ≈ 40% of an 8-core epoch at
             # 500k events/epoch).
+            # NOTE an "equal-pressure" variant (2-core leg measured under
+            # 3 ballast copies of the same job) was tried and REJECTED:
+            # co-located JVMs interfere far beyond the hardware (page
+            # cache, shuffle-dir locks, GC threads), producing
+            # non-physical ratios (>1). Raw + hw-ceiling-normalized are
+            # the reported pair.
             for i in range(repeats):
                 # alternate within-round order so any slow drift in host
                 # weather biases neither core count
