@@ -94,6 +94,22 @@ def run_structured_stream(
         .parquet(os.path.join(landing_dir, "*"))
     )
 
+    handle = make_epoch_handler(engine)
+    writer = stream.writeStream.foreachBatch(handle).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+        return q
+    return writer.start()
+
+
+def make_epoch_handler(engine: "CdcEngine"):
+    """foreachBatch handler with content-derived epoch identity +
+    re-batching misalignment detection (shared by every streaming
+    ingest path)."""
+
     def handle(batch_df, batch_id: int):
         # content-derived epoch identity (one small agg per batch; the
         # landing write below recomputes full stats via Observation)
@@ -118,8 +134,30 @@ def run_structured_stream(
             batch_df = engine.epoch_store.read_epoch(epoch_id)
         engine.apply_epoch(batch_df, epoch_id)
 
-    writer = stream.writeStream.foreachBatch(handle).option(
-        "checkpointLocation", checkpoint_dir
+    return handle
+
+
+def run_source_stream(
+    spark: SparkSession,
+    engine: "CdcEngine",
+    checkpoint_dir: str,
+    source_options: dict | None = None,
+    available_now: bool = True,
+):
+    """Drive the engine straight from the native ``changelog`` DataSource
+    (sources/changelog_datasource.py) — the no-landing-dir ingest path:
+    source offsets ride Spark's checkpoint, epoch identity + exactly-once
+    ride the engine's manifest ledger."""
+    from blockchain_etl_spark.sources.changelog_datasource import ChangelogDataSource
+
+    spark.dataSource.register(ChangelogDataSource)
+    reader = spark.readStream.format("changelog")
+    for k, v in (source_options or {}).items():
+        reader = reader.option(k, v)
+    writer = (
+        reader.load()
+        .writeStream.foreachBatch(make_epoch_handler(engine))
+        .option("checkpointLocation", checkpoint_dir)
     )
     if available_now:
         q = writer.trigger(availableNow=True).start()

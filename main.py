@@ -67,6 +67,15 @@ def main(argv=None):
     sp.add_argument("--continuous", action="store_true",
                     help="keep running (default: drain available and exit)")
 
+    sp = sub.add_parser("source-stream", help="ingest from the native "
+                        "`changelog` Python DataSource (no landing dir)")
+    sp.add_argument("--table", required=True)
+    sp.add_argument("--store", required=True)
+    sp.add_argument("--checkpoint", required=True)
+    sp.add_argument("--buckets", type=int, default=64)
+    sp.add_argument("--tip-lsn", type=int, default=64)
+    sp.add_argument("--start-lsn", type=int, default=0)
+
     sp = sub.add_parser("replay")
     sp.add_argument("--events", required=True, help="parquet dir of the full change-log")
     sp.add_argument("--table", required=True)
@@ -132,6 +141,20 @@ def main(argv=None):
             run_structured_stream(spark, args.landing, engine, args.checkpoint,
                                   available_now=not args.continuous)
             print(json.dumps({"table_version": table.current_version()}))
+        return 0
+
+    if args.cmd == "source-stream":
+        from blockchain_etl_spark.streaming.tail import run_source_stream
+
+        table = SnapshotTable(spark, args.table)
+        if not table.exists():
+            SnapshotTable.create(spark, args.table, TARGET_SCHEMA, n_buckets=args.buckets)
+        store = EpochStore(spark, args.store)
+        engine = CdcEngine(spark, table, epoch_store=store)
+        run_source_stream(spark, engine, args.checkpoint,
+                          {"tip_lsn": args.tip_lsn, "start_lsn": args.start_lsn})
+        print(json.dumps({"table_version": table.current_version(),
+                          "watermark": table.manifest().watermark}))
         return 0
 
     if args.cmd == "replay":
