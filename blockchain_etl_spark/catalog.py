@@ -966,6 +966,7 @@ QUERIES: dict[str, callable] = {
     "exact_dedup": dedup.exact_dedup,
     "minhash_lsh_pairs": dedup.minhash_lsh_pairs,
     "simhash_buckets": dedup.simhash_buckets,
+    "simhash_near_pairs": dedup.simhash_near_pairs,
     "ngram_jaccard_blocks": dedup.ngram_jaccard_blocks,
     "text_quality": text_quality,
     "token_counts": token_counts,
@@ -1174,6 +1175,7 @@ def oracle_sqls() -> dict[str, str]:
         """,
         "minhash_lsh_pairs": _minhash_sql(),
         "simhash_buckets": _simhash_sql(),
+        "simhash_near_pairs": _simhash_near_pairs_sql(),
         "ngram_jaccard_blocks": _ngram_jaccard_sql(),
         "trace_status": _TRACE_STATUS_SQL,
         "rule_engine_filter": _RULE_FILTER_SQL,
@@ -1361,6 +1363,40 @@ def _ngram_jaccard_sql(num_hashes: int = 8, bands: int = 4, sample_mod: int = 10
                sum(inter) AS sum_intersect,
                sum(uni) AS sum_union
         FROM p GROUP BY source, lang
+    """
+
+
+def _simhash_near_pairs_sql(radius: int = 3, sample_mod: int = 5) -> str:
+    return f"""
+        WITH w AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS words
+          FROM documents WHERE doc_id % {sample_mod} = 0
+        ),
+        sh AS (
+          SELECT doc_id,
+                 list_reduce(list_transform(generate_series(0, 31), j ->
+                   CASE WHEN list_reduce(list_transform(words, ft ->
+                          CASE WHEN (('0x' || substr(md5(ft), j // 4 + 1, 1))::INT
+                                     // (2 ** (3 - j % 4))::INT) % 2 = 1
+                               THEN 1 ELSE -1 END),
+                          (a, b) -> a + b) > 0
+                        THEN (2::BIGINT ** (31 - j))::BIGINT ELSE 0 END),
+                   (a, b) -> a + b) AS simhash
+          FROM w
+        ),
+        blocked AS (
+          SELECT doc_id, simhash, b.blk, (simhash >> (8 * b.blk)) & 255 AS val
+          FROM sh, (SELECT unnest([0, 1, 2, 3]) AS blk) b
+        ),
+        pairs AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                          a.simhash AS sa, b.simhash AS sb
+          FROM blocked a JOIN blocked b
+            ON a.blk = b.blk AND a.val = b.val AND a.doc_id < b.doc_id
+        )
+        SELECT doc_a, doc_b, bit_count(xor(sa, sb))::INT AS hamming
+        FROM pairs WHERE bit_count(xor(sa, sb)) <= {radius}
     """
 
 

@@ -107,23 +107,17 @@ def minhash_lsh_pairs(
     )
 
 
-def simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """32-bit SimHash per document + exact-signature dup grouping.
-    (32-bit so the bit-fold stays in exact integer range for the SQL
-    oracle; hamming-radius pairing is in ``simhash_near_pairs``.)
+def simhash32_df(docs: DataFrame) -> DataFrame:
+    """docs(doc_id, text) → (doc_id, simhash:long) 32-bit SimHash.
 
     Plan shape: explode words → ONE md5 per word in a plain codegen'd
-    projection (the previous formulation recomputed each word's md5
-    inside HOF lambdas, 32× per word — no CSE there) → 32 literal-shift
-    bit votes summed per doc (hash agg with map-side partial combine) →
-    sign-fold. One shuffle on doc_id carrying 32 small ints per word —
-    at 10^10 docs this is the same single-shuffle budget as any per-doc
-    signature, with the md5 cost cut 32×.
-    """
-    d = _docs(spark, sf_dir)
+    projection (a HOF-lambda formulation recomputes each word's md5 32×
+    — no CSE inside lambdas) → 32 literal-shift bit votes summed per doc
+    (hash agg with map-side partial combine) → sign-fold. One shuffle on
+    doc_id carrying 32 small ints per word."""
     # explode_outer keeps zero-word docs (they get a null hash row → all
     # vote sums null → simhash 0, same as the oracle's empty-fold)
-    w = d.select("doc_id", F.explode_outer(X.words("text")).alias("w")).select(
+    w = docs.select("doc_id", F.explode_outer(X.words("text")).alias("w")).select(
         "doc_id",
         F.conv(F.substring(F.md5("w"), 1, 8), 16, 10).cast("long").alias("h"),
     )
@@ -141,10 +135,72 @@ def simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0).cast("long")
         )
         simhash = bit if simhash is None else simhash + bit
-    sh = votes.select("doc_id", simhash.alias("simhash"))
+    return votes.select("doc_id", simhash.alias("simhash"))
+
+
+def simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash per document + exact-signature dup grouping.
+    (32-bit so the bit-fold stays in exact integer range for the SQL
+    oracle; hamming-radius pairing is ``simhash_near_pairs``.)"""
+    sh = simhash32_df(_docs(spark, sf_dir))
     return sh.groupBy("simhash").agg(
         F.count("*").alias("n_docs"), F.min("doc_id").alias("keep_doc_id")
     )
+
+
+def simhash_near_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    radius: int = 3,
+    sample_mod: int = 5,
+) -> DataFrame:
+    """Hamming-radius SimHash near-dup pairs, pigeonhole-blocked.
+
+    With the 32-bit signature split into 4 disjoint 8-bit blocks, two
+    signatures within hamming distance r ≤ 3 must agree EXACTLY on at
+    least one block (pigeonhole) — so candidates come from a
+    (block, value) bucket join (bounded buckets, one shuffle), never
+    all-pairs; the exact popcount check then keeps true neighbors. The
+    standard multi-index Hamming search layout at 10^10 docs.
+    """
+    sh = simhash32_df(
+        _docs(spark, sf_dir).filter(F.col("doc_id") % sample_mod == 0)
+    )
+    blocked = sh.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("blk"),
+                        F.shiftright("simhash", 8 * b)
+                        .bitwiseAND(F.lit(255))
+                        .alias("val"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bb"),
+    ).select(
+        "doc_id", "simhash", F.col("bb.blk").alias("blk"), F.col("bb.val").alias("val")
+    )
+    a = blocked.select(
+        "blk", "val", F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sa")
+    )
+    b = blocked.select(
+        "blk", "val", F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sb")
+    )
+    pairs = (
+        a.join(b, ["blk", "val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sa", "sb")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
+    return pairs.select(
+        "doc_a", "doc_b", hamming.cast("int").alias("hamming")
+    ).filter(F.col("hamming") <= radius)
 
 
 def ngram_jaccard_blocks(
