@@ -1335,7 +1335,7 @@ def _embedding_near_dup_sql(n_bands: int = 2) -> str:
         SELECT band, bucket, count(*) AS n_pairs,
                sum(CASE WHEN dot > 0
                          AND 100 * (dot::HUGEINT * dot) >= 81 * (na::HUGEINT * nb)
-                        THEN 1 ELSE 0 END) AS n_near_dups,
+                        THEN 1 ELSE 0 END)::BIGINT AS n_near_dups,
                max(dot) AS max_dot
         FROM pairs GROUP BY band, bucket
     """
@@ -1359,14 +1359,14 @@ def _ngram_jaccard_sql(num_hashes: int = 8, bands: int = 4, sample_mod: int = 10
         )
         SELECT source, lang,
                count(*) AS n_pairs,
-               sum(CASE WHEN 2 * inter >= uni THEN 1 ELSE 0 END) AS n_near_dups,
-               sum(inter) AS sum_intersect,
-               sum(uni) AS sum_union
+               sum(CASE WHEN 2 * inter >= uni THEN 1 ELSE 0 END)::BIGINT AS n_near_dups,
+               sum(inter)::BIGINT AS sum_intersect,
+               sum(uni)::BIGINT AS sum_union
         FROM p GROUP BY source, lang
     """
 
 
-def _simhash_near_pairs_sql(radius: int = 3, sample_mod: int = 5) -> str:
+def _simhash_near_pairs_sql(radius: int = 3, sample_mod: int = 2) -> str:
     return f"""
         WITH w AS (
           SELECT doc_id,
@@ -1382,21 +1382,40 @@ def _simhash_near_pairs_sql(radius: int = 3, sample_mod: int = 5) -> str:
                                THEN 1 ELSE -1 END),
                           (a, b) -> a + b) > 0
                         THEN (2::BIGINT ** (31 - j))::BIGINT ELSE 0 END),
-                   (a, b) -> a + b) AS simhash
+                   (a, b) -> a + b) AS sh_hi,
+                 list_reduce(list_transform(generate_series(32, 63), j ->
+                   CASE WHEN list_reduce(list_transform(words, ft ->
+                          CASE WHEN (('0x' || substr(md5(ft), j // 4 + 1, 1))::INT
+                                     // (2 ** (3 - j % 4))::INT) % 2 = 1
+                               THEN 1 ELSE -1 END),
+                          (a, b) -> a + b) > 0
+                        THEN (2::BIGINT ** (63 - j))::BIGINT ELSE 0 END),
+                   (a, b) -> a + b) AS sh_lo
           FROM w
         ),
         blocked AS (
-          SELECT doc_id, simhash, b.blk, (simhash >> (8 * b.blk)) & 255 AS val
+          SELECT doc_id, sh_hi, sh_lo, b.blk,
+                 CASE b.blk
+                   WHEN 0 THEN sh_lo & 65535
+                   WHEN 1 THEN (sh_lo >> 16) & 65535
+                   WHEN 2 THEN sh_hi & 65535
+                   ELSE (sh_hi >> 16) & 65535
+                 END AS val
           FROM sh, (SELECT unnest([0, 1, 2, 3]) AS blk) b
         ),
         pairs AS (
           SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                          a.simhash AS sa, b.simhash AS sb
+                          a.sh_hi AS ha_hi, a.sh_lo AS ha_lo,
+                          b.sh_hi AS hb_hi, b.sh_lo AS hb_lo
           FROM blocked a JOIN blocked b
             ON a.blk = b.blk AND a.val = b.val AND a.doc_id < b.doc_id
         )
-        SELECT doc_a, doc_b, bit_count(xor(sa, sb))::INT AS hamming
-        FROM pairs WHERE bit_count(xor(sa, sb)) <= {radius}
+        SELECT doc_a, doc_b,
+               (bit_count(xor(ha_hi, hb_hi)) + bit_count(xor(ha_lo, hb_lo)))::INT
+                   AS hamming
+        FROM pairs
+        WHERE bit_count(xor(ha_hi, hb_hi)) + bit_count(xor(ha_lo, hb_lo))
+              <= {radius}
     """
 
 

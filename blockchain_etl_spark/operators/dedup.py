@@ -138,6 +138,41 @@ def simhash32_df(docs: DataFrame) -> DataFrame:
     return votes.select("doc_id", simhash.alias("simhash"))
 
 
+def simhash64_df(docs: DataFrame) -> DataFrame:
+    """docs(doc_id, text) → (doc_id, simhash:long) 64-bit SimHash.
+
+    Same codegen-friendly plan as :func:`simhash32_df` — ONE md5 per word
+    in a plain projection (never inside a HOF lambda: no CSE there), then
+    64 literal-shift bit votes summed per doc and a sign-fold. The word
+    hash is split into two 32-bit halves (hex chars 1-8 / 9-16 of the
+    md5) so every intermediate stays in exact int64 range; bit 0 of the
+    signature is the long sign bit (weight -(2^63))."""
+    w = docs.select("doc_id", F.explode_outer(X.words("text")).alias("w")).select(
+        "doc_id",
+        F.conv(F.substring(F.md5("w"), 1, 8), 16, 10).cast("long").alias("hi"),
+        F.conv(F.substring(F.md5("w"), 9, 8), 16, 10).cast("long").alias("lo"),
+    )
+    votes = w.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.shiftright(F.col("hi" if j < 32 else "lo"), (31 - j) % 32)
+                .bitwiseAND(F.lit(1))
+                * 2
+                - 1
+            ).alias(f"v{j}")
+            for j in range(64)
+        ]
+    )
+    simhash = None
+    for j in range(64):
+        weight = F.lit(-(2**63)).cast("long") if j == 0 else F.lit(
+            1 << (63 - j)
+        ).cast("long")
+        bit = F.when(F.col(f"v{j}") > 0, weight).otherwise(F.lit(0).cast("long"))
+        simhash = bit if simhash is None else simhash + bit
+    return votes.select("doc_id", simhash.alias("simhash"))
+
+
 def simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash per document + exact-signature dup grouping.
     (32-bit so the bit-fold stays in exact integer range for the SQL
@@ -152,18 +187,33 @@ def simhash_near_pairs(
     spark: SparkSession,
     sf_dir: str,
     radius: int = 3,
-    sample_mod: int = 5,
+    sample_mod: int = 2,
 ) -> DataFrame:
     """Hamming-radius SimHash near-dup pairs, pigeonhole-blocked.
 
-    With the 32-bit signature split into 4 disjoint 8-bit blocks, two
+    With the 64-bit signature split into 4 disjoint 16-bit blocks, two
     signatures within hamming distance r ≤ 3 must agree EXACTLY on at
     least one block (pigeonhole) — so candidates come from a
-    (block, value) bucket join (bounded buckets, one shuffle), never
-    all-pairs; the exact popcount check then keeps true neighbors. The
-    standard multi-index Hamming search layout at 10^10 docs.
+    (block, value) bucket join, never all-pairs; the exact popcount
+    check then keeps true neighbors. The standard multi-index Hamming
+    search layout.
+
+    Scale: each block index has 65,536 possible values and real simhash
+    bits are near-uniform, so expected bucket size is ≈ n/65,536 per
+    block — bucket cardinality GROWS with the corpus (unlike a fixed
+    block count over a fixed-width value space, buckets shrink relative
+    to n as more blocks' values spread), and AQE skew-join splits any
+    residual hot bucket. At 10^10 docs a bucket holds ~150k docs →
+    ~10^10 candidate pairs total across all buckets, linear-ish in n,
+    vs the quadratic blow-up an 8-bit block scheme (256 values) hits.
+    The 4-block pigeonhole is only complete for radius ≤ 3 — asserted.
     """
-    sh = simhash32_df(
+    if radius > 3:
+        raise ValueError(
+            f"radius={radius} > 3: the 4-block pigeonhole guarantee needs "
+            "blocks > radius; use radius+1 blocks for larger radii"
+        )
+    sh = simhash64_df(
         _docs(spark, sf_dir).filter(F.col("doc_id") % sample_mod == 0)
     )
     blocked = sh.select(
@@ -174,8 +224,8 @@ def simhash_near_pairs(
                 *[
                     F.struct(
                         F.lit(b).alias("blk"),
-                        F.shiftright("simhash", 8 * b)
-                        .bitwiseAND(F.lit(255))
+                        F.shiftright("simhash", 16 * b)
+                        .bitwiseAND(F.lit(65535))
                         .alias("val"),
                     )
                     for b in range(4)

@@ -96,8 +96,11 @@ def full_outer_sendrecv(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.round(F.sum("value"), 2).alias("in_value"), F.count("*").alias("in_cnt"))
     )
+    # alias both sides: they share lineage from the same base scan, and an
+    # un-aliased USING join on same-lineage attrs trips Spark's
+    # trivially-true-predicate warning
     return (
-        send.join(recv, "user_id", "full_outer")
+        send.alias("snd").join(recv.alias("rcv"), "user_id", "full_outer")
         .select(
             "user_id",
             F.coalesce("out_value", F.lit(0.0)).alias("out_value"),

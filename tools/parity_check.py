@@ -31,7 +31,10 @@ def _norm_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return round(v, 6)
+        # dtype-strict: the driver's canonicalizer hashes `55.0` != `55`, so a
+        # DuckDB sum() that lands as float64 must NOT compare equal to Spark's
+        # int64. Tag floats so int-vs-float parity failures surface locally.
+        return ("f", round(v, 6))
     if hasattr(v, "isoformat"):
         return v.isoformat()
     if v is None or (isinstance(v, float) and pd.isna(v)):
