@@ -52,8 +52,36 @@ ZERO_ADDR = "0x0000000000000000000000000000000000000000"
 def hex_word_to_long(word: Column) -> Column:
     """hex_to_dec of a 32-byte word whose value fits in int64 (the last
     16 hex chars; ≙ hex_to_dec, /root/reference/blockchainetl/utils.py:45-57
-    for the value range an exact cross-engine oracle can carry)."""
+    for the value range an exact cross-engine oracle can carry). Values
+    ≥ 2^63 raise under ANSI mode (Spark 4 default) — fail-loud, never a
+    silent truncation; use :func:`hex_word_to_decimal` for production
+    amounts."""
     return F.conv(F.substring(word, -16, 16), 16, 10).cast("long")
+
+
+def hex_word_to_decimal(word: Column) -> Column:
+    """Exact unsigned decode of a 32-byte word into decimal(38,0) — the
+    production-path variant of :func:`hex_word_to_long` (real ERC20/1155
+    amounts routinely exceed int64: 2^63 wei ≈ 9.2 tokens at 18
+    decimals; ≙ hex_to_dec preserving full precision,
+    /root/reference/blockchainetl/utils.py:45-57).
+
+    Spark's conv() is unsigned-64-bit internally, so the low 120 bits
+    are decoded as two 15-nibble (60-bit) halves recombined with exact
+    decimal arithmetic: hi·2^60 + lo < 2^120 ≈ 1.33e36, inside
+    decimal(38,0). Values with any nonzero nibble above bit 120 (≈1.3e18
+    whole tokens at 18 decimals — beyond any real supply) decode to
+    NULL; callers that must carry full uint256 keep the raw hex word,
+    exactly as the reference keeps total_supply as a string."""
+    clean = F.lpad(F.lower(F.regexp_replace(word, "^0x", "")), 64, "0")
+    fits = F.substring(clean, 1, 34) == F.lit("0" * 34)
+    hi = F.conv(F.substring(clean, 35, 15), 16, 10).cast("decimal(19,0)")
+    lo = F.conv(F.substring(clean, 50, 15), 16, 10).cast("decimal(19,0)")
+    val = (
+        hi.cast("decimal(38,0)") * F.lit(2**60).cast("decimal(19,0)")
+        + lo.cast("decimal(38,0)")
+    ).cast("decimal(38,0)")
+    return F.when(fits, val)
 
 
 def word_to_addr(word: Column) -> Column:
@@ -62,11 +90,18 @@ def word_to_addr(word: Column) -> Column:
     return F.lower(F.concat(F.lit("0x"), F.substring(word, -40, 40)))
 
 
-def extract_token_transfers(logs: DataFrame) -> DataFrame:
+def extract_token_transfers(
+    logs: DataFrame, exact_values: bool = False
+) -> DataFrame:
     """logs(event_id, address, topics:array<string>, data:string) →
     token transfers. Anonymous logs (empty topics) are skipped; WETH
     Deposit/Withdrawal logs are rewritten to Transfer shape; logs whose
-    topics+data words != 4 are rejected as weird events."""
+    topics+data words != 4 are rejected as weird events.
+
+    ``exact_values=True`` decodes ``value`` as decimal(38,0) (production
+    path — amounts exceed int64); default int64 keeps the cross-engine
+    oracle parity for the synthetic gate queries."""
+    dec = hex_word_to_decimal if exact_values else hex_word_to_long
     t0 = F.get("topics", 0)
     t1 = F.get("topics", 1)
     addr_norm = normalized_address("address")
@@ -93,19 +128,26 @@ def extract_token_transfers(logs: DataFrame) -> DataFrame:
             "token_address",
             word_to_addr(F.get("w", 1)).alias("from_address"),
             word_to_addr(F.get("w", 2)).alias("to_address"),
-            hex_word_to_long(F.get("w", 3)).alias("value"),
+            dec(F.get("w", 3)).alias("value"),
         )
     )
 
 
-def extract_erc1155_transfers(logs: DataFrame) -> DataFrame:
+def extract_erc1155_transfers(
+    logs: DataFrame, exact_values: bool = False
+) -> DataFrame:
     """logs → ERC1155 transfer rows (one per (log, id_pos)).
+
+    ``exact_values=True`` decodes ``id``/``value`` as decimal(38,0)
+    (ids are often hash-derived uint256, amounts exceed int64); the
+    int64 default keeps oracle parity on the synthetic gate rows.
 
     TransferSingle: exactly 6 words (4 topics + id + value).
     TransferBatch head-tail decode (0-based words): [4]=ids offset,
     [5]=values offset, [6]=id_cnt, [7..6+id_cnt]=ids,
     [7+id_cnt]=va_cnt, then values; id_cnt != va_cnt → rejected.
     """
+    dec = hex_word_to_decimal if exact_values else hex_word_to_long
     w = F.concat(F.col("topics"), split_to_words("data"))
     base = logs.filter(F.size("topics") >= 1).select(
         "event_id", normalized_address("address").alias("token_address"), w.alias("w")
@@ -124,8 +166,8 @@ def extract_erc1155_transfers(logs: DataFrame) -> DataFrame:
             F.lit("TransferSingle").alias("xfer_type"),
             F.lit(0).alias("id_pos"),
             F.lit(1).alias("id_cnt"),
-            hex_word_to_long(F.get("w", 4)).alias("id"),
-            hex_word_to_long(F.get("w", 5)).alias("value"),
+            dec(F.get("w", 4)).alias("id"),
+            dec(F.get("w", 5)).alias("value"),
         )
     )
     batch = (
@@ -155,8 +197,8 @@ def extract_erc1155_transfers(logs: DataFrame) -> DataFrame:
             "xfer_type",
             "id_pos",
             "id_cnt",
-            hex_word_to_long(F.get("w", F.col("id_pos") + 7)).alias("id"),
-            hex_word_to_long(
+            dec(F.get("w", F.col("id_pos") + 7)).alias("id"),
+            dec(
                 F.get("w", F.col("id_pos") + F.col("id_cnt") + 8)
             ).alias("value"),
         )

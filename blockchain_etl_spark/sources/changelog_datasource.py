@@ -92,21 +92,34 @@ class ChangelogStreamReader(DataSourceStreamReader):
     def latestOffset(self) -> dict:
         # ≙ get_current_block_number(), optionally clamped by
         # block_batch_size (streamer.py:153): never advance more than one
-        # batch past the last planned end, never past the tip
+        # batch past the last planned/committed end, never past the tip.
+        # _last is seeded from the checkpoint before this is ever called on
+        # a fresh reader: traced restart sequence is partitions(committed,
+        # committed) replay-probe → latestOffset → commit(end). The
+        # monotone max in partitions()/commit() guarantees we never offer
+        # an offset BEHIND the checkpointed frontier (which Spark would
+        # plan as a regressive batch → re-reads at the next trigger).
         if self.o.max_lsns_per_batch <= 0:
             return {"lsn": self.o.tip_lsn}
-        committed = getattr(self, "_last", self.o.start_lsn)
-        return {"lsn": min(self.o.tip_lsn, committed + self.o.max_lsns_per_batch)}
+        cursor = getattr(self, "_last", self.o.start_lsn)
+        return {"lsn": max(cursor, min(self.o.tip_lsn, cursor + self.o.max_lsns_per_batch))}
 
     def partitions(self, start: dict, end: dict) -> list[InputPartition]:
-        self._last = end["lsn"]
+        # on restart Spark replans the last checkpointed batch (committed →
+        # an empty (end, end) probe; uncommitted → the real range) BEFORE
+        # ever calling latestOffset — track the max end so pacing resumes
+        # from the true frontier, monotonically
+        self._last = max(getattr(self, "_last", self.o.start_lsn), end["lsn"])
         return self.o.split(start["lsn"], end["lsn"])
 
     def read(self, partition: LsnRange):
         return _rows_for_range(partition)
 
     def commit(self, end: dict) -> None:
-        pass  # Spark's checkpoint holds the offset; the engine ledger dedups
+        # Spark's checkpoint holds the offset log; mirror the committed
+        # frontier into the in-memory cursor so a reader constructed after
+        # restart (commit is replayed for the last batch) is never behind
+        self._last = max(getattr(self, "_last", self.o.start_lsn), end["lsn"])
 
 
 class ChangelogBatchReader(DataSourceReader):

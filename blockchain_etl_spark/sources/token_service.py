@@ -75,19 +75,40 @@ class TokenDimService:
             seed = spark.createDataFrame([ETH_PSEUDO_TOKEN], TOKEN_SCHEMA)
             self._commit(seed)
 
+    def _pointer(self) -> str:
+        return os.path.join(self.cache_path, "CURRENT")
+
     def _data_dir(self) -> str:
-        return os.path.join(self.cache_path, "current")
+        if os.path.exists(self._pointer()):
+            with open(self._pointer()) as f:
+                return os.path.join(self.cache_path, f.read().strip())
+        return os.path.join(self.cache_path, "current")  # legacy layout
 
     def _commit(self, dim: DataFrame) -> None:
-        """Atomic swap: write to a temp dir, rename over `current`."""
-        tmp = os.path.join(self.cache_path, f"stage-{uuid.uuid4().hex}")
-        dim.write.mode("overwrite").parquet(tmp)
-        old = self._data_dir()
-        bak = old + ".old"
-        if os.path.exists(old):
-            os.replace(old, bak)
-        os.replace(tmp, old)
-        shutil.rmtree(bak, ignore_errors=True)
+        """Crash-safe swap via a pointer file (same scheme as
+        SnapshotTable's manifest): write the new dim to an immutable
+        stage dir, then atomically os.replace a one-line pointer file at
+        it. A crash at ANY point leaves a readable cache — either the
+        old pointer (orphan stage dir, GC'd on the next commit) or the
+        new one (orphan old dir, ditto). Never a state with no `current`
+        and never a directory-rename onto a non-empty target."""
+        stage = f"stage-{uuid.uuid4().hex}"
+        dim.write.mode("overwrite").parquet(os.path.join(self.cache_path, stage))
+        prev = self._data_dir()
+        ptmp = self._pointer() + f".tmp-{uuid.uuid4().hex}"
+        with open(ptmp, "w") as f:
+            f.write(stage)
+        os.replace(ptmp, self._pointer())  # atomic file rename = the commit
+        # GC: the previous data dir and any orphaned stage dirs from crashes
+        cur = os.path.join(self.cache_path, stage)
+        if os.path.abspath(prev) != os.path.abspath(cur):
+            shutil.rmtree(prev, ignore_errors=True)
+        for d in os.listdir(self.cache_path):
+            p = os.path.join(self.cache_path, d)
+            if d.startswith("stage-") and d != stage and os.path.isdir(p):
+                shutil.rmtree(p, ignore_errors=True)
+            if d.startswith("CURRENT.tmp-"):
+                os.unlink(p)
 
     def dim(self) -> DataFrame:
         return self.spark.read.schema(TOKEN_SCHEMA).parquet(self._data_dir())

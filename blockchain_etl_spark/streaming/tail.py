@@ -82,7 +82,9 @@ def run_structured_stream(
     that collides with an applied epoch but carries events PAST the
     committed watermark (re-batched grouping straddling the applied
     boundary) is a misalignment and fails loudly instead of being
-    silently skipped.
+    silently skipped; a batch with a NEW min that straddles the
+    watermark has its already-applied prefix filtered out before apply
+    (exactly-once on metrics/DLQ/deltas, not just on converged state).
     """
     # epoch files land as directories epoch-N.parquet/part-*.parquet; glob
     # one level down so the file source sees the leaf parquet files. The
@@ -129,10 +131,25 @@ def make_epoch_handler(engine: "CdcEngine"):
                 "re-batched files across an applied-epoch boundary; reprocess "
                 "with the original pacing or reconcile()"
             )
+        if epoch_id not in m.applied_epochs and epoch_id <= wm_pos:
+            # re-batched delivery with a NEW min that straddles (or sits
+            # entirely behind) the committed watermark: the <= wm_pos
+            # prefix was already applied under a different batching —
+            # without this, apply would converge (last-writer) but
+            # metrics/DLQ/MOR deltas duplicate. Drop the applied prefix
+            # and re-key the epoch on the surviving content.
+            if int(row["hi"]) <= wm_pos:
+                return  # every event already applied: pure redelivery
+            batch_df = batch_df.filter(F.col("stream_pos") > wm_pos)
+            epoch_id = int(
+                batch_df.agg(F.min("stream_pos")).first()[0]
+            )
+            if epoch_id in m.applied_epochs:
+                return  # surviving suffix is itself an applied epoch
         if engine.epoch_store is not None:
             engine.epoch_store.write_epoch(epoch_id, batch_df)
             batch_df = engine.epoch_store.read_epoch(epoch_id)
-        engine.apply_epoch(batch_df, epoch_id)
+        return engine.apply_epoch(batch_df, epoch_id)
 
     return handle
 

@@ -123,3 +123,41 @@ def test_source_to_engine_end_to_end(spark, tmp_path):
         )
     )
     assert len(got) > 0 and got == want
+
+
+def test_paced_stream_restart_keeps_cursor(spark, tmp_path):
+    """Paced reader across checkpoint restarts: each availableNow run is a
+    fresh reader instance (same as a process restart), so the cursor must
+    be restored from Spark's replayed commit/partitions calls — a reader
+    that forgets it offers a latestOffset BEHIND the checkpoint, which
+    Spark plans as a regressive batch and then re-reads the gap
+    (duplicate rows). Asserts forward-only progress and zero duplicate
+    stream_pos across 4 restarts."""
+    _register(spark)
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        q = (
+            spark.readStream.format("changelog")
+            .option("tip_lsn", 16)
+            .option("max_lsns_per_batch", 4)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    seen_max = -1
+    for _ in range(4):
+        run()
+        cur = spark.read.parquet(out)
+        n, ndist = cur.count(), cur.dropDuplicates(["stream_pos"]).count()
+        assert n == ndist, f"duplicate stream_pos after restart: {n} != {ndist}"
+        mx = cur.agg(F.max("lsn")).first()[0]
+        assert mx > seen_max, f"no forward progress: max lsn {mx} <= {seen_max}"
+        seen_max = mx
+    assert seen_max == 15  # reached the tip: 4 paced runs x 4 lsns

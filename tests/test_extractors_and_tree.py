@@ -170,3 +170,42 @@ def test_version_index_no_manifest_scans(spark, tmp_path):
     # backfill path: a table whose index was never written (pre-index)
     os.remove(t._index_path())
     assert t.latest_version_at_or_before(10) == scan(10)
+
+
+def test_hex_word_to_decimal_exact_uint_past_int64(spark):
+    """ADVICE r2: production amounts exceed int64 — decimal(38,0) decode
+    must be exact up to 2^120 and NULL (never truncate) above it."""
+    import random
+
+    rng = random.Random(7)
+    vals = (
+        [0, 1, 2**63 - 1, 2**63, 2**64, 10**18 * 10**9, 2**120 - 1]
+        + [rng.getrandbits(100) for _ in range(20)]
+        + [2**120, 2**255, int("f" * 64, 16)]  # overflow → NULL
+    )
+    rows = [(i, f"{v:064x}" if i % 2 else f"0x{v:064x}") for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "i int, w string").select(
+        "i", EXT.hex_word_to_decimal(F.col("w")).alias("d")
+    )
+    assert dict(df.dtypes)["d"] == "decimal(38,0)"
+    got = {r["i"]: r["d"] for r in df.collect()}
+    for i, v in enumerate(vals):
+        if v < 2**120:
+            assert got[i] is not None and int(got[i]) == v, (i, v, got[i])
+        else:
+            assert got[i] is None, (i, v, got[i])
+
+
+def test_extract_token_transfers_exact_values(spark):
+    big = 123456789 * 10**18  # ~1.2e26: fits decimal(38,0), not int64
+    rows = [
+        (1, "0x" + "c" * 40,
+         [EXT.TRANSFER_EVENT_TOPIC, W(ADDR_A), W(ADDR_B)], W(f"{big:x}")),
+    ]
+    out = EXT.extract_token_transfers(_logs(spark, rows), exact_values=True)
+    assert dict(out.dtypes)["value"] == "decimal(38,0)"
+    assert int(out.collect()[0]["value"]) == big
+    # int64 oracle-parity mode fails LOUDLY on overflow under ANSI (Spark 4
+    # default) — never a silent truncation
+    with pytest.raises(Exception, match="CAST_INVALID_INPUT|overflow"):
+        EXT.extract_token_transfers(_logs(spark, rows)).collect()

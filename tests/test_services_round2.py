@@ -94,3 +94,32 @@ def test_contract_classifier(spark):
     assert not out[3]["is_erc20"]  # tokenURI poison
     assert out[4]["function_sighashes"] == []
     assert out[5]["function_sighashes"] == [C.sighash("totalSupply()")]
+
+
+def test_token_dim_commit_is_crash_safe(spark, tmp_path):
+    """A crash mid-commit must never wedge the cache: leftover stage dirs
+    and pointer tmp files (the only possible crash residue under the
+    pointer-file scheme) are recovered/GC'd by the next commit, and the
+    cache stays readable at every intermediate state."""
+    import os
+
+    cache = str(tmp_path / "cache")
+    svc = TokenDimService(spark, cache)
+    # simulate crash residue: an orphaned stage dir and a torn pointer tmp
+    os.makedirs(os.path.join(cache, "stage-deadbeef"))
+    with open(os.path.join(cache, "stage-deadbeef", "junk"), "w") as f:
+        f.write("x")
+    with open(os.path.join(cache, "CURRENT.tmp-torn"), "w") as f:
+        f.write("stage-torn")
+    # cache still readable despite the residue
+    assert svc.dim().count() >= 1
+    # next commit succeeds (old scheme raised ENOTEMPTY here) and GCs
+    addrs = spark.createDataFrame([("0xAA",), ("0xBB",)], ["token_address"])
+    dim = svc.resolve(addrs)
+    assert dim.filter(dim.address == "0xaa").count() == 1
+    left = sorted(os.listdir(cache))
+    assert not any(d.startswith("CURRENT.tmp-") for d in left)
+    assert sum(d.startswith("stage-") for d in left) == 1  # only the live one
+    # survives a reopen (pointer is the source of truth)
+    svc2 = TokenDimService(spark, cache)
+    assert svc2.dim().count() == dim.count()

@@ -109,3 +109,46 @@ def test_structured_streaming_survives_checkpoint_loss(spark, tmp_path):
     )
     assert table.current_version() > v
     assert _state(table) == _expected(epochs)
+
+
+def test_rebatched_straddling_batch_filters_applied_prefix(spark, tmp_path):
+    """ADVICE r2: a re-batched batch whose NEW min stream_pos straddles the
+    committed watermark (already-applied prefix + new suffix) must not
+    re-apply the prefix — state would converge anyway, but metrics, DLQ
+    output and MOR delta files would duplicate. The handler drops the
+    prefix, re-keys the epoch on the surviving suffix, and a pure
+    redelivery (all events behind the watermark) is skipped outright."""
+    from blockchain_etl_spark.streaming.tail import make_epoch_handler
+
+    epochs = generate_changelog(seed=31, n_epochs=3)
+    flat = [e for ep in epochs for e in ep]
+    eng, table = _mk_engine(spark, tmp_path)
+    handle = make_epoch_handler(eng)
+
+    cut = len(epochs[0])
+    handle(events_to_df(spark, flat[:cut]), 0)  # normal epoch 0
+    wm = table.manifest().watermark["pos"]
+    applied_after_0 = set(table.manifest().applied_epochs)
+
+    # straddling re-batch: second half of epoch 0 + all of epoch 1
+    half = cut // 2
+    straddle = flat[half : cut + len(epochs[1])]
+    assert straddle[0]["stream_pos"] <= wm  # really straddles
+    metrics = handle(events_to_df(spark, straddle), 1)
+    m = table.manifest()
+    # re-keyed on the first NEW event, not on the redelivered min
+    new_key = min(e["stream_pos"] for e in straddle if e["stream_pos"] > wm)
+    assert set(m.applied_epochs) == applied_after_0 | {new_key}
+    # exactly-once on the apply: only the events past the watermark count
+    suffix_len = sum(1 for e in straddle if e["stream_pos"] > wm)
+    assert metrics["n_events"] == suffix_len
+
+    # pure redelivery (entirely behind the watermark): skipped, no ledger row
+    v = table.current_version()
+    handle(events_to_df(spark, flat[:half]), 2)
+    assert table.current_version() == v
+    assert set(table.manifest().applied_epochs) == applied_after_0 | {new_key}
+
+    # finish epoch 2 normally; state equals the oracle over the flat stream
+    handle(events_to_df(spark, epochs[2]), 3)
+    assert _state(table) == _expected(epochs)
