@@ -707,6 +707,284 @@ SELECT event_id, token_address, operator, from_address, to_address,
 """
 
 
+
+def _synth_erc721_logs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events → ERC721-ish Transfer logs: plain / known-ERC20-address /
+    CryptoPunk-address / weird-length / anonymous mix (all four indexed
+    params → 4 topics, empty data)."""
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    eid = F.col("event_id").cast("string")
+    word = lambda tag: F.concat(
+        F.lit("0x" + "0" * 24), F.substring(F.md5(F.concat(F.lit(tag), eid)), 1, 40)
+    )
+    addr = lambda tag: F.concat(
+        F.lit("0x"), F.substring(F.md5(F.concat(F.lit(tag), eid)), 1, 40)
+    )
+    vi = F.floor(F.col("value") * 100).cast("long")
+    idw = F.concat(F.lit("0x"), F.lpad(F.lower(F.hex(vi)), 64, "0"))
+    kind = F.col("event_id") % 6
+    address = (
+        F.when(kind == 2, addr("e"))
+        .when(kind == 3, F.lit(EXT.CRYPTOPUNK_TOKEN_ADDRESS))
+        .otherwise(addr("a"))
+    )
+    topics = F.when(kind == 5, F.array().cast("array<string>")).otherwise(
+        F.array(F.lit(EXT.TRANSFER_EVENT_TOPIC), word("f"), word("t"), idw)
+    )
+    data = F.when(
+        kind == 4, F.concat(F.lit("0x"), F.lpad(F.lower(F.hex(vi + 1)), 64, "0"))
+    ).otherwise(F.lit("0x"))
+    return e.select(
+        "event_id", address.alias("address"), topics.alias("topics"), data.alias("data")
+    )
+
+
+def erc721_transfer_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """≙ EthErc721TransferExtractor end-to-end
+    (erc721_transfer_extractor.py:17-62): Transfer logs minus the known
+    ERC20 set (broadcast anti join) minus the CryptoPunk contract, the
+    indexed 4th topic decoded as token_id."""
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    eid = F.col("event_id").cast("string")
+    erc20 = e.filter(F.col("event_id") % 6 == 2).select(
+        F.concat(
+            F.lit("0x"), F.substring(F.md5(F.concat(F.lit("e"), eid)), 1, 40)
+        ).alias("address")
+    )
+    return EXT.extract_erc721_transfers(_synth_erc721_logs(spark, sf_dir), erc20)
+
+
+_ERC721_SQL = f"""
+WITH ev AS (
+  SELECT event_id, event_id % 6 AS kind, floor(value * 100)::BIGINT AS vi
+  FROM events
+),
+logs AS (
+  SELECT event_id, kind,
+         CASE WHEN kind = 2 THEN '0x' || substr(md5('e' || event_id::VARCHAR), 1, 40)
+              WHEN kind = 3 THEN '{EXT.CRYPTOPUNK_TOKEN_ADDRESS}'
+              ELSE '0x' || substr(md5('a' || event_id::VARCHAR), 1, 40)
+         END AS address,
+         CASE WHEN kind = 5 THEN []::VARCHAR[]
+              ELSE ['{EXT.TRANSFER_EVENT_TOPIC}',
+                    '0x' || repeat('0', 24) || substr(md5('f' || event_id::VARCHAR), 1, 40),
+                    '0x' || repeat('0', 24) || substr(md5('t' || event_id::VARCHAR), 1, 40),
+                    '0x' || lpad(lower(hex(vi)), 64, '0')]
+         END AS topics,
+         CASE WHEN kind = 4 THEN '0x' || lpad(lower(hex(vi + 1)), 64, '0')
+              ELSE '0x' END AS data
+  FROM ev
+),
+twd AS (
+  SELECT event_id, lower(address) AS token_address,
+         topics || list_transform(generate_series(0, (length(data) - 2) // 64 - 1),
+                                  i -> substr(data, 3 + i * 64, 64)) AS w
+  FROM logs WHERE len(topics) >= 1
+)
+SELECT event_id, token_address,
+       lower('0x' || right(w[2], 40)) AS from_address,
+       lower('0x' || right(w[3], 40)) AS to_address,
+       ('0x' || right(w[4], 16))::BIGINT AS token_id
+FROM twd
+WHERE w[1] = '{EXT.TRANSFER_EVENT_TOPIC}' AND len(w) = 4
+  AND token_address <> '{EXT.CRYPTOPUNK_TOKEN_ADDRESS}'
+  AND token_address NOT IN (
+    SELECT '0x' || substr(md5('e' || event_id::VARCHAR), 1, 40)
+    FROM ev WHERE kind = 2)
+"""
+
+
+def _synth_punk_logs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events → per-block CryptoPunk log sequences exercising every merge
+    path: Assign / PunkTransfer@+1 / sale@+2 / bid@+1 / orphan /
+    double-match."""
+    e = spark.read.parquet(f"{sf_dir}/events.parquet").filter(
+        F.col("event_id") % 8 < 6
+    )
+    eid = F.col("event_id").cast("string")
+    word = lambda tag: F.concat(
+        F.lit("0x" + "0" * 24), F.substring(F.md5(F.concat(F.lit(tag), eid)), 1, 40)
+    )
+    vi = F.floor(F.col("value") * 100).cast("long")
+    pidw = F.concat(F.lit("0x"), F.lpad(F.lower(F.hex(vi % 10000)), 64, "0"))
+    vw = F.concat(F.lit("0x"), F.lpad(F.lower(F.hex(vi)), 64, "0"))
+    zw = F.lit("0x" + "0" * 64)
+    T = F.lit(EXT.TRANSFER_EVENT_TOPIC)
+    PT = F.lit(EXT.PUNK_TRANSFER_EVENT_TOPIC)
+    PB = F.lit(EXT.PUNK_BOUGHT_EVENT_TOPIC)
+    AS_ = F.lit(EXT.ASSIGN_EVENT_TOPIC)
+
+    def mk(li, topics, data):
+        return F.struct(
+            F.lit(li).cast("long").alias("log_index"),
+            topics.alias("topics"),
+            data.alias("data"),
+        )
+
+    transfer0 = mk(0, F.array(T, word("f"), word("t")), vw)
+    transfer1 = mk(1, F.array(T, word("t"), word("g")), vw)
+    punk1 = mk(1, F.array(PT, word("f"), word("t")), pidw)
+    sale2 = mk(2, F.array(PB, pidw, word("f"), word("t")), vw)
+    bid1 = mk(1, F.array(PB, pidw, word("f"), zw), vw)
+    assign0 = mk(0, F.array(AS_, word("t")), pidw)
+    orphan3 = mk(3, F.array(PT, word("f"), word("t")), pidw)
+    p = F.col("event_id") % 8
+    arr = (
+        F.when(p == 0, F.array(assign0))
+        .when(p == 1, F.array(transfer0, punk1))
+        .when(p == 2, F.array(transfer0, sale2))
+        .when(p == 3, F.array(transfer0, bid1))
+        .when(p == 4, F.array(orphan3))
+        .otherwise(F.array(transfer0, transfer1, sale2))
+    )
+    return e.select(
+        F.col("event_id").alias("block_number"),
+        F.concat(F.lit("0x"), F.md5(F.concat(F.lit("h"), eid))).alias(
+            "transaction_hash"
+        ),
+        F.lit(0).alias("transaction_index"),
+        F.lit(EXT.CRYPTOPUNK_TOKEN_ADDRESS).alias("address"),
+        F.explode(arr).alias("l"),
+    ).select(
+        "block_number",
+        "transaction_hash",
+        "transaction_index",
+        "address",
+        F.col("l.topics").alias("topics"),
+        F.col("l.data").alias("data"),
+        F.col("l.log_index").alias("log_index"),
+    )
+
+
+def cryptopunk_transfer_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """≙ EthCryptoPunkTransferExtractor decode + merge end-to-end
+    (cryptopunk_extractor.py:36-155) over synthesized per-block log
+    sequences — pandas merges re-expressed as equi hash joins."""
+    return EXT.extract_cryptopunk_transfers(_synth_punk_logs(spark, sf_dir))
+
+
+_CRYPTOPUNK_SQL = f"""
+WITH ev AS (
+  SELECT event_id, event_id % 8 AS p, floor(value * 100)::BIGINT AS vi
+  FROM events WHERE event_id % 8 < 6
+),
+base AS (
+  SELECT event_id, p,
+         '0x' || repeat('0', 24) || substr(md5('f' || event_id::VARCHAR), 1, 40) AS wf,
+         '0x' || repeat('0', 24) || substr(md5('t' || event_id::VARCHAR), 1, 40) AS wt,
+         '0x' || repeat('0', 24) || substr(md5('g' || event_id::VARCHAR), 1, 40) AS wg,
+         '0x' || lpad(lower(hex(vi % 10000)), 64, '0') AS pidw,
+         '0x' || lpad(lower(hex(vi)), 64, '0') AS vw,
+         '0x' || repeat('0', 64) AS zw,
+         '0x' || md5('h' || event_id::VARCHAR) AS txh
+  FROM ev
+),
+logs AS (
+  SELECT event_id AS block_number, txh AS transaction_hash, 0 AS transaction_index,
+         unnest(CASE p
+           WHEN 0 THEN [struct_pack(li := 0::BIGINT,
+                          topics := ['{EXT.ASSIGN_EVENT_TOPIC}', wt], data := pidw)]
+           WHEN 1 THEN [struct_pack(li := 0::BIGINT,
+                          topics := ['{EXT.TRANSFER_EVENT_TOPIC}', wf, wt], data := vw),
+                        struct_pack(li := 1::BIGINT,
+                          topics := ['{EXT.PUNK_TRANSFER_EVENT_TOPIC}', wf, wt], data := pidw)]
+           WHEN 2 THEN [struct_pack(li := 0::BIGINT,
+                          topics := ['{EXT.TRANSFER_EVENT_TOPIC}', wf, wt], data := vw),
+                        struct_pack(li := 2::BIGINT,
+                          topics := ['{EXT.PUNK_BOUGHT_EVENT_TOPIC}', pidw, wf, wt], data := vw)]
+           WHEN 3 THEN [struct_pack(li := 0::BIGINT,
+                          topics := ['{EXT.TRANSFER_EVENT_TOPIC}', wf, wt], data := vw),
+                        struct_pack(li := 1::BIGINT,
+                          topics := ['{EXT.PUNK_BOUGHT_EVENT_TOPIC}', pidw, wf, zw], data := vw)]
+           WHEN 4 THEN [struct_pack(li := 3::BIGINT,
+                          topics := ['{EXT.PUNK_TRANSFER_EVENT_TOPIC}', wf, wt], data := pidw)]
+           ELSE [struct_pack(li := 0::BIGINT,
+                   topics := ['{EXT.TRANSFER_EVENT_TOPIC}', wf, wt], data := vw),
+                 struct_pack(li := 1::BIGINT,
+                   topics := ['{EXT.TRANSFER_EVENT_TOPIC}', wt, wg], data := vw),
+                 struct_pack(li := 2::BIGINT,
+                   topics := ['{EXT.PUNK_BOUGHT_EVENT_TOPIC}', pidw, wf, wt], data := vw)]
+         END, recursive := true)
+  FROM base
+),
+dec AS (
+  SELECT block_number, transaction_hash, transaction_index, li AS log_index,
+         topics[1] AS topics_0,
+         topics || list_transform(generate_series(0, (length(data) - 2) // 64 - 1),
+                                  i -> substr(data, 3 + i * 64, 64)) AS w
+  FROM logs
+),
+typed AS (
+  SELECT *,
+         CASE topics_0 WHEN '{EXT.PUNK_TRANSFER_EVENT_TOPIC}' THEN 4
+                       WHEN '{EXT.PUNK_BOUGHT_EVENT_TOPIC}' THEN 5
+                       WHEN '{EXT.TRANSFER_EVENT_TOPIC}' THEN 4
+                       WHEN '{EXT.ASSIGN_EVENT_TOPIC}' THEN 3 END AS req,
+         CASE topics_0 WHEN '{EXT.PUNK_TRANSFER_EVENT_TOPIC}' THEN 1
+                       WHEN '{EXT.PUNK_BOUGHT_EVENT_TOPIC}' THEN 2
+                       WHEN '{EXT.TRANSFER_EVENT_TOPIC}' THEN 1 END AS fi,
+         CASE topics_0 WHEN '{EXT.PUNK_TRANSFER_EVENT_TOPIC}' THEN 2
+                       WHEN '{EXT.PUNK_BOUGHT_EVENT_TOPIC}' THEN 3
+                       WHEN '{EXT.TRANSFER_EVENT_TOPIC}' THEN 2
+                       WHEN '{EXT.ASSIGN_EVENT_TOPIC}' THEN 1 END AS ti,
+         CASE topics_0 WHEN '{EXT.PUNK_TRANSFER_EVENT_TOPIC}' THEN 3
+                       WHEN '{EXT.PUNK_BOUGHT_EVENT_TOPIC}' THEN 1
+                       WHEN '{EXT.ASSIGN_EVENT_TOPIC}' THEN 2 END AS ii
+  FROM dec
+),
+d AS (
+  SELECT block_number, transaction_hash, transaction_index, log_index, topics_0,
+         '{EXT.CRYPTOPUNK_TOKEN_ADDRESS}' AS token_address,
+         CASE WHEN topics_0 = '{EXT.ASSIGN_EVENT_TOPIC}' THEN '{"0x" + "0" * 40}'
+              ELSE lower('0x' || right(w[fi + 1], 40)) END AS from_address,
+         lower('0x' || right(w[ti + 1], 40)) AS to_address,
+         CASE WHEN ii IS NOT NULL
+              THEN ('0x' || right(w[ii + 1], 16))::BIGINT END AS token_id
+  FROM typed WHERE req IS NOT NULL AND len(w) = req
+),
+s AS (
+  SELECT block_number, transaction_hash, transaction_index,
+         to_address AS s_to_address, log_index AS s_log_index
+  FROM d WHERE topics_0 = '{EXT.TRANSFER_EVENT_TOPIC}'
+)
+SELECT block_number, transaction_hash, transaction_index, token_address,
+       from_address, to_address, token_id, log_index FROM (
+  SELECT block_number, transaction_hash, transaction_index, token_address,
+         from_address, to_address AS to_address, token_id,
+         log_index AS log_index
+  FROM d WHERE topics_0 = '{EXT.ASSIGN_EVENT_TOPIC}'
+  UNION ALL
+  SELECT d.block_number, d.transaction_hash, d.transaction_index, d.token_address,
+         d.from_address, s.s_to_address AS to_address, d.token_id,
+         s.s_log_index AS log_index
+  FROM d JOIN s ON d.block_number = s.block_number
+    AND d.transaction_hash = s.transaction_hash
+    AND d.transaction_index = s.transaction_index
+    AND d.log_index = s.s_log_index + 1
+  WHERE d.topics_0 = '{EXT.PUNK_TRANSFER_EVENT_TOPIC}'
+  UNION ALL
+  SELECT d.block_number, d.transaction_hash, d.transaction_index, d.token_address,
+         d.from_address, s.s_to_address AS to_address, d.token_id,
+         s.s_log_index AS log_index
+  FROM d JOIN s ON d.block_number = s.block_number
+    AND d.transaction_hash = s.transaction_hash
+    AND d.transaction_index = s.transaction_index
+    AND d.log_index = s.s_log_index + 2
+  WHERE d.topics_0 = '{EXT.PUNK_BOUGHT_EVENT_TOPIC}'
+    AND d.to_address <> '{"0x" + "0" * 40}'
+  UNION ALL
+  SELECT d.block_number, d.transaction_hash, d.transaction_index, d.token_address,
+         d.from_address, s.s_to_address AS to_address, d.token_id,
+         s.s_log_index AS log_index
+  FROM d JOIN s ON d.block_number = s.block_number
+    AND d.transaction_hash = s.transaction_hash
+    AND d.transaction_index = s.transaction_index
+    AND d.log_index = s.s_log_index + 1
+  WHERE d.topics_0 = '{EXT.PUNK_BOUGHT_EVENT_TOPIC}'
+)
+"""
+
+
 # --------------------------------------------------------------------------
 # Unbounded-depth call-tree flatten: synthetic heap-shaped geth trace
 # forest (JSON), flattened by the mapInPandas DFS; DuckDB twin derives the
@@ -864,9 +1142,10 @@ FROM orders LEFT JOIN (
 # --------------------------------------------------------------------------
 
 
-def contract_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """≙ EthContractService.get_contract classification
-    (eth_contract_service.py:38-140)."""
+def _synth_contracts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events → synthetic contract rows (event_id, address, bytecode):
+    PUSH2 noise + PUSH4 selector-run dispatchers per kind = event_id % 4
+    (0: full erc20, 1: erc721, 2: partial erc20, 3: empty)."""
     from blockchain_etl_spark.operators import contracts as C
 
     run = lambda sigs: "".join("63" + C.sighash(s)[2:] for s in sigs)
@@ -882,12 +1161,26 @@ def contract_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(kind == 2, F.lit("0x" + noise + partial))
         .otherwise(F.lit("0x"))
     )
-    e = (
+    eid = F.col("event_id").cast("string")
+    return (
         spark.read.parquet(f"{sf_dir}/events.parquet")
         .filter(F.col("event_id") % 10 == 0)
-        .select("event_id", bytecode.alias("bytecode"))
+        .select(
+            "event_id",
+            F.concat(
+                F.lit("0x"), F.substring(F.md5(F.concat(F.lit("c"), eid)), 1, 40)
+            ).alias("address"),
+            bytecode.alias("bytecode"),
+        )
     )
-    out = C.classify_contracts(e)
+
+
+def contract_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """≙ EthContractService.get_contract classification
+    (eth_contract_service.py:38-140)."""
+    from blockchain_etl_spark.operators import contracts as C
+
+    out = C.classify_contracts(_synth_contracts(spark, sf_dir).drop("address"))
     return out.select(
         "event_id",
         F.concat_ws(",", "function_sighashes").alias("sighashes_csv"),
@@ -895,6 +1188,63 @@ def contract_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         "is_erc20",
         "is_erc721",
     )
+
+
+def extract_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """contract → token composition ≙ extract_tokens_job.py +
+    EthTokenService.get_token (/root/reference/ethereumetl/jobs/
+    extract_tokens_job.py, eth_token_service.py:45-160): classify
+    bytecode → keep is_erc20/is_erc721 → resolve metadata through the
+    cached token dim (anti-join misses → fetch → broadcast enrich) →
+    token rows with symbol/name/decimals/total_supply.
+
+    Scale: classification is a narrow map over the contract scan; the
+    token dim is ≪ the contract stream so the metadata join broadcasts;
+    the only shuffle is the dim-side distinct over new addresses."""
+    import tempfile
+
+    from blockchain_etl_spark.operators import contracts as C
+    from blockchain_etl_spark.sources.token_service import TokenDimService
+
+    classified = C.classify_contracts(_synth_contracts(spark, sf_dir))
+    tok = classified.filter(F.col("is_erc20") | F.col("is_erc721")).select(
+        "event_id", "address", "is_erc20", "is_erc721"
+    )
+    svc = TokenDimService(spark, tempfile.mkdtemp(prefix="tokdim-extract-"))
+    dim = svc.resolve(tok, addr_col="address")
+    d = F.broadcast(
+        dim.select(
+            F.col("address").alias("__addr"),
+            "symbol",
+            "name",
+            "decimals",
+            "total_supply",
+        )
+    )
+    return (
+        tok.join(d, F.lower(F.col("address")) == F.col("__addr"))
+        .select(
+            "event_id", "address", "symbol", "name", "decimals",
+            "total_supply", "is_erc20", "is_erc721",
+        )
+    )
+
+
+_EXTRACT_TOKENS_SQL = """
+WITH c AS (
+  SELECT event_id, event_id % 4 AS kind,
+         '0x' || substr(md5('c' || event_id::VARCHAR), 1, 40) AS address
+  FROM events WHERE event_id % 10 = 0 AND event_id % 4 IN (0, 1)
+)
+SELECT event_id, address,
+       upper(substr(md5(address), 1, 6)) AS symbol,
+       'Token ' || substr(md5(address), 1, 8) AS name,
+       ('0x' || substr(md5(address), 9, 2))::INT % 24 AS decimals,
+       (('0x' || substr(md5(address), 11, 10))::BIGINT)::VARCHAR AS total_supply,
+       kind = 0 AS is_erc20,
+       kind = 1 AS is_erc721
+FROM c
+"""
 
 
 def _contract_classify_sql() -> str:
@@ -958,8 +1308,11 @@ QUERIES: dict[str, callable] = {
     "decimal_vsum": decimal_vsum,
     "log_transfer_extract": log_transfer_extract,
     "erc1155_batch_decode": erc1155_batch_decode,
+    "erc721_transfer_extract": erc721_transfer_extract,
+    "cryptopunk_transfer_extract": cryptopunk_transfer_extract,
     "call_tree_flatten": call_tree_flatten,
     "contract_classify": contract_classify,
+    "extract_tokens": extract_tokens,
     "trace_union_synthetic": trace_union_synthetic,
     "receipt_missing_fill": receipt_missing_fill,
     # training-data ops
@@ -1184,8 +1537,11 @@ def oracle_sqls() -> dict[str, str]:
         "decimal_vsum": _DECIMAL_VSUM_SQL,
         "log_transfer_extract": _LOG_TRANSFER_SQL,
         "erc1155_batch_decode": _ERC1155_SQL,
+        "erc721_transfer_extract": _ERC721_SQL,
+        "cryptopunk_transfer_extract": _CRYPTOPUNK_SQL,
         "call_tree_flatten": _CALL_TREE_SQL,
         "contract_classify": _contract_classify_sql(),
+        "extract_tokens": _EXTRACT_TOKENS_SQL,
         "trace_union_synthetic": _TRACE_UNION_SQL,
         "receipt_missing_fill": _RECEIPT_FILL_SQL,
         "text_quality": _TEXT_QUALITY_SQL,

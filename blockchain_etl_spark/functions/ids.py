@@ -81,11 +81,15 @@ def split_to_words(data: Column | str) -> Column:
     c = F.col(data) if isinstance(data, str) else data
     h = F.when(c.startswith("0x"), c.substr(F.lit(3), F.length(c))).otherwise(c)
     n_words = (F.length(h) / 64).cast("int")
+    # empty data ("0x") must yield [] like the reference — an unguarded
+    # sequence(0, n_words - 1) at n_words=0 is sequence(0, -1) = [0, -1]
     return F.when(
         F.length(h) % 64 == 0,
-        F.transform(
-            F.sequence(F.lit(0), n_words - 1),
-            lambda i: F.substring(h, (i * 64 + 1).cast("int"), 64),
+        F.when(n_words < 1, F.array().cast("array<string>")).otherwise(
+            F.transform(
+                F.sequence(F.lit(0), n_words - 1),
+                lambda i: F.substring(h, (i * 64 + 1).cast("int"), 64),
+            )
         ),
     )
 

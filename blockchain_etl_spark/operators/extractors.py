@@ -208,3 +208,187 @@ def extract_erc1155_transfers(
         "xfer_type", "id_pos", "id_cnt", "id", "value",
     ]
     return single.select(*cols).unionByName(batch.select(*cols))
+
+
+# ----------------------------------------------------------------- erc721
+# ≙ EthErc721TransferExtractor
+# (/root/reference/ethereumetl/service/erc721_transfer_extractor.py:17-62)
+# and EthCryptoPunkTransferExtractor
+# (/root/reference/ethereumetl/service/cryptopunk_extractor.py:36-155).
+
+CRYPTOPUNK_TOKEN_ADDRESS = "0xb47e3cd837ddf8e4c57f05d70ab865de6e193bbb"
+# PunkTransfer(index from, index to, punkIndex)
+PUNK_TRANSFER_EVENT_TOPIC = (
+    "0x05af636b70da6819000c49f85b21fa82081c632069bb626f30932034099107d8"
+)
+# PunkBought(index punkIndex, value, index fromAddress, index toAddress)
+PUNK_BOUGHT_EVENT_TOPIC = (
+    "0x58e5d5a525e3b40bc15abaa38b5882678db1ee68befd2f60bafe3a7fd06db9e3"
+)
+# Assign(index to, punkIndex)
+ASSIGN_EVENT_TOPIC = (
+    "0x8a0e37b73a0d9c82e205d4d1a3ff3d0b57ce5f4d7bccf6bac03336dc101cb7ba"
+)
+
+
+def extract_erc721_transfers(
+    logs: DataFrame, erc20_tokens: DataFrame | None = None
+) -> DataFrame:
+    """Transfer-topic logs that are NOT known ERC20 contracts and NOT the
+    CryptoPunk contract are assumed ERC721 (redundant data, no loss —
+    the reference's own heuristic, erc721_transfer_extractor.py:27-38);
+    the indexed third topic is the token id, not an amount.
+
+    ``erc20_tokens`` (one ``address`` column) is the known-ERC20 set;
+    exclusion is a broadcast LEFT ANTI hash join — the dim is ≪ the log
+    stream, so the anti join never shuffles the logs."""
+    base = logs.filter(F.size("topics") >= 1).select(
+        "event_id",
+        normalized_address("address").alias("token_address"),
+        F.concat(F.col("topics"), split_to_words("data")).alias("w"),
+    )
+    out = base.filter(
+        (F.get("w", 0) == TRANSFER_EVENT_TOPIC)
+        & (F.size("w") == 4)
+        & (F.col("token_address") != CRYPTOPUNK_TOKEN_ADDRESS)
+    )
+    if erc20_tokens is not None:
+        dim = F.broadcast(
+            erc20_tokens.select(
+                F.lower(F.col("address")).alias("token_address")
+            ).distinct()
+        )
+        out = out.join(dim, "token_address", "left_anti")
+    return out.select(
+        "event_id",
+        "token_address",
+        word_to_addr(F.get("w", 1)).alias("from_address"),
+        word_to_addr(F.get("w", 2)).alias("to_address"),
+        hex_word_to_long(F.get("w", 3)).alias("token_id"),
+    )
+
+
+def decode_cryptopunk_logs(logs: DataFrame) -> DataFrame:
+    """Per-topic CryptoPunk decode (cryptopunk_extractor.py:40-84): each
+    of the four event shapes has its own word indexes and required
+    length — one codegen'd projection, no Python.
+
+    Input logs carry (address, topics, data, block_number,
+    transaction_hash, transaction_index, log_index)."""
+    addr = normalized_address("address")
+    w = F.concat(F.col("topics"), split_to_words("data"))
+    t0 = F.get("topics", 0)
+    base = (
+        logs.filter(F.size("topics") >= 1)
+        .filter(addr == CRYPTOPUNK_TOKEN_ADDRESS)
+        .select(
+            addr.alias("token_address"),
+            t0.alias("topics_0"),
+            w.alias("w"),
+            "block_number",
+            "transaction_hash",
+            "transaction_index",
+            "log_index",
+        )
+    )
+    req = (
+        F.when(F.col("topics_0") == PUNK_TRANSFER_EVENT_TOPIC, 4)
+        .when(F.col("topics_0") == PUNK_BOUGHT_EVENT_TOPIC, 5)
+        .when(F.col("topics_0") == TRANSFER_EVENT_TOPIC, 4)
+        .when(F.col("topics_0") == ASSIGN_EVENT_TOPIC, 3)
+    )
+    from_idx = (
+        F.when(F.col("topics_0") == PUNK_TRANSFER_EVENT_TOPIC, 1)
+        .when(F.col("topics_0") == PUNK_BOUGHT_EVENT_TOPIC, 2)
+        .when(F.col("topics_0") == TRANSFER_EVENT_TOPIC, 1)
+    )
+    to_idx = (
+        F.when(F.col("topics_0") == PUNK_TRANSFER_EVENT_TOPIC, 2)
+        .when(F.col("topics_0") == PUNK_BOUGHT_EVENT_TOPIC, 3)
+        .when(F.col("topics_0") == TRANSFER_EVENT_TOPIC, 2)
+        .when(F.col("topics_0") == ASSIGN_EVENT_TOPIC, 1)
+    )
+    id_idx = (
+        F.when(F.col("topics_0") == PUNK_TRANSFER_EVENT_TOPIC, 3)
+        .when(F.col("topics_0") == PUNK_BOUGHT_EVENT_TOPIC, 1)
+        .when(F.col("topics_0") == ASSIGN_EVENT_TOPIC, 2)
+    )
+    return base.filter(req.isNotNull() & (F.size("w") == req)).select(
+        "topics_0",
+        "token_address",
+        F.when(F.col("topics_0") == ASSIGN_EVENT_TOPIC, F.lit(ZERO_ADDR))
+        .otherwise(word_to_addr(F.element_at("w", from_idx + 1)))
+        .alias("from_address"),
+        word_to_addr(F.element_at("w", to_idx + 1)).alias("to_address"),
+        hex_word_to_long(F.element_at("w", id_idx + 1)).alias("token_id"),
+        "block_number",
+        "transaction_hash",
+        "transaction_index",
+        "log_index",
+    )
+
+
+def extract_cryptopunk_transfers(logs: DataFrame) -> DataFrame:
+    """CryptoPunk decode + companion-Transfer merge
+    (cryptopunk_extractor.py:86-155): a PunkTransfer pairs with the
+    ERC20-style Transfer one log_index earlier, a PunkBought with a
+    non-zero buyer pairs at -2 (sale) and ANY PunkBought also pairs at
+    -1 (bid accept — buyer lives in the companion Transfer); Assign rows
+    pass through. Output to_address/log_index come from the companion
+    Transfer, from_address/token_id from the punk event.
+
+    Spark-first: the reference's pandas merges become three equi hash
+    joins on (block, tx, expected companion log_index) — the offset
+    predicate is folded into the join key, so no range join and no
+    post-filter; per-block key cardinality keeps skew impossible."""
+    d = decode_cryptopunk_logs(logs)
+    keys = ["block_number", "transaction_hash", "transaction_index"]
+    s = d.filter(F.col("topics_0") == TRANSFER_EVENT_TOPIC).select(
+        *keys,
+        F.col("token_address").alias("s_token_address"),
+        F.col("to_address").alias("s_to_address"),
+        F.col("log_index").alias("s_log_index"),
+    )
+
+    def pair(df: DataFrame, offset: int) -> DataFrame:
+        j = df.withColumn("s_log_index", F.col("log_index") - offset).join(
+            s, [*keys, "s_log_index"]
+        )
+        return j.filter(F.col("token_address") == F.col("s_token_address"))
+
+    punk_xfer = pair(d.filter(F.col("topics_0") == PUNK_TRANSFER_EVENT_TOPIC), 1)
+    bought = pair(
+        d.filter(
+            (F.col("topics_0") == PUNK_BOUGHT_EVENT_TOPIC)
+            & (F.col("to_address") != ZERO_ADDR)
+        ),
+        2,
+    )
+    bid = pair(d.filter(F.col("topics_0") == PUNK_BOUGHT_EVENT_TOPIC), 1)
+    assign = d.filter(F.col("topics_0") == ASSIGN_EVENT_TOPIC).select(
+        *keys,
+        "token_address",
+        "from_address",
+        "token_id",
+        F.col("to_address").alias("s_to_address"),
+        F.col("log_index").alias("s_log_index"),
+    )
+    cols = [
+        "block_number", "transaction_hash", "transaction_index",
+        "token_address", "from_address", "token_id",
+    ]
+    merged = assign
+    for part in (punk_xfer, bought, bid):
+        merged = merged.unionByName(
+            part.select(*cols, "s_to_address", "s_log_index")
+        )
+    return merged.select(
+        "block_number",
+        "transaction_hash",
+        "transaction_index",
+        "token_address",
+        "from_address",
+        F.col("s_to_address").alias("to_address"),
+        "token_id",
+        F.col("s_log_index").alias("log_index"),
+    )

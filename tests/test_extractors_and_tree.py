@@ -209,3 +209,80 @@ def test_extract_token_transfers_exact_values(spark):
     # default) — never a silent truncation
     with pytest.raises(Exception, match="CAST_INVALID_INPUT|overflow"):
         EXT.extract_token_transfers(_logs(spark, rows)).collect()
+
+
+def test_erc721_extract_excludes_erc20_set_and_cryptopunk(spark):
+    T = EXT.TRANSFER_EVENT_TOPIC
+    rows = [
+        # plain Transfer at unknown address → erc721 (id from topic 3)
+        (1, "0x" + "c" * 40, [T, W(ADDR_A), W(ADDR_B), W("2a")], "0x"),
+        # Transfer at a KNOWN erc20 address → excluded
+        (2, "0x" + "e" * 40, [T, W(ADDR_A), W(ADDR_B), W("2a")], "0x"),
+        # Transfer at the CryptoPunk contract → excluded
+        (3, EXT.CRYPTOPUNK_TOKEN_ADDRESS, [T, W(ADDR_A), W(ADDR_B), W("07")], "0x"),
+        # weird length (5 words) → rejected
+        (4, "0x" + "c" * 40, [T, W(ADDR_A), W(ADDR_B), W("2a")], W("01")),
+        # anonymous → skipped
+        (5, "0x" + "c" * 40, [], "0x"),
+    ]
+    erc20 = spark.createDataFrame([("0x" + "E" * 40,)], ["address"])
+    out = EXT.extract_erc721_transfers(_logs(spark, rows), erc20).collect()
+    assert [r["event_id"] for r in out] == [1]
+    assert out[0]["token_id"] == 0x2A
+    assert out[0]["from_address"] == "0x" + ADDR_A
+    # without the erc20 set, event 2 is assumed erc721 (reference heuristic)
+    got = {r["event_id"] for r in EXT.extract_erc721_transfers(_logs(spark, rows)).collect()}
+    assert got == {1, 2}
+
+
+def test_cryptopunk_decode_and_merge(spark):
+    """Pins the reference's 4 merge paths (cryptopunk_extractor.py:86-141):
+    Assign passthrough, PunkTransfer@+1, PunkBought(sale)@+2,
+    PunkBought(bid)@+1 — and the double-match when both companions exist."""
+    CP = EXT.CRYPTOPUNK_TOKEN_ADDRESS
+    T, PT, PB, AS_ = (
+        EXT.TRANSFER_EVENT_TOPIC, EXT.PUNK_TRANSFER_EVENT_TOPIC,
+        EXT.PUNK_BOUGHT_EVENT_TOPIC, EXT.ASSIGN_EVENT_TOPIC,
+    )
+    mk = lambda blk, li, topics, data: (
+        CP, topics, data, blk, f"0xtx{blk}", 0, li)
+    rows = [
+        # blk 1: Assign(to=B, punk 7)
+        mk(1, 0, [AS_, W(ADDR_B)], W("07")),
+        # blk 2: Transfer(A→B) then PunkTransfer(A→B, punk 9) at +1
+        mk(2, 0, [T, W(ADDR_A), W(ADDR_B)], W("64")),
+        mk(2, 1, [PT, W(ADDR_A), W(ADDR_B)], W("09")),
+        # blk 3: sale — Transfer@0, PunkBought(punk 5, A→B)@2
+        mk(3, 0, [T, W(ADDR_A), W(ADDR_B)], W("c8")),
+        mk(3, 2, [PB, W("05"), W(ADDR_A), W(ADDR_B)], W("c8")),
+        # blk 4: bid accept — Transfer@0, PunkBought(punk 6, A→ZERO)@1
+        mk(4, 0, [T, W(ADDR_A), W(ADDR_B)], W("c8")),
+        mk(4, 1, [PB, W("06"), W(ADDR_A), W("0" * 40)], W("c8")),
+        # blk 5: orphan PunkTransfer (no companion) → dropped
+        mk(5, 3, [PT, W(ADDR_A), W(ADDR_B)], W("0b")),
+        # blk 6: double match — Transfer@0, Transfer@1, PunkBought(A→B)@2
+        mk(6, 0, [T, W(ADDR_A), W(ADDR_B)], W("c8")),
+        mk(6, 1, [T, W(ADDR_B), W(ADDR_A)], W("c8")),
+        mk(6, 2, [PB, W("08"), W(ADDR_A), W(ADDR_B)], W("c8")),
+        # non-punk address → ignored entirely
+        (("0x" + "c" * 40), [T, W(ADDR_A), W(ADDR_B)], W("64"), 7, "0xtx7", 0, 0),
+    ]
+    logs = spark.createDataFrame(
+        rows,
+        "address string, topics array<string>, data string, block_number long,"
+        " transaction_hash string, transaction_index int, log_index long",
+    )
+    out = sorted(
+        (r["block_number"], r["token_id"], r["log_index"], r["to_address"])
+        for r in EXT.extract_cryptopunk_transfers(logs).collect()
+    )
+    B = "0x" + ADDR_B
+    A = "0x" + ADDR_A
+    assert out == [
+        (1, 7, 0, B),           # assign passthrough
+        (2, 9, 0, B),           # punk_transfer joined at +1
+        (3, 5, 0, B),           # sale joined at +2
+        (4, 6, 0, B),           # bid joined at +1
+        (6, 8, 0, B),           # double match: sale path (+2)
+        (6, 8, 1, A),           # double match: bid path (+1)
+    ]
