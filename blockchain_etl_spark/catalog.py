@@ -985,6 +985,84 @@ SELECT block_number, transaction_hash, transaction_index, token_address,
 """
 
 
+
+def utxo_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UTXO input enrichment ≙ the reference's UPDATE..FROM self-join
+    (/root/reference/bitcoinetl/streaming/enrich.py:16-34): each input
+    (isin=true, address NULL) is filled with address/value/vout_type
+    from the previous output it spends (a.pxhash = b.txhash AND
+    a.vout_idx = b.vout_idx, b.isin=false, b.address NOT NULL); inputs
+    whose parent output is unknown stay NULL ('missing').
+
+    Scale: a shuffle hash join keyed on (pxhash, vout_idx) — tx hashes
+    are uniform so no skew; at 100 TB both sides live in the same
+    bucketed layout (tables/bucketed.py) so the join co-locates with
+    zero Exchange. The MERGE-shaped commit of this fill over the
+    snapshot table is tests/test_snapshot_table.py::
+    test_utxo_enrich_merge_over_snapshot."""
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    eid = F.col("event_id").cast("string")
+    vi = F.floor(F.col("value") * 100).cast("long")
+    outs = e.select(
+        F.md5(F.concat(F.lit("x"), eid)).alias("txhash"),
+        (F.col("event_id") % 3).alias("vout_idx"),
+        F.concat(
+            F.lit("0x"), F.substring(F.md5(F.concat(F.lit("o"), eid)), 1, 40)
+        ).alias("address"),
+        vi.alias("value"),
+        F.when(F.col("event_id") % 2 == 0, "p2pkh").otherwise("p2sh").alias(
+            "vout_type"
+        ),
+    )
+    ins = e.filter(F.col("event_id") >= 10).select(
+        "event_id",
+        F.when(
+            F.col("event_id") % 17 == 0,
+            F.md5(F.concat(F.lit("bogus"), eid)),
+        )
+        .otherwise(F.md5(F.concat(F.lit("x"), (F.col("event_id") - 10).cast("string"))))
+        .alias("pxhash"),
+        ((F.col("event_id") - 10) % 3).alias("vout_idx"),
+    )
+    j = ins.join(
+        outs, (ins.pxhash == outs.txhash) & (ins.vout_idx == outs.vout_idx), "left"
+    )
+    return j.select(
+        "event_id",
+        "pxhash",
+        ins.vout_idx.alias("vout_idx"),
+        "address",
+        "value",
+        "vout_type",
+        F.when(F.col("address").isNull(), "missing").otherwise("filled").alias(
+            "status"
+        ),
+    )
+
+
+_UTXO_ENRICH_SQL = """
+WITH ev AS (SELECT event_id, floor(value * 100)::BIGINT AS vi FROM events),
+outs AS (
+  SELECT md5('x' || event_id::VARCHAR) AS txhash,
+         event_id % 3 AS vout_idx,
+         '0x' || substr(md5('o' || event_id::VARCHAR), 1, 40) AS address,
+         vi AS value,
+         CASE WHEN event_id % 2 = 0 THEN 'p2pkh' ELSE 'p2sh' END AS vout_type
+  FROM ev
+),
+ins AS (
+  SELECT event_id,
+         CASE WHEN event_id % 17 = 0 THEN md5('bogus' || event_id::VARCHAR)
+              ELSE md5('x' || (event_id - 10)::VARCHAR) END AS pxhash,
+         (event_id - 10) % 3 AS vout_idx
+  FROM ev WHERE event_id >= 10
+)
+SELECT i.event_id, i.pxhash, i.vout_idx, o.address, o.value, o.vout_type,
+       CASE WHEN o.address IS NULL THEN 'missing' ELSE 'filled' END AS status
+FROM ins i LEFT JOIN outs o
+  ON i.pxhash = o.txhash AND i.vout_idx = o.vout_idx
+"""
+
 # --------------------------------------------------------------------------
 # Unbounded-depth call-tree flatten: synthetic heap-shaped geth trace
 # forest (JSON), flattened by the mapInPandas DFS; DuckDB twin derives the
@@ -1310,6 +1388,7 @@ QUERIES: dict[str, callable] = {
     "erc1155_batch_decode": erc1155_batch_decode,
     "erc721_transfer_extract": erc721_transfer_extract,
     "cryptopunk_transfer_extract": cryptopunk_transfer_extract,
+    "utxo_enrich": utxo_enrich,
     "call_tree_flatten": call_tree_flatten,
     "contract_classify": contract_classify,
     "extract_tokens": extract_tokens,
@@ -1539,6 +1618,7 @@ def oracle_sqls() -> dict[str, str]:
         "erc1155_batch_decode": _ERC1155_SQL,
         "erc721_transfer_extract": _ERC721_SQL,
         "cryptopunk_transfer_extract": _CRYPTOPUNK_SQL,
+        "utxo_enrich": _UTXO_ENRICH_SQL,
         "call_tree_flatten": _CALL_TREE_SQL,
         "contract_classify": _contract_classify_sql(),
         "extract_tokens": _EXTRACT_TOKENS_SQL,

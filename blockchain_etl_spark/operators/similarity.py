@@ -102,17 +102,39 @@ def ann_lsh_topk(
 
 
 N_BANDS = 2
+TARGET_BUCKET_SIZE = 1024
 
 
-def embedding_near_dup(spark: SparkSession, sf_dir: str, n_bands: int = N_BANDS) -> DataFrame:
+def derived_planes_per_band(n: int, target: int = TARGET_BUCKET_SIZE) -> int:
+    """Scale-aware SRP width: enough planes that the expected bucket size
+    n / 2^planes stays ≈ ``target`` — ceil(log2(n / target)), floored at
+    N_PLANES. 10^10 vectors → 24 planes → 16.7M buckets/band (~600
+    vecs/bucket); a FIXED 8-plane band would put ~4·10^7 vecs in each of
+    its 256 buckets and go quadratic."""
+    import math
+
+    if n <= target:
+        return N_PLANES
+    return max(N_PLANES, math.ceil(math.log2(n / target)))
+
+
+def embedding_near_dup(
+    spark: SparkSession,
+    sf_dir: str,
+    n_bands: int = N_BANDS,
+    planes_per_band: int | None = None,
+) -> DataFrame:
     """Embedding-cosine near-duplicate candidates within BANDED SRP
     buckets (the embedding leg of the dedup family).
 
-    Scale shape: each of ``n_bands`` independent 8-plane SRP bands maps a
-    vector to one of 256 buckets, so block cardinality is ≈ n/256 per
-    band (vs one coarse block) and recall comes from the OR across
-    bands — the standard banded-LSH layout; more planes per band bound
-    the bucket further at 10^10 rows, AQE splits residual hot buckets.
+    Scale shape: each of ``n_bands`` independent ``planes_per_band``-plane
+    SRP bands maps a vector to one of 2^planes buckets and recall comes
+    from the OR across bands — the standard banded-LSH layout. The
+    default width is CORPUS-DERIVED (``derived_planes_per_band``): the
+    expected bucket size n/2^planes is held near TARGET_BUCKET_SIZE, so
+    the bucket self-join stays ~linear in n at any scale (at the gate
+    scales ≤ 2^18 vectors this resolves to the oracle-pinned 8 planes);
+    AQE splits residual hot buckets.
 
     All similarity math is INTEGER-exact: embeddings are fixed-point
     quantized (floor(x·10^6) as long), the cosine ≥ 0.9 test is the
@@ -120,13 +142,17 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str, n_bands: int = N_BANDS)
     in decimal(38,0) — no float accumulation, so the DuckDB (HUGEINT)
     oracle matches bit-for-bit.
     """
-    planes = srp_planes(N_PLANES * n_bands)
-    e = _emb(spark, sf_dir).select(
+    e0 = _emb(spark, sf_dir)
+    if planes_per_band is None:
+        # parquet-footer count: cheap, no full scan
+        planes_per_band = derived_planes_per_band(e0.count())
+    planes = srp_planes(planes_per_band * n_bands)
+    e = e0.select(
         "vec_id",
         V.int_embedding("embedding").alias("iv"),
         *[
             V.random_hyperplane_bits(
-                "embedding", planes[b * N_PLANES : (b + 1) * N_PLANES]
+                "embedding", planes[b * planes_per_band : (b + 1) * planes_per_band]
             ).alias(f"_bkt{b}")
             for b in range(n_bands)
         ],

@@ -1,0 +1,83 @@
+"""Banded-SRP near-dup recall vs brute force + scale-aware band width."""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from blockchain_etl_spark.functions import vectors as V
+from blockchain_etl_spark.operators import similarity as S
+
+SF = os.environ.get("SPARK_GRAFT_SF_TEST", "/root/testdata/sf0.001")
+
+
+def test_derived_planes_per_band_scales():
+    # gate scales resolve to the oracle-pinned 8 planes
+    assert S.derived_planes_per_band(500) == S.N_PLANES
+    assert S.derived_planes_per_band(260_000) == S.N_PLANES
+    # 10^10 vectors: 24 planes -> 16.7M buckets, ~600 vecs/bucket
+    assert S.derived_planes_per_band(10**10) == 24
+    # monotone non-decreasing in n
+    widths = [S.derived_planes_per_band(10**k) for k in range(2, 12)]
+    assert widths == sorted(widths)
+    # expected bucket size stays near target at every scale
+    for k in range(6, 12):
+        n = 10**k
+        p = S.derived_planes_per_band(n)
+        assert n / 2**p <= S.TARGET_BUCKET_SIZE
+
+
+def test_banded_srp_recall_vs_brute_force(spark):
+    """The OR-across-bands candidate set must recover most true near-dup
+    pairs (cos >= 0.9). The testdata embeddings are near-orthogonal (no
+    true pairs), so near-dups are PLANTED: every vec_id < 100 gets a
+    perturbed twin (vec + seeded gaussian noise at 5% scale, cos ≈
+    0.995+). Deterministic: fixed testdata + seeded noise + seeded
+    planes."""
+    import numpy as np
+
+    base = spark.read.parquet(f"{SF}/embeddings.parquet").filter(
+        F.col("vec_id") < 100
+    ).collect()
+    rng = np.random.default_rng(99)
+    rows = []
+    for r in base:
+        v = np.array(r["embedding"], dtype=np.float64)
+        rows.append((r["vec_id"], [float(x) for x in v]))
+        noisy = v + rng.standard_normal(v.shape) * 0.05 * np.linalg.norm(v) / np.sqrt(len(v))
+        rows.append((r["vec_id"] + 100_000, [float(x) for x in noisy]))
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    a = e.select(F.col("vec_id").alias("ia"), F.col("embedding").alias("va"))
+    b = e.select(F.col("vec_id").alias("ib"), F.col("embedding").alias("vb"))
+    true_pairs = {
+        (r["ia"], r["ib"])
+        for r in a.crossJoin(b)
+        .filter(F.col("ia") < F.col("ib"))
+        .filter(V.cosine("va", "vb") >= 0.9)
+        .collect()
+    }
+    assert len(true_pairs) >= 90  # the planted twins really are near-dups
+
+    planes = S.srp_planes(S.N_PLANES * S.N_BANDS)
+    bucketed = e.select(
+        "vec_id",
+        *[
+            V.random_hyperplane_bits(
+                "embedding", planes[k * S.N_PLANES : (k + 1) * S.N_PLANES]
+            ).alias(f"b{k}")
+            for k in range(S.N_BANDS)
+        ],
+    )
+    cand = set()
+    for k in range(S.N_BANDS):
+        l = bucketed.select(F.col("vec_id").alias("ia"), F.col(f"b{k}").alias("bk"))
+        r = bucketed.select(F.col("vec_id").alias("ib"), F.col(f"b{k}").alias("bk"))
+        cand |= {
+            (x["ia"], x["ib"])
+            for x in l.join(r, "bk").filter(F.col("ia") < F.col("ib")).collect()
+        }
+    recall = len(true_pairs & cand) / len(true_pairs)
+    print(f"banded-SRP recall over {len(true_pairs)} true pairs: {recall:.3f}")
+    assert recall >= 0.6

@@ -157,3 +157,72 @@ def test_empty_bucket_after_delete(spark, tmp_table_dir):
     t.replace_buckets([0, 1], empty)
     assert t.read().count() == 0
     assert os.path.exists(os.path.join(tmp_table_dir, "manifests", "LATEST"))
+
+
+def test_utxo_enrich_merge_over_snapshot(spark, tmp_table_dir):
+    """UTXO enrich as a MERGE-shaped update over the snapshot table
+    (≙ UPDATE..FROM, /root/reference/bitcoinetl/streaming/enrich.py:16-34):
+    the trace table holds outputs (address set) and inputs (address
+    NULL); the enrichment pass joins inputs to the outputs they spend,
+    rewrites ONLY the buckets containing filled inputs (copy-on-write),
+    and the final state equals the declarative join."""
+    schema = T.StructType([
+        T.StructField("utxo_key", T.StringType()),   # txhash:idx / spender id
+        T.StructField("isin", T.BooleanType()),
+        T.StructField("pxhash", T.StringType()),
+        T.StructField("vout_idx", T.LongType()),
+        T.StructField("address", T.StringType()),
+        T.StructField("value", T.LongType()),
+    ])
+    t = SnapshotTable.create(spark, tmp_table_dir, schema, key="utxo_key", n_buckets=8)
+    outs = [(f"out:{i}", False, None, i % 3, f"0xaddr{i}", 100 + i) for i in range(40)]
+    # input j spends output j-10; j % 17 == 0 spends an unknown parent
+    ins = [
+        (f"in:{j}", True, f"out:{j - 10}" if j % 17 else "out:bogus", (j - 10) % 3, None, None)
+        for j in range(10, 40)
+    ]
+    t.overwrite(spark.createDataFrame(outs + ins, schema))
+    v0 = t.current_version()
+    before_files = {f["path"]: f["bucket"] for f in t.manifest().files}
+
+    # the enrich pass: inputs with NULL address joined to their parent
+    # output row (by key prefix here; (pxhash, vout_idx) in the catalog
+    # twin — same shape), then a COW merge of only the touched buckets
+    state = t.read()
+    a = state.filter(F.col("isin") & F.col("address").isNull()).alias("a")
+    b = state.filter(~F.col("isin") & F.col("address").isNotNull()).alias("b")
+    filled = a.join(b, F.col("a.pxhash") == F.col("b.utxo_key")).select(
+        F.col("a.utxo_key").alias("utxo_key"),
+        F.lit(True).alias("isin"),
+        F.col("a.pxhash").alias("pxhash"),
+        F.col("a.vout_idx").alias("vout_idx"),
+        F.col("b.address").alias("address"),
+        F.col("b.value").alias("value"),
+    )
+    touched = sorted(
+        r["b"]
+        for r in filled.select(bucket_expr("utxo_key", 8).alias("b")).distinct().collect()
+    )
+    old = t.read(buckets=touched).alias("t")
+    merged = (
+        old.join(filled.alias("s"), F.col("t.utxo_key") == F.col("s.utxo_key"), "left")
+        .select(
+            *[
+                F.coalesce(F.col(f"s.{c}"), F.col(f"t.{c}")).alias(c)
+                for c in ("utxo_key", "isin", "pxhash", "vout_idx", "address", "value")
+            ]
+        )
+    )
+    t.replace_buckets(touched, merged, epoch_id=1)
+
+    got = {r["utxo_key"]: (r["address"], r["value"]) for r in t.read().filter("isin").collect()}
+    for j in range(10, 40):
+        if j % 17:
+            assert got[f"in:{j}"] == (f"0xaddr{j - 10}", 100 + j - 10), j
+        else:
+            assert got[f"in:{j}"] == (None, None), j  # unknown parent stays NULL
+    # COW: untouched buckets carried forward by reference
+    after = {f["path"]: f["bucket"] for f in t.manifest().files}
+    carried = {p for p, bk in before_files.items() if bk not in touched}
+    assert carried <= set(after)
+    assert t.current_version() == v0 + 1 and 1 in t.manifest().applied_epochs
