@@ -57,6 +57,12 @@ HEADLINE_QUERIES = [
     "binary_features",
     "trace_status",
     "rule_engine_filter",
+    # round 3
+    "simhash_near_pairs",
+    "erc721_transfer_extract",
+    "cryptopunk_transfer_extract",
+    "extract_tokens",
+    "utxo_enrich",
 ]
 
 

@@ -1600,10 +1600,16 @@ def oracle_sqls() -> dict[str, str]:
             FROM events
         """,
         "exact_dedup": """
+            WITH u AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 1000000 AS doc_id, text
+              FROM documents WHERE doc_id % 7 = 0
+            )
             SELECT md5(text) AS content_hash,
                    min(doc_id) AS keep_doc_id,
                    count(*) AS n_dups
-            FROM documents GROUP BY md5(text) HAVING count(*) > 1
+            FROM u GROUP BY md5(text) HAVING count(*) > 1
         """,
         "minhash_lsh_pairs": _minhash_sql(),
         "simhash_buckets": _simhash_sql(),

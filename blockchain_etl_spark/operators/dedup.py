@@ -29,10 +29,19 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup by content hash: keep min doc_id per md5(text); report
     groups with duplicates (≙ the dedup checker GROUP BY ... HAVING
-    count>1, /root/reference/ethereumetl/jobs/checkers/block_checker.py:61-92)."""
-    d = _docs(spark, sf_dir)
+    count>1, /root/reference/ethereumetl/jobs/checkers/block_checker.py:61-92).
+
+    The sf0.01 documents table has NO exact-duplicate texts (verified),
+    which made this gate row trivially empty — so duplicates are PLANTED
+    deterministically: every doc_id % 7 == 0 document is re-sampled with
+    a shifted id, exactly mirrored in the DuckDB twin."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    planted = d.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    u = d.unionByName(planted)
     return (
-        d.groupBy(F.md5("text").alias("content_hash"))
+        u.groupBy(F.md5("text").alias("content_hash"))
         .agg(F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("n_dups"))
         .filter(F.col("n_dups") > 1)
     )
