@@ -1063,6 +1063,97 @@ FROM ins i LEFT JOIN outs o
   ON i.pxhash = o.txhash AND i.vout_idx = o.vout_idx
 """
 
+
+def utxo_block_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UTXO block scan → vin/vout explode (≙ btc export_blocks_job tx
+    fan-out, /root/reference/bitcoinetl/jobs/export_blocks_job.py +
+    vin/vout mappers): each tx carries an input array (refs to prior
+    txhashes) and an output array (indexed values+addresses); both
+    explode to one row per (tx, side, idx) — posexplode, no shuffle."""
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    eid = F.col("event_id").cast("string")
+    vi = F.floor(F.col("value") * 100).cast("long")
+    txh = F.md5(F.concat(F.lit("x"), eid))
+    n_out = (F.col("event_id") % 3).cast("int")  # sequence(0, n_out) → n_out+1 outs
+    vouts = F.transform(
+        F.sequence(F.lit(0), n_out),
+        lambda i: F.struct(
+            i.cast("int").alias("idx"),
+            F.concat(
+                F.lit("0x"),
+                F.substring(
+                    F.md5(F.concat(F.lit("o"), eid, F.lit("_"), i.cast("string"))),
+                    1,
+                    40,
+                ),
+            ).alias("address"),
+            (vi + i).alias("value"),
+        ),
+    )
+    ref = lambda off: F.md5(F.concat(F.lit("x"), (F.col("event_id") - off).cast("string")))
+    vins = F.when(
+        F.col("event_id") >= 5,
+        F.array(
+            F.struct(F.lit(0).cast("int").alias("idx"), ref(5).alias("pxhash")),
+            F.struct(F.lit(1).cast("int").alias("idx"), ref(3).alias("pxhash")),
+        ),
+    ).otherwise(F.array().cast("array<struct<idx:int,pxhash:string>>"))
+    base = e.select("event_id", txh.alias("txhash"), vins.alias("vins"), vouts.alias("vouts"))
+    vin_rows = base.select(
+        "txhash",
+        F.lit(True).alias("isin"),
+        F.explode("vins").alias("v"),
+    ).select(
+        "txhash",
+        "isin",
+        F.col("v.idx").alias("idx"),
+        F.col("v.pxhash").alias("pxhash"),
+        F.lit(None).cast("string").alias("address"),
+        F.lit(None).cast("long").alias("value"),
+    )
+    vout_rows = base.select(
+        "txhash",
+        F.lit(False).alias("isin"),
+        F.explode("vouts").alias("v"),
+    ).select(
+        "txhash",
+        "isin",
+        F.col("v.idx").alias("idx"),
+        F.lit(None).cast("string").alias("pxhash"),
+        F.col("v.address").alias("address"),
+        F.col("v.value").alias("value"),
+    )
+    return vin_rows.unionByName(vout_rows)
+
+
+_UTXO_BLOCK_SCAN_SQL = """
+WITH ev AS (SELECT event_id, floor(value * 100)::BIGINT AS vi FROM events),
+vout_i AS (
+  SELECT event_id, vi, unnest(generate_series(0, event_id % 3)) AS i FROM ev
+),
+vout AS (
+  SELECT md5('x' || event_id::VARCHAR) AS txhash, false AS isin, i::INT AS idx,
+         NULL::VARCHAR AS pxhash,
+         '0x' || substr(md5('o' || event_id::VARCHAR || '_' || i::VARCHAR), 1, 40)
+             AS address,
+         vi + i AS value
+  FROM vout_i
+),
+vin_i AS (
+  SELECT event_id, unnest([0, 1]) AS i FROM ev WHERE event_id >= 5
+),
+vin AS (
+  SELECT md5('x' || event_id::VARCHAR) AS txhash, true AS isin, i::INT AS idx,
+         CASE WHEN i = 0 THEN md5('x' || (event_id - 5)::VARCHAR)
+              ELSE md5('x' || (event_id - 3)::VARCHAR) END AS pxhash,
+         NULL::VARCHAR AS address, NULL::BIGINT AS value
+  FROM vin_i
+)
+SELECT txhash, isin, idx, pxhash, address, value FROM vin
+UNION ALL
+SELECT txhash, isin, idx, pxhash, address, value FROM vout
+"""
+
 # --------------------------------------------------------------------------
 # Unbounded-depth call-tree flatten: synthetic heap-shaped geth trace
 # forest (JSON), flattened by the mapInPandas DFS; DuckDB twin derives the
@@ -1389,6 +1480,7 @@ QUERIES: dict[str, callable] = {
     "erc721_transfer_extract": erc721_transfer_extract,
     "cryptopunk_transfer_extract": cryptopunk_transfer_extract,
     "utxo_enrich": utxo_enrich,
+    "utxo_block_scan": utxo_block_scan,
     "call_tree_flatten": call_tree_flatten,
     "contract_classify": contract_classify,
     "extract_tokens": extract_tokens,
@@ -1625,6 +1717,7 @@ def oracle_sqls() -> dict[str, str]:
         "erc721_transfer_extract": _ERC721_SQL,
         "cryptopunk_transfer_extract": _CRYPTOPUNK_SQL,
         "utxo_enrich": _UTXO_ENRICH_SQL,
+        "utxo_block_scan": _UTXO_BLOCK_SCAN_SQL,
         "call_tree_flatten": _CALL_TREE_SQL,
         "contract_classify": _contract_classify_sql(),
         "extract_tokens": _EXTRACT_TOKENS_SQL,
