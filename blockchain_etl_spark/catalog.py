@@ -1498,6 +1498,7 @@ QUERIES: dict[str, callable] = {
     "brute_topk": similarity.brute_topk,
     "srp_bucket_histogram": similarity.srp_bucket_histogram,
     "ann_lsh_topk": similarity.ann_lsh_topk,
+    "ann_ivf_topk": similarity.ann_ivf_topk,
     "embedding_near_dup": similarity.embedding_near_dup,
     # multimodal plumbing (pandas UDF; oracle via byte arithmetic)
     "binary_features": multimodal.binary_features,
@@ -1755,6 +1756,49 @@ def oracle_sqls() -> dict[str, str]:
                      round(list_dot_product(q.qv, e.v) / (sqrt(list_sum(list_transform(q.qv, v -> v * v))) * sqrt(list_sum(list_transform(e.v, v -> v * v)))), 6)
                        AS sim
               FROM e JOIN q ON e.bucket = q.bucket WHERE q.query_id <> e.vec_id
+            )
+            SELECT query_id, neighbor_id, sim, rk FROM (
+              SELECT *, row_number() OVER (PARTITION BY query_id
+                                           ORDER BY sim DESC, neighbor_id) AS rk
+              FROM scored
+            ) WHERE rk <= 10
+        """,
+        "ann_ivf_topk": f"""
+            WITH e AS (
+              SELECT vec_id, embedding::DOUBLE[] AS v,
+                     list_transform(embedding::DOUBLE[],
+                                    x -> floor(x * 1000000)::BIGINT) AS iv
+              FROM embeddings
+            ),
+            cents AS (
+              SELECT vec_id - {similarity.IVF_CENTROID_BASE} AS cid, iv AS civ
+              FROM e WHERE vec_id >= {similarity.IVF_CENTROID_BASE}
+                AND vec_id < {similarity.IVF_CENTROID_BASE + similarity.IVF_N_CENTROIDS}
+            ),
+            sa AS (
+              SELECT e.vec_id, e.v, cents.cid,
+                     list_sum(list_transform(generate_series(1, len(e.iv)),
+                                             i -> e.iv[i] * cents.civ[i]))::BIGINT
+                       AS cdot
+              FROM e CROSS JOIN cents
+            ),
+            ranked AS (
+              SELECT *, row_number() OVER (PARTITION BY vec_id
+                                           ORDER BY cdot DESC, cid) AS crk
+              FROM sa
+            ),
+            assign AS (SELECT vec_id, v, cid FROM ranked WHERE crk <= 1),
+            probes AS (
+              SELECT vec_id AS query_id, v AS qv, cid FROM ranked
+              WHERE vec_id < 5 AND crk <= {similarity.IVF_NPROBE}
+            ),
+            scored AS (
+              SELECT query_id, a.vec_id AS neighbor_id,
+                     max(round(list_dot_product(qv, a.v) / (sqrt(list_sum(list_transform(qv, x -> x * x))) * sqrt(list_sum(list_transform(a.v, x -> x * x)))), 6))
+                       AS sim
+              FROM assign a JOIN probes p ON a.cid = p.cid
+              WHERE p.query_id <> a.vec_id
+              GROUP BY query_id, a.vec_id
             )
             SELECT query_id, neighbor_id, sim, rk FROM (
               SELECT *, row_number() OVER (PARTITION BY query_id

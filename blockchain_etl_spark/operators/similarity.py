@@ -201,3 +201,83 @@ def embedding_near_dup(
         F.sum(F.when(near, 1).otherwise(0)).alias("n_near_dups"),
         F.max("dot").alias("max_dot"),
     )
+
+
+IVF_N_CENTROIDS = 16
+IVF_CENTROID_BASE = 200  # corpus rows used as coarse-quantizer seeds
+IVF_NPROBE = 4
+
+
+def ann_ivf_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 10,
+    n_queries: int = 5,
+    n_centroids: int = IVF_N_CENTROIDS,
+    nprobe: int = IVF_NPROBE,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k — the third ANN scale path
+    next to brute force and SRP-LSH.
+
+    Index build: a coarse quantizer of ``n_centroids`` data-sampled
+    seeds (corpus rows vec_id ∈ [IVF_CENTROID_BASE, +n) — deterministic,
+    derivable by the SQL oracle from the same table). Every vector joins
+    its argmax-dot centroid's inverted list; queries probe the ``nprobe``
+    nearest lists and score ONLY those candidates.
+
+    Cross-engine exactness: assignment dots are fixed-point INTEGER
+    (floor(x·10^6)), so list membership is bit-identical in DuckDB; only
+    the final candidate cosine is float, rounded to 6 dp like brute_topk.
+    Assignment ties break on centroid id via an explicit rank window.
+
+    Scale shape: assignment is a broadcast(n_centroids)×corpus narrow
+    map + one groupBy (at 10^10 rows use max_by for map-side combine —
+    the window here is the tie-exact oracle-parity formulation); the
+    probe join touches nprobe/n_centroids of the corpus — with 4096
+    lists and nprobe 64, >98% of the corpus is never scored."""
+    from pyspark.sql import Window
+
+    e = _emb(spark, sf_dir).select(
+        "vec_id", "embedding", V.int_embedding("embedding").alias("iv")
+    )
+    cents = F.broadcast(
+        e.filter(
+            (F.col("vec_id") >= IVF_CENTROID_BASE)
+            & (F.col("vec_id") < IVF_CENTROID_BASE + n_centroids)
+        ).select(
+            (F.col("vec_id") - IVF_CENTROID_BASE).alias("cid"),
+            F.col("iv").alias("civ"),
+        )
+    )
+    scored_assign = e.crossJoin(cents).select(
+        "vec_id", "embedding", "cid", V.idot("iv", "civ").alias("cdot")
+    )
+    wa = Window.partitionBy("vec_id").orderBy(F.desc("cdot"), F.asc("cid"))
+    assign = (
+        scored_assign.withColumn("crk", F.row_number().over(wa))
+        .filter(F.col("crk") <= 1)
+        .select("vec_id", "embedding", "cid")
+    )
+    probes = (
+        scored_assign.filter(F.col("vec_id") < n_queries)
+        .withColumn("crk", F.row_number().over(wa))
+        .filter(F.col("crk") <= nprobe)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"), "cid")
+    )
+    cand = assign.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv"), "cid"
+    )
+    sim = F.round(V.cosine("qv", "cv"), 6)
+    scored = (
+        cand.join(F.broadcast(probes), "cid")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", sim.alias("sim"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.max("sim").alias("sim"))  # a candidate may share >1 probed list
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "sim", "rk")
+    )
