@@ -63,6 +63,8 @@ HEADLINE_QUERIES = [
     "cryptopunk_transfer_extract",
     "extract_tokens",
     "utxo_enrich",
+    "utxo_block_scan",
+    "ann_ivf_topk",
 ]
 
 

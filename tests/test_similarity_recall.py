@@ -103,3 +103,33 @@ def test_ivf_topk_beats_random_probing(spark):
     frac_probed = S.IVF_NPROBE / S.IVF_N_CENTROIDS
     print(f"IVF recall@10: {recall:.3f} (random-probe baseline {frac_probed})")
     assert recall > frac_probed
+
+
+def test_simhash_pigeonhole_blocking_is_complete(spark):
+    """The 4x16-bit pigeonhole guarantee: the blocked candidate join must
+    find EVERY pair within hamming radius 3 (100% recall — pigeonhole is
+    exact, unlike probabilistic LSH). Verified against brute-force
+    popcount over all signature pairs of the sampled corpus."""
+    from itertools import combinations
+
+    from blockchain_etl_spark.operators import dedup as D
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").filter(
+        F.col("doc_id") % 2 == 0
+    )
+    sigs = {r["doc_id"]: r["simhash"] for r in D.simhash64_df(docs).collect()}
+    want = {
+        (a, b)
+        for a, b in combinations(sorted(sigs), 2)
+        if bin((sigs[a] ^ sigs[b]) & (2**64 - 1)).count("1") <= 3
+    }
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in D.simhash_near_pairs(spark, SF, radius=3, sample_mod=2).collect()
+    }
+    assert got == want and len(want) > 0
+    # radius > 3 would silently lose pairs -> asserted away
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="pigeonhole"):
+        D.simhash_near_pairs(spark, SF, radius=4)
