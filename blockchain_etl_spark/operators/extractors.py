@@ -25,7 +25,7 @@ downstream. At 10^10 logs there is no state and no join here.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from blockchain_etl_spark.functions.ids import normalized_address, split_to_words
@@ -337,58 +337,81 @@ def extract_cryptopunk_transfers(logs: DataFrame) -> DataFrame:
     pass through. Output to_address/log_index come from the companion
     Transfer, from_address/token_id from the punk event.
 
-    Spark-first: the reference's pandas merges become three equi hash
-    joins on (block, tx, expected companion log_index) — the offset
-    predicate is folded into the join key, so no range join and no
-    post-filter; per-block key cardinality keeps skew impossible."""
+    Spark-first, single pass: the reference's pandas merges collapse to
+    ONE window shuffle on (block, tx) ordered by log_index. A companion
+    at log_index-1 or log_index-2 can only be the lag(1) or lag(2) row
+    within the transaction — log indexes are integers, so at most one
+    in-set row lies strictly between i-2 and i — which makes the
+    lag-check projection exactly equivalent to the former three
+    equi-joins while scanning the decoded source once instead of eight
+    times (pinned by the merge-path unit test and the gate oracle)."""
     d = decode_cryptopunk_logs(logs)
     keys = ["block_number", "transaction_hash", "transaction_index"]
-    s = d.filter(F.col("topics_0") == TRANSFER_EVENT_TOPIC).select(
-        *keys,
-        F.col("token_address").alias("s_token_address"),
-        F.col("to_address").alias("s_to_address"),
-        F.col("log_index").alias("s_log_index"),
+    w_tx = Window.partitionBy(*keys).orderBy("log_index")
+    comp = F.struct("topics_0", "token_address", "to_address", "log_index")
+    d = d.withColumn("c1", F.lag(comp, 1).over(w_tx)).withColumn(
+        "c2", F.lag(comp, 2).over(w_tx)
     )
 
-    def pair(df: DataFrame, offset: int) -> DataFrame:
-        j = df.withColumn("s_log_index", F.col("log_index") - offset).join(
-            s, [*keys, "s_log_index"]
-        )
-        return j.filter(F.col("token_address") == F.col("s_token_address"))
+    def companion(offset: int) -> Column:
+        # The Transfer at exactly log_index-offset, if present in the
+        # decoded set, or NULL. Offset 1 can only be lag(1); offset 2
+        # may sit at lag(1) (nothing between) or lag(2).
+        want = F.col("log_index") - offset
 
-    punk_xfer = pair(d.filter(F.col("topics_0") == PUNK_TRANSFER_EVENT_TOPIC), 1)
-    bought = pair(
-        d.filter(
-            (F.col("topics_0") == PUNK_BOUGHT_EVENT_TOPIC)
-            & (F.col("to_address") != ZERO_ADDR)
+        def ok(c: str) -> Column:
+            return (
+                (F.col(f"{c}.log_index") == want)
+                & (F.col(f"{c}.topics_0") == TRANSFER_EVENT_TOPIC)
+                & (F.col(f"{c}.token_address") == F.col("token_address"))
+            )
+
+        m = F.when(ok("c1"), F.col("c1"))
+        return m.when(ok("c2"), F.col("c2")) if offset > 1 else m
+
+    def hit(cond: Column, m: Column) -> Column:
+        return F.when(
+            cond & m.isNotNull(),
+            F.struct(
+                m["to_address"].alias("s_to_address"),
+                m["log_index"].alias("s_log_index"),
+            ),
+        )
+
+    t0 = F.col("topics_0")
+    cand = F.array(
+        # Assign passes through with its own claimer / log_index.
+        F.when(
+            t0 == ASSIGN_EVENT_TOPIC,
+            F.struct(
+                F.col("to_address").alias("s_to_address"),
+                F.col("log_index").alias("s_log_index"),
+            ),
         ),
-        2,
+        hit(t0 == PUNK_TRANSFER_EVENT_TOPIC, companion(1)),
+        hit(
+            (t0 == PUNK_BOUGHT_EVENT_TOPIC) & (F.col("to_address") != ZERO_ADDR),
+            companion(2),
+        ),
+        hit(t0 == PUNK_BOUGHT_EVENT_TOPIC, companion(1)),
     )
-    bid = pair(d.filter(F.col("topics_0") == PUNK_BOUGHT_EVENT_TOPIC), 1)
-    assign = d.filter(F.col("topics_0") == ASSIGN_EVENT_TOPIC).select(
-        *keys,
-        "token_address",
-        "from_address",
-        "token_id",
-        F.col("to_address").alias("s_to_address"),
-        F.col("log_index").alias("s_log_index"),
-    )
-    cols = [
-        "block_number", "transaction_hash", "transaction_index",
-        "token_address", "from_address", "token_id",
-    ]
-    merged = assign
-    for part in (punk_xfer, bought, bid):
-        merged = merged.unionByName(
-            part.select(*cols, "s_to_address", "s_log_index")
+    return (
+        d.select(
+            *keys,
+            "token_address",
+            "from_address",
+            "token_id",
+            F.explode(cand).alias("m"),
         )
-    return merged.select(
-        "block_number",
-        "transaction_hash",
-        "transaction_index",
-        "token_address",
-        "from_address",
-        F.col("s_to_address").alias("to_address"),
-        "token_id",
-        F.col("s_log_index").alias("log_index"),
+        .filter(F.col("m").isNotNull())
+        .select(
+            "block_number",
+            "transaction_hash",
+            "transaction_index",
+            "token_address",
+            "from_address",
+            F.col("m.s_to_address").alias("to_address"),
+            "token_id",
+            F.col("m.s_log_index").alias("log_index"),
+        )
     )
