@@ -476,6 +476,170 @@ FROM sh
 """
 
 
+_CHUNK = 64
+
+
+def token_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking of the input_hint token arrays: each
+    document's tokens split into fixed-size ordered chunks (the step
+    between the lake table and fixed-length training batches). Narrow
+    map — slice + posexplode, zero shuffles."""
+    from blockchain_etl_spark.operators import tokens as TOK
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = X.tokenize("text", vocab=_VOCAB)
+    base = d.select("doc_id", toks.alias("tokens"))
+    out = TOK.chunk_tokens(base, chunk=_CHUNK)
+    return out.select(
+        F.format_string("doc-%06d", F.col("doc_id")).alias("doc_id"),
+        "chunk_id",
+        F.concat_ws(",", F.col("chunk_tokens").cast("array<string>")).alias(
+            "chunk_csv"
+        ),
+        "n_chunk_tok",
+    )
+
+
+_TOKEN_CHUNK_SQL = f"""
+WITH t AS (
+  SELECT doc_id,
+         list_transform(list_filter(string_split_regex(text, '\\s+'), w -> w <> ''),
+                        w -> ((('0x' || substr(md5(w), 1, 6))::BIGINT % {_VOCAB}))::INT)
+           AS tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, tokens, len(tokens) AS n,
+         unnest(range(0, (len(tokens) + {_CHUNK} - 1) // {_CHUNK})) AS chunk_id
+  FROM t WHERE len(tokens) > 0
+)
+SELECT 'doc-' || lpad(doc_id::VARCHAR, 6, '0') AS doc_id,
+       chunk_id::INT AS chunk_id,
+       array_to_string(
+         list_slice(tokens, chunk_id * {_CHUNK} + 1,
+                    least((chunk_id + 1) * {_CHUNK}, n)), ',') AS chunk_csv,
+       (least((chunk_id + 1) * {_CHUNK}, n) - chunk_id * {_CHUNK})::INT AS n_chunk_tok
+FROM c
+"""
+
+
+_PACK_BUDGET = 512
+
+
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy contiguous packing (concat-and-cut): documents in doc_id
+    order within each source, cut every {budget} tokens; one window
+    cumsum shuffle on source, then the pack aggregation."""
+    from blockchain_etl_spark.operators import tokens as TOK
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    base = d.select(
+        "doc_id",
+        "source",
+        F.size(X.words("text")).alias("n_tok"),
+    )
+    return TOK.pack_sequences(base, budget=_PACK_BUDGET)
+
+
+_SEQUENCE_PACK_SQL = f"""
+WITH t AS (
+  SELECT source, doc_id,
+         len(list_filter(string_split_regex(text, '\\s+'), w -> w <> '')) AS n_tok
+  FROM documents
+),
+p AS (
+  SELECT source AS part, doc_id, n_tok,
+         ((sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id) - n_tok)
+            // {_PACK_BUDGET})::BIGINT AS pack_id
+  FROM t
+)
+SELECT part, pack_id,
+       count(*) AS n_docs,
+       sum(n_tok)::BIGINT AS n_tok_sum,
+       min(doc_id) AS first_doc,
+       max(doc_id) AS last_doc
+FROM p GROUP BY part, pack_id
+"""
+
+
+_EVAL_MOD = 37
+_DECON_K = 3
+_DECON_MIN_HITS = 2
+
+
+def ngram_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: corpus docs sharing >= min_hits
+    distinct word 3-grams with the deterministic eval slice
+    (doc_id % {mod} == 0). Eval n-gram set broadcasts; the only corpus
+    shuffle is the map-side-combined hit count."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dedup.decontaminate(
+        d,
+        eval_pred=F.col("doc_id") % _EVAL_MOD == 0,
+        k=_DECON_K,
+        min_hits=_DECON_MIN_HITS,
+    )
+
+
+_DECONTAMINATE_SQL = f"""
+WITH w AS (
+  SELECT doc_id, (doc_id % {_EVAL_MOD} = 0) AS is_eval,
+         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS words
+  FROM documents
+),
+sh AS (
+  SELECT doc_id, is_eval,
+         CASE WHEN len(words) >= {_DECON_K} THEN
+           list_transform(generate_series(0, len(words) - {_DECON_K}),
+                          i -> array_to_string(list_slice(words, i + 1, i + {_DECON_K}), ' '))
+         ELSE [array_to_string(words, ' ')] END AS shingles
+  FROM w
+),
+g AS (SELECT doc_id, is_eval, unnest(list_distinct(shingles)) AS g FROM sh),
+e AS (SELECT DISTINCT g FROM g WHERE is_eval)
+SELECT doc_id, count(*) AS n_contaminated
+FROM g JOIN e USING (g)
+WHERE NOT is_eval
+GROUP BY doc_id
+HAVING count(*) >= {_DECON_MIN_HITS}
+"""
+
+
+def repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition (duplicated word-bigram fraction) —
+    the MassiveText-style boilerplate signal; pure array expressions,
+    zero shuffles."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_grams, n_distinct = X.repetition_stats("text", k=2)
+    return d.select("doc_id", n_grams, n_distinct).select(
+        "doc_id",
+        "n_grams",
+        "n_distinct",
+        F.round(1.0 - F.col("n_distinct") / F.col("n_grams"), 4).alias("rep_ratio"),
+    )
+
+
+_REPETITION_SQL = """
+WITH w AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS words
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(words) >= 2 THEN
+           list_transform(generate_series(0, len(words) - 2),
+                          i -> array_to_string(list_slice(words, i + 1, i + 2), ' '))
+         ELSE [array_to_string(words, ' ')] END AS g
+  FROM w
+)
+SELECT doc_id,
+       len(g)::INT AS n_grams,
+       len(list_distinct(g))::INT AS n_distinct,
+       round(1.0 - len(list_distinct(g))::DOUBLE / len(g), 4) AS rep_ratio
+FROM sh
+"""
+
+
 # --------------------------------------------------------------------------
 # ABI-decode extractors end-to-end: synthesize deterministic hex logs FROM
 # the events table (so DuckDB derives the identical logs), then run the
@@ -1495,6 +1659,10 @@ QUERIES: dict[str, callable] = {
     "text_quality": text_quality,
     "token_counts": token_counts,
     "doc_fingerprints": doc_fingerprints,
+    "token_chunking": token_chunking,
+    "sequence_packing": sequence_packing,
+    "ngram_decontaminate": ngram_decontaminate,
+    "repetition_ratio": repetition_ratio,
     "brute_topk": similarity.brute_topk,
     "srp_bucket_histogram": similarity.srp_bucket_histogram,
     "ann_lsh_topk": similarity.ann_lsh_topk,
@@ -1727,6 +1895,10 @@ def oracle_sqls() -> dict[str, str]:
         "text_quality": _TEXT_QUALITY_SQL,
         "token_counts": _TOKEN_COUNTS_SQL,
         "doc_fingerprints": _FINGERPRINT_SQL,
+        "token_chunking": _TOKEN_CHUNK_SQL,
+        "sequence_packing": _SEQUENCE_PACK_SQL,
+        "ngram_decontaminate": _DECONTAMINATE_SQL,
+        "repetition_ratio": _REPETITION_SQL,
         "brute_topk": f"""
             WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
                        FROM embeddings WHERE vec_id < 5),

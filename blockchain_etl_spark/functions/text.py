@@ -268,3 +268,18 @@ def doc_fingerprint(text: Column | str, window: int = 4) -> Column:
     word shingles — a compact rolling-hash document signature."""
     sh = shingles(text, k=window)
     return F.array_min(F.transform(sh, lambda s: F.md5(s)))
+
+
+def repetition_stats(text: Column | str, k: int = 2) -> list[Column]:
+    """Intra-document repetition: total vs distinct word k-grams.
+
+    The duplicated-k-gram fraction is the usual boilerplate/spam signal
+    (MassiveText-style repetition filters); pure array expressions, so
+    it runs inside whole-stage codegen with zero shuffles.
+    Returns [n_grams, n_distinct] columns.
+    """
+    g = shingles(text, k=k)
+    return [
+        F.size(g).alias("n_grams"),
+        F.size(F.array_distinct(g)).alias("n_distinct"),
+    ]

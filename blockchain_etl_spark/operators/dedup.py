@@ -324,3 +324,41 @@ def ngram_jaccard_blocks(
         F.sum("inter").alias("sum_intersect"),
         F.sum("uni").alias("sum_union"),
     )
+
+
+def decontaminate(
+    docs: DataFrame,
+    eval_pred: Column,
+    k: int = 3,
+    min_hits: int = 2,
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents that share at
+    least ``min_hits`` distinct word ``k``-grams with a held-out eval
+    set (the standard n-gram-overlap leakage check run before training).
+
+    ``eval_pred`` selects the eval rows out of ``docs``; everything else
+    is corpus. Plan: ONE distinct-shingle explode feeds both sides, the
+    (small) eval n-gram set is collapsed with ``distinct`` and hash-
+    joined back — at 10^10 corpus docs the eval side is fixed-size (an
+    eval suite, not a corpus), so the join broadcasts and the only
+    shuffle of corpus data is the per-doc hit count aggregation, which
+    map-side combines.
+
+    Output: (doc_id, n_contaminated) for flagged corpus docs only.
+    """
+    from blockchain_etl_spark.functions import text as X
+
+    grams = docs.select(
+        "doc_id",
+        eval_pred.alias("is_eval"),
+        F.explode(F.array_distinct(X.shingles(text_col, k=k))).alias("g"),
+    )
+    eval_grams = grams.filter("is_eval").select("g").distinct()
+    return (
+        grams.filter(~F.col("is_eval"))
+        .join(F.broadcast(eval_grams), "g")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_contaminated"))
+        .filter(F.col("n_contaminated") >= min_hits)
+    )

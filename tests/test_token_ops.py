@@ -1,0 +1,88 @@
+"""Token-sequence ops: context-window chunking, concat-and-cut packing,
+eval-set decontamination, repetition stats."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from blockchain_etl_spark.functions import text as X
+from blockchain_etl_spark.operators import dedup
+from blockchain_etl_spark.operators import tokens as TOK
+
+
+def test_chunk_tokens_order_and_tail(spark):
+    df = spark.createDataFrame(
+        [("a", list(range(10))), ("b", [7]), ("c", [])],
+        "doc_id string, tokens array<int>",
+    )
+    out = {
+        (r["doc_id"], r["chunk_id"]): (r["chunk_tokens"], r["n_chunk_tok"])
+        for r in TOK.chunk_tokens(df, chunk=4).collect()
+    }
+    # 10 tokens at chunk=4 -> [0..3], [4..7], [8,9]; order preserved
+    assert out[("a", 0)] == ([0, 1, 2, 3], 4)
+    assert out[("a", 1)] == ([4, 5, 6, 7], 4)
+    assert out[("a", 2)] == ([8, 9], 2)
+    # single short doc -> one short chunk
+    assert out[("b", 0)] == ([7], 1)
+    # empty doc produces no chunks
+    assert not any(k[0] == "c" for k in out)
+    assert len(out) == 4
+
+
+def test_chunk_tokens_rejects_bad_width(spark):
+    df = spark.createDataFrame([("a", [1])], "doc_id string, tokens array<int>")
+    with pytest.raises(ValueError):
+        TOK.chunk_tokens(df, chunk=0)
+
+
+def test_pack_sequences_concat_and_cut(spark):
+    # source s: docs 1..4 with 60+50+10+100 tokens, budget 100.
+    # cum-start offsets: 0, 60, 110, 120 -> packs 0, 0, 1, 1
+    df = spark.createDataFrame(
+        [(1, "s", 60), (2, "s", 50), (3, "s", 10), (4, "s", 100), (9, "t", 5)],
+        "doc_id long, source string, n_tok int",
+    )
+    rows = {
+        (r["part"], r["pack_id"]): (
+            r["n_docs"], r["n_tok_sum"], r["first_doc"], r["last_doc"]
+        )
+        for r in TOK.pack_sequences(df, budget=100).collect()
+    }
+    assert rows[("s", 0)] == (2, 110, 1, 2)  # doc 2 straddles the cut, no drop
+    assert rows[("s", 1)] == (2, 110, 3, 4)
+    assert rows[("t", 0)] == (1, 5, 9, 9)
+    assert len(rows) == 3
+
+
+def test_decontaminate_threshold_and_eval_exclusion(spark):
+    # eval doc 0 carries the grams; doc 3 shares 2 distinct grams (>= 2),
+    # doc 6 shares 1 (< min_hits), doc 9 shares none.
+    df = spark.createDataFrame(
+        [
+            (0, "aa bb cc dd ee"),            # eval
+            (3, "aa bb cc dd zz"),            # grams "aa bb cc", "bb cc dd"
+            (6, "xx aa bb cc yy"),            # gram  "aa bb cc" only
+            (9, "pp qq rr ss tt"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r["n_contaminated"]
+        for r in dedup.decontaminate(
+            df, eval_pred=F.col("doc_id") == 0, k=3, min_hits=2
+        ).collect()
+    }
+    assert out == {3: 2}
+
+
+def test_repetition_stats_duplicated_bigrams(spark):
+    df = spark.createDataFrame(
+        [(1, "a b a b a"), (2, "w x y z")], "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: (r["n_grams"], r["n_distinct"])
+        for r in df.select("doc_id", *X.repetition_stats("text", k=2)).collect()
+    }
+    # "a b a b a" bigrams: "a b","b a","a b","b a" -> 4 total, 2 distinct
+    assert out[1] == (4, 2)
+    assert out[2] == (3, 3)
