@@ -65,6 +65,9 @@ HEADLINE_QUERIES = [
     "utxo_enrich",
     "utxo_block_scan",
     "ann_ivf_topk",
+    "token_chunking",
+    "sequence_packing",
+    "ngram_decontaminate",
 ]
 
 
