@@ -206,6 +206,99 @@ FROM changelog GROUP BY op
 """
 
 
+def table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental scan over the engine's own target table (≙ the
+    downstream-cascade read: Delta CDF ``table_changes`` / Iceberg
+    incremental scan — the capability that lets one ingest stage tail
+    the previous stage's table instead of the upstream bus).
+
+    Applies the derived changelog (reorg markers and the invalid-payload
+    rejection path are cdc_replay_final_state's job — filtered here) to
+    a real SnapshotTable in TWO copy-on-write commits split at the
+    median LSN, then emits ``read_changes(v0, v1)``. The oracle twin
+    recomputes the same diff relationally: last-writer state at the two
+    cut points, full-outer-joined and classified.
+    """
+    import tempfile
+
+    from blockchain_etl_spark.cdc.apply import CdcEngine
+    from blockchain_etl_spark.cdc.schema import TARGET_SCHEMA
+    from blockchain_etl_spark.tables.snapshot import SnapshotTable
+
+    ev = derive_changelog(spark, sf_dir).filter(F.col("op").isin("I", "U", "D"))
+    mid = ev.agg(F.max("lsn")).first()[0] // 2
+
+    path = tempfile.mkdtemp(prefix="table-changes-gate-")
+    table = SnapshotTable.create(
+        spark, path, TARGET_SCHEMA, key="doc_id", n_buckets=16
+    )
+    eng = CdcEngine(spark, table, mode="cow", collect_metrics=False)
+    eng.apply_epoch(ev.filter(F.col("lsn") <= mid), epoch_id=1)
+    v0 = table.current_version()
+    eng.apply_epoch(ev.filter(F.col("lsn") > mid), epoch_id=2)
+    v1 = table.current_version()
+
+    return table.read_changes(v0, v1).select(
+        F.col("_change_type").alias("change_type"),
+        "doc_id",
+        F.concat_ws(",", F.col("tokens").cast("array<string>")).alias("tokens_csv"),
+        "n_tok",
+        "source",
+        "lsn",
+        "seq",
+    )
+
+
+_TABLE_CHANGES_SQL = f"""
+WITH {_CHANGELOG_CTE},
+ev AS (
+  SELECT * FROM changelog
+  WHERE op IN ('I','U','D')
+    AND (op = 'D' OR (tokens IS NOT NULL AND n_tok = len(tokens)))
+),
+mx AS (SELECT max(lsn) // 2 AS mid FROM ev),
+s0 AS (
+  SELECT * FROM (
+    SELECT e.*, row_number() OVER (PARTITION BY doc_id ORDER BY stream_pos DESC) AS rn
+    FROM ev e, mx WHERE e.lsn <= mx.mid) WHERE rn = 1
+),
+s1 AS (
+  SELECT * FROM (
+    SELECT e.*, row_number() OVER (PARTITION BY doc_id ORDER BY stream_pos DESC) AS rn
+    FROM ev e) WHERE rn = 1
+),
+d AS (
+  SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+         (a.doc_id IS NOT NULL AND a.op <> 'D') AS live0,
+         (b.doc_id IS NOT NULL AND b.op <> 'D') AS live1,
+         -- (lsn, seq) ↔ stream_pos is a bijection, so "any state column
+         -- differs" collapses to "a different event won last-writer"
+         (a.stream_pos IS DISTINCT FROM b.stream_pos) AS changed,
+         a.tokens AS a_tokens, a.n_tok AS a_n_tok, a.source AS a_source,
+         a.lsn AS a_lsn, a.seq AS a_seq,
+         b.tokens AS b_tokens, b.n_tok AS b_n_tok, b.source AS b_source,
+         b.lsn AS b_lsn, b.seq AS b_seq
+  FROM s0 a FULL OUTER JOIN s1 b ON a.doc_id = b.doc_id
+)
+SELECT 'insert' AS change_type, doc_id,
+       array_to_string(b_tokens, ',') AS tokens_csv, b_n_tok AS n_tok,
+       b_source AS source, b_lsn AS lsn, b_seq AS seq
+FROM d WHERE live1 AND NOT live0
+UNION ALL
+SELECT 'delete', doc_id, array_to_string(a_tokens, ','), a_n_tok,
+       a_source, a_lsn, a_seq
+FROM d WHERE live0 AND NOT live1
+UNION ALL
+SELECT 'update_preimage', doc_id, array_to_string(a_tokens, ','), a_n_tok,
+       a_source, a_lsn, a_seq
+FROM d WHERE live0 AND live1 AND changed
+UNION ALL
+SELECT 'update_postimage', doc_id, array_to_string(b_tokens, ','), b_n_tok,
+       b_source, b_lsn, b_seq
+FROM d WHERE live0 AND live1 AND changed
+"""
+
+
 def tokenize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents → the input_hint shape (doc_id, tokens, n_tok, source)."""
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -1615,6 +1708,7 @@ QUERIES: dict[str, callable] = {
     # CDC core
     "cdc_replay_final_state": cdc_replay_final_state,
     "cdc_changelog_stats": cdc_changelog_stats,
+    "table_changes": table_changes,
     "tokenize_docs": tokenize_docs,
     # relational parity (SURVEY §2.5-2.8)
     "enrich_join": relational.enrich_join,
@@ -1703,6 +1797,7 @@ def oracle_sqls() -> dict[str, str]:
     return {
         "cdc_replay_final_state": _CDC_FINAL_SQL,
         "cdc_changelog_stats": _CDC_STATS_SQL,
+        "table_changes": _TABLE_CHANGES_SQL,
         "tokenize_docs": _TOKENIZE_SQL,
         "enrich_join": """
             SELECT l_orderkey, l_linenumber, l_quantity,

@@ -489,6 +489,138 @@ class SnapshotTable:
                 return v
         return None
 
+    # -------------------------------------------------- incremental changes
+    def changed_buckets(
+        self, from_version: int, to_version: int | None = None
+    ) -> list[int] | None:
+        """Buckets whose logical content may differ between two versions.
+
+        Walks the commit chain collecting the buckets of files each
+        commit added or removed relative to its parent, skipping
+        pure-compaction commits (file rewrites with identical logical
+        state). Rollback commits need no special case: the restored old
+        file paths differ from the parent's and surface their buckets
+        through the same file diff. Driver-side manifest reads only —
+        the same cost class as Iceberg's manifest-diff incremental scan.
+
+        Returns ``None`` when a manifest in the range was GC'd (history
+        unknown → caller must diff every bucket).
+        """
+        v1 = self.current_version() if to_version is None else to_version
+        touched: set[int] = set()
+        try:
+            for v in range(from_version + 1, v1 + 1):
+                m = self.manifest(v)
+                if "compaction" in m.lineage:
+                    continue
+                parent = m.parent if m.parent is not None else v - 1
+                pfiles = {f["path"]: f for f in self.manifest(parent).files}
+                cfiles = {f["path"]: f for f in m.files}
+                touched.update(
+                    f["bucket"] for p, f in cfiles.items() if p not in pfiles
+                )
+                touched.update(
+                    f["bucket"] for p, f in pfiles.items() if p not in cfiles
+                )
+        except FileNotFoundError:
+            return None
+        return sorted(touched)
+
+    def read_changes(
+        self,
+        from_version: int,
+        to_version: int | None = None,
+        diff_ignore: tuple[str, ...] = ("updated_epoch",),
+    ) -> DataFrame:
+        """Row-level change-log between two committed versions (≙ Iceberg
+        incremental scan / Delta CDF ``table_changes``): the edits that
+        transform state(from_version) into state(to_version), tagged
+        ``_change_type`` ∈ insert | update_preimage | update_postimage |
+        delete. This is how a downstream pipeline tails THIS table as a
+        source — the engine both consumes and emits changelogs, so
+        ingest stages cascade.
+
+        Semantics:
+
+        - **Liveness**: a key is live when present and not tombstoned;
+          tombstone↔absent transitions emit nothing.
+        - **Net per key**: a key inserted and deleted inside the range
+          emits nothing (collapsed diff, not per-commit attribution;
+          attribute per commit by looping adjacent versions).
+        - ``diff_ignore`` columns never trigger an update row — commit
+          bookkeeping (``updated_epoch``) is not a logical change.
+        - delete rows carry the pre-image payload (last live values).
+
+        Scale: only buckets touched by non-compaction commits in the
+        range are read (``changed_buckets`` manifest diff); the diff is
+        one full-outer hash join on the key inside those buckets, so a
+        stream touching k of B buckets pays O(state of k buckets), not
+        O(table). Column comparison is null-safe ``<=>`` per column —
+        exact, JVM-side, no hashing shortcut.
+        """
+        from blockchain_etl_spark.tables.schema_util import conform
+
+        v1 = self.current_version() if to_version is None else to_version
+        if from_version > v1:
+            raise ValueError(f"from_version {from_version} > to_version {v1}")
+        m1 = self.manifest(v1)
+        schema1 = m1.schema()
+        key = m1.key
+        out_cols = [f.name for f in schema1.fields]
+        out_schema = T.StructType(
+            [T.StructField("_change_type", T.StringType(), False)]
+            + list(schema1.fields)
+            + [
+                T.StructField("_from_version", T.IntegerType(), False),
+                T.StructField("_to_version", T.IntegerType(), False),
+            ]
+        )
+        buckets = None
+        if from_version != v1:
+            buckets = self.changed_buckets(from_version, v1)
+        if from_version == v1 or buckets == []:
+            return self.spark.createDataFrame([], out_schema)
+
+        a = conform(self.read(version=from_version, buckets=buckets), schema1).alias("a")
+        b = conform(self.read(version=v1, buckets=buckets), schema1).alias("b")
+        j = a.join(b, F.col(f"a.{key}") == F.col(f"b.{key}"), "full_outer")
+
+        def present(side: str):
+            return F.col(f"{side}.{key}").isNotNull()
+
+        def live(side: str):
+            p = present(side)
+            if "deleted" in out_cols:
+                return p & ~F.coalesce(F.col(f"{side}.deleted"), F.lit(False))
+            return p
+
+        def img(side: str, ctype: str):
+            return F.struct(
+                F.lit(ctype).alias("_change_type"),
+                *[F.col(f"{side}.{c}").alias(c) for c in out_cols],
+            )
+
+        diff_cols = [c for c in out_cols if c != key and c not in diff_ignore]
+        same = F.lit(True)
+        for c in diff_cols:
+            same = same & F.col(f"a.{c}").eqNullSafe(F.col(f"b.{c}"))
+
+        arr = (
+            F.when(live("b") & ~live("a"), F.array(img("b", "insert")))
+            .when(live("a") & ~live("b"), F.array(img("a", "delete")))
+            .when(
+                live("a") & live("b") & ~same,
+                F.array(img("a", "update_preimage"), img("b", "update_postimage")),
+            )
+            .otherwise(F.lit(None))
+        )
+        return (
+            j.select(F.explode(arr).alias("_c"))
+            .select("_c.*")
+            .withColumn("_from_version", F.lit(from_version))
+            .withColumn("_to_version", F.lit(v1))
+        )
+
     # ------------------------------------------------------------- utilities
     def vacuum_tombstones(self, older_than_lsn: int) -> int:
         """Drop tombstone rows with lsn < older_than_lsn (safe once the

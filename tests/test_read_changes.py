@@ -1,0 +1,127 @@
+"""Incremental change-log reads between table versions (Iceberg
+incremental scan / Delta CDF shape): SnapshotTable.read_changes."""
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from blockchain_etl_spark.cdc.schema import TARGET_SCHEMA
+from blockchain_etl_spark.tables.snapshot import SnapshotTable
+
+
+def _rows(spark, specs):
+    """specs: (doc_id, tokens, lsn, deleted)"""
+    rows = [
+        (d, toks, len(toks) if toks is not None else None, "s", lsn, 0, 0, dead)
+        for d, toks, lsn, dead in specs
+    ]
+    return spark.createDataFrame(rows, TARGET_SCHEMA)
+
+
+def _changes(t, v0, v1=None):
+    return {
+        (r["_change_type"], r["doc_id"]): r
+        for r in t.read_changes(v0, v1).collect()
+    }
+
+
+def test_insert_update_delete_classified(spark, tmp_table_dir):
+    t = SnapshotTable.create(spark, tmp_table_dir, TARGET_SCHEMA, n_buckets=8)
+    v0 = t.overwrite(
+        _rows(spark, [("a", [1], 1, False), ("b", [2], 1, False), ("c", [3], 1, False)])
+    )
+    # b updated, c tombstoned, d inserted — via MOR delta append
+    v1 = t.append_deltas(
+        _rows(
+            spark,
+            [("b", [2, 9], 2, False), ("c", None, 2, True), ("d", [4], 2, False)],
+        )
+    )
+    ch = _changes(t, v0, v1)
+    assert set(ch) == {
+        ("insert", "d"),
+        ("update_preimage", "b"),
+        ("update_postimage", "b"),
+        ("delete", "c"),
+    }
+    assert ch[("update_preimage", "b")]["tokens"] == [2]
+    assert ch[("update_postimage", "b")]["tokens"] == [2, 9]
+    # delete carries the pre-image payload, not the tombstone's nulls
+    assert ch[("delete", "c")]["tokens"] == [3]
+    assert all(
+        r["_from_version"] == v0 and r["_to_version"] == v1 for r in ch.values()
+    )
+
+
+def test_net_semantics_and_noop_rows(spark, tmp_table_dir):
+    t = SnapshotTable.create(spark, tmp_table_dir, TARGET_SCHEMA, n_buckets=8)
+    v0 = t.overwrite(_rows(spark, [("a", [1], 1, False)]))
+    # x inserted then deleted inside the range → net nothing;
+    # a rewritten with identical payload (redelivery) → no update row
+    t.append_deltas(_rows(spark, [("x", [7], 2, False), ("a", [1], 1, False)]))
+    v2 = t.append_deltas(_rows(spark, [("x", None, 3, True)]))
+    assert _changes(t, v0, v2) == {}
+
+
+def test_updated_epoch_is_not_a_logical_change(spark, tmp_table_dir):
+    t = SnapshotTable.create(spark, tmp_table_dir, TARGET_SCHEMA, n_buckets=8)
+    rows = [("a", [1], 1, False)]
+    v0 = t.overwrite(_rows(spark, rows))
+    bumped = _rows(spark, rows).withColumn("updated_epoch", F.lit(99).cast("long"))
+    v1 = t.append_deltas(bumped)
+    assert _changes(t, v0, v1) == {}
+    # but a real payload change under the same epoch IS one
+    v2 = t.append_deltas(_rows(spark, [("a", [1, 2], 2, False)]))
+    assert set(_changes(t, v1, v2)) == {
+        ("update_preimage", "a"),
+        ("update_postimage", "a"),
+    }
+
+
+def test_compaction_emits_no_changes_and_prunes_buckets(spark, tmp_table_dir):
+    t = SnapshotTable.create(spark, tmp_table_dir, TARGET_SCHEMA, n_buckets=8)
+    v0 = t.overwrite(_rows(spark, [(f"d{i}", [i], 1, False) for i in range(50)]))
+    t.append_deltas(_rows(spark, [("d1", [1, 1], 2, False)]))
+    v2 = t.compact()
+    assert v2 > v0 + 1
+    # compaction rewrote files, but the only logical change is d1's update
+    assert t.changed_buckets(v0 + 1, v2) == []
+    ch = _changes(t, v0, v2)
+    assert set(ch) == {("update_preimage", "d1"), ("update_postimage", "d1")}
+    # bucket pruning: the diff reads only d1's bucket, not all 8
+    touched = t.changed_buckets(v0, v2)
+    assert len(touched) == 1
+
+
+def test_rollback_range_emits_inverse_changes(spark, tmp_table_dir):
+    t = SnapshotTable.create(spark, tmp_table_dir, TARGET_SCHEMA, n_buckets=8)
+    v0 = t.overwrite(_rows(spark, [("a", [1], 1, False)]))
+    t.append_deltas(_rows(spark, [("z", [9], 2, False)]))
+    v2 = t.rollback_to_version(v0)
+    # net v0→v2 is identity; the sub-range that saw z insert+revert nets out
+    assert _changes(t, v0, v2) == {}
+    # and v1→v2 (the rollback commit alone) emits the inverse delete
+    assert set(_changes(t, v0 + 1, v2)) == {("delete", "z")}
+
+
+def test_schema_evolution_diff_null_backfills(spark, tmp_table_dir):
+    t = SnapshotTable.create(spark, tmp_table_dir, TARGET_SCHEMA, n_buckets=8)
+    v0 = t.overwrite(_rows(spark, [("a", [1], 1, False)]))
+    wide = T.StructType(
+        list(TARGET_SCHEMA.fields) + [T.StructField("lang", T.StringType(), True)]
+    )
+    new = spark.createDataFrame(
+        [("b", [2], 1, "s", 2, 0, 0, False, "en")], wide
+    )
+    v1 = t.append_deltas(new, new_schema=wide)
+    ch = _changes(t, v0, v1)
+    # only b inserted; a's null-backfilled lang is not a change
+    assert set(ch) == {("insert", "b")}
+    assert ch[("insert", "b")]["lang"] == "en"
+
+
+def test_empty_and_identity_ranges(spark, tmp_table_dir):
+    t = SnapshotTable.create(spark, tmp_table_dir, TARGET_SCHEMA, n_buckets=8)
+    v0 = t.overwrite(_rows(spark, [("a", [1], 1, False)]))
+    df = t.read_changes(v0, v0)
+    assert df.count() == 0
+    assert "_change_type" in df.columns
