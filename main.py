@@ -98,6 +98,15 @@ def main(argv=None):
     sp.add_argument("--table", required=True)
     sp.add_argument("--what", choices=["state", "manifest", "metrics"], default="manifest")
 
+    sp = sub.add_parser("changes", help="incremental change-log between two "
+                        "table versions (tail this table as a source)")
+    sp.add_argument("--table", required=True)
+    sp.add_argument("--from-version", type=int, required=True)
+    sp.add_argument("--to-version", type=int, default=None)
+    sp.add_argument("--out", default=None,
+                    help="write the change rows to this parquet dir "
+                    "(default: print to stdout)")
+
     args = p.parse_args(argv)
 
     from blockchain_etl_spark.cdc.apply import CdcEngine, read_state
@@ -193,6 +202,27 @@ def main(argv=None):
     elif args.cmd == "vacuum":
         v = table.vacuum_tombstones(args.older_than_lsn)
         print(json.dumps({"version": v}))
+    elif args.cmd == "changes":
+        from pyspark.sql import functions as F
+
+        ch = table.read_changes(args.from_version, args.to_version)
+        if args.out:
+            ch.write.mode("overwrite").parquet(args.out)
+        else:
+            ch.show(50, truncate=60)
+        counts = {
+            r["_change_type"]: r["n"]
+            for r in ch.groupBy("_change_type").agg(
+                F.count("*").alias("n")).collect()
+        }
+        print(json.dumps({
+            "from_version": args.from_version,
+            "to_version": args.to_version
+            if args.to_version is not None else table.current_version(),
+            "changed_buckets": table.changed_buckets(
+                args.from_version, args.to_version),
+            "counts": counts,
+        }))
     elif args.cmd == "show":
         if args.what == "state":
             st = read_state(table)

@@ -49,6 +49,23 @@ def test_cli_tail_compact_show(spark, tmp_path, capsys, monkeypatch):
            oracle_replay([e for ep in epochs for e in ep]).items()}
     assert got == exp
 
+    # `changes` tails the table itself as a source: the diff from the
+    # version after epoch 0 to HEAD must match the oracle state diff
+    s0 = oracle_replay(epochs[0])
+    ins = sorted(k for k in exp if k not in s0)
+    dels = sorted(k for k in s0 if k not in exp)
+    outdir = str(tmp_path / "ch")
+    assert climod.main(["changes", "--table", table, "--from-version", "1",
+                        "--out", outdir]) == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["counts"].get("insert", 0) == len(ins)
+    assert res["counts"].get("delete", 0) == len(dels)
+    ch = spark.read.parquet(outdir)
+    got_ins = sorted(
+        r["doc_id"] for r in ch.filter("_change_type = 'insert'").collect()
+    )
+    assert got_ins == ins
+
 
 def test_make_pyfiles(tmp_path):
     from tools.make_pyfiles import main as mk
