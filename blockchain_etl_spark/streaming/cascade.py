@@ -1,0 +1,122 @@
+"""Cascaded ingest: tail one engine table as the change-log SOURCE of
+the next (≙ the reference's multi-stage pipelines where one job's
+Postgres table feeds the next job's extract — here the hop is the
+table's own commit history, no bus in between).
+
+``SnapshotTable.read_changes`` emits Delta-CDF-style rows between two
+versions; ``changes_to_events`` re-shapes them into EVENT_SCHEMA so any
+``CdcEngine`` can apply them unchanged; ``CascadeTailer`` holds the
+version cursor (a tiny JSON file next to the destination table) and
+turns "poll upstream HEAD, apply the delta, advance" into one call.
+
+Scale shape: each hop is incremental — the manifest file-diff prunes
+the change scan to touched buckets, the apply is the same O(batch)
+MOR/COW path as first-stage ingest, and the cursor file makes the hop
+resumable. Exactly-once composes: the epoch id is the upstream
+``(from_version, to_version)`` range, deduped by the destination's
+commit ledger like any other epoch.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from blockchain_etl_spark.cdc.schema import EVENT_SCHEMA
+
+# stream_pos synthesized from (lsn, seq): same total order, collision-free
+# while seq < 2^20 (an LSN carrying a million intra-position events is a
+# corrupt stream long before this encoding is the problem).
+_SEQ_BITS = 20
+
+
+def changes_to_events(changes: DataFrame) -> DataFrame:
+    """read_changes rows → EVENT_SCHEMA change-log (I/U/D).
+
+    - ``insert``/``update_postimage`` become I/U carrying the post-image
+      payload at its own (lsn, seq).
+    - ``delete`` becomes D sequenced at the COMMIT watermark
+      (``_commit_lsn``/``_commit_seq``: the tombstone's position) — the
+      pre-image (lsn, seq) would lose to the very row it deletes under
+      the destination's monotonic guard. A vacuumed tombstone leaves no
+      commit watermark; ``pre-image lsn + 1`` keeps the delete ordered
+      after the row it removes.
+    - ``update_preimage`` rows are bookkeeping for diff consumers, not
+      events — dropped.
+    """
+    op = (
+        F.when(F.col("_change_type") == "insert", F.lit("I"))
+        .when(F.col("_change_type") == "update_postimage", F.lit("U"))
+        .when(F.col("_change_type") == "delete", F.lit("D"))
+    )
+    lsn = F.when(
+        F.col("_change_type") == "delete",
+        F.coalesce(F.col("_commit_lsn"), F.col("lsn") + 1),
+    ).otherwise(F.col("lsn"))
+    seq = F.when(
+        F.col("_change_type") == "delete",
+        F.coalesce(F.col("_commit_seq"), F.lit(0)),
+    ).otherwise(F.col("seq"))
+    payload = F.col("_change_type") != "delete"
+    ev = changes.filter(F.col("_change_type") != "update_preimage").select(
+        (F.shiftleft(lsn, _SEQ_BITS) + seq).cast("long").alias("stream_pos"),
+        lsn.cast("long").alias("lsn"),
+        seq.cast("int").alias("seq"),
+        op.alias("op"),
+        "doc_id",
+        F.when(payload, F.col("tokens")).alias("tokens"),
+        F.when(payload, F.col("n_tok")).alias("n_tok"),
+        F.when(payload, F.col("source")).alias("source"),
+        F.lit(None).cast("long").alias("rollback_to_lsn"),
+        F.concat(
+            F.lit("cascade-v"),
+            F.col("_from_version").cast("string"),
+            F.lit("-"),
+            F.col("_to_version").cast("string"),
+        ).alias("epoch_hash"),
+    )
+    return ev.select([f.name for f in EVENT_SCHEMA.fields])
+
+
+class CascadeTailer:
+    """Polls an upstream SnapshotTable's commit history and applies the
+    new changes to a downstream CdcEngine, exactly-once per version
+    range."""
+
+    def __init__(self, src_table, dst_engine, cursor_path: str):
+        self.src = src_table
+        self.engine = dst_engine
+        self.cursor_path = cursor_path
+
+    def _cursor(self) -> int:
+        try:
+            with open(self.cursor_path) as f:
+                return json.load(f)["version"]
+        except FileNotFoundError:
+            return 0
+
+    def _commit_cursor(self, version: int) -> None:
+        tmp = self.cursor_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"version": version}, f)
+        os.replace(tmp, self.cursor_path)
+
+    def run_once(self) -> dict[str, Any] | None:
+        """Apply upstream commits since the cursor; returns apply metrics
+        (None when already caught up). Crash-safe: the destination's
+        epoch ledger dedups a re-applied range if we die between apply
+        and cursor write."""
+        v0 = self._cursor()
+        v1 = self.src.current_version()
+        if v1 <= v0:
+            return None
+        ev = changes_to_events(self.src.read_changes(v0, v1))
+        # epoch id = upstream range, stable across redelivery
+        epoch_id = (v0 << 20) | v1
+        metrics = self.engine.apply_epoch(ev, epoch_id=epoch_id)
+        self._commit_cursor(v1)
+        return metrics if metrics is not None else {"deduped_range": [v0, v1]}

@@ -567,9 +567,25 @@ class SnapshotTable:
         schema1 = m1.schema()
         key = m1.key
         out_cols = [f.name for f in schema1.fields]
+        # commit-side (lsn, seq): the NEW state's watermark for the key,
+        # present on every change row including deletes (where the payload
+        # carries pre-image values but the deletion itself happened at the
+        # tombstone's LSN). A downstream engine replaying these changes
+        # must sequence deletes by the commit LSN — the pre-image LSN
+        # would lose to its own prior row under the monotonic guard.
+        has_wm = "lsn" in out_cols and "seq" in out_cols
+        wm_fields = (
+            [
+                T.StructField("_commit_lsn", T.LongType(), True),
+                T.StructField("_commit_seq", T.IntegerType(), True),
+            ]
+            if has_wm
+            else []
+        )
         out_schema = T.StructType(
             [T.StructField("_change_type", T.StringType(), False)]
             + list(schema1.fields)
+            + wm_fields
             + [
                 T.StructField("_from_version", T.IntegerType(), False),
                 T.StructField("_to_version", T.IntegerType(), False),
@@ -595,9 +611,18 @@ class SnapshotTable:
             return p
 
         def img(side: str, ctype: str):
+            wm = (
+                [
+                    F.col("b.lsn").cast("long").alias("_commit_lsn"),
+                    F.col("b.seq").cast("int").alias("_commit_seq"),
+                ]
+                if has_wm
+                else []
+            )
             return F.struct(
                 F.lit(ctype).alias("_change_type"),
                 *[F.col(f"{side}.{c}").alias(c) for c in out_cols],
+                *wm,
             )
 
         diff_cols = [c for c in out_cols if c != key and c not in diff_ignore]

@@ -1,0 +1,86 @@
+"""Cascaded ingest: engine B tails engine A's table via read_changes →
+changes_to_events, and converges to the same live state."""
+
+import json
+
+from blockchain_etl_spark.cdc.apply import CdcEngine, read_state
+from blockchain_etl_spark.cdc.generator import events_to_df, generate_changelog
+from blockchain_etl_spark.cdc.schema import TARGET_SCHEMA
+from blockchain_etl_spark.streaming.cascade import CascadeTailer, changes_to_events
+from blockchain_etl_spark.tables.snapshot import SnapshotTable
+
+
+def _live(table):
+    return {
+        r["doc_id"]: (list(r["tokens"]), r["n_tok"], r["source"])
+        for r in read_state(SnapshotTable(table.spark, table.path)).collect()
+    }
+
+
+def _setup(spark, tmp_path, n_epochs=3, seed=91):
+    epochs = generate_changelog(seed=seed, n_epochs=n_epochs, p_reorg_epoch=0.0)
+    a = SnapshotTable.create(spark, str(tmp_path / "a"), TARGET_SCHEMA, n_buckets=8)
+    b = SnapshotTable.create(spark, str(tmp_path / "b"), TARGET_SCHEMA, n_buckets=8)
+    ea = CdcEngine(spark, a, collect_metrics=False)
+    eb = CdcEngine(spark, b, collect_metrics=False)
+    tailer = CascadeTailer(a, eb, str(tmp_path / "cursor.json"))
+    return epochs, a, b, ea, tailer
+
+
+def test_cascade_converges_per_hop(spark, tmp_path):
+    epochs, a, b, ea, tailer = _setup(spark, tmp_path)
+    for i, ep in enumerate(epochs):
+        ea.apply_epoch(events_to_df(spark, ep), epoch_id=i)
+        m = tailer.run_once()
+        assert m is not None
+        # B tracks A exactly after every hop — deletes included
+        assert _live(b) == _live(a)
+    # caught up → no-op
+    assert tailer.run_once() is None
+
+
+def test_cascade_catches_up_in_one_hop(spark, tmp_path):
+    epochs, a, b, ea, tailer = _setup(spark, tmp_path, seed=92)
+    for i, ep in enumerate(epochs):
+        ea.apply_epoch(events_to_df(spark, ep), epoch_id=i)
+    # one collapsed hop over the whole history: NET changes only
+    tailer.run_once()
+    assert _live(b) == _live(a)
+
+
+def test_cascade_crash_redelivery_is_exactly_once(spark, tmp_path):
+    epochs, a, b, ea, tailer = _setup(spark, tmp_path, seed=93)
+    ea.apply_epoch(events_to_df(spark, epochs[0]), epoch_id=0)
+    tailer.run_once()
+    # crash between apply and cursor write: rewind the cursor by hand
+    with open(tailer.cursor_path, "w") as f:
+        json.dump({"version": 0}, f)
+    m = tailer.run_once()  # redelivered range → ledger dedup, state intact
+    assert m == {"deduped_range": [0, a.current_version()]}
+    assert _live(b) == _live(a)
+
+
+def test_delete_sequencing_uses_commit_lsn(spark, tmp_path):
+    # insert at lsn 5, delete at lsn 9: the cascaded D must carry lsn 9
+    # (the pre-image lsn 5 would be stale-guarded by B and ignored)
+    a = SnapshotTable.create(spark, str(tmp_path / "a"), TARGET_SCHEMA, n_buckets=4)
+    b = SnapshotTable.create(spark, str(tmp_path / "b"), TARGET_SCHEMA, n_buckets=4)
+    ea = CdcEngine(spark, a, collect_metrics=False)
+    eb = CdcEngine(spark, b, collect_metrics=False)
+    ins = [dict(stream_pos=1, lsn=5, seq=0, op="I", doc_id="d1", tokens=[1, 2],
+                n_tok=2, source="s", rollback_to_lsn=None, epoch_hash="e0")]
+    ea.apply_epoch(events_to_df(spark, ins), epoch_id=0)
+    tailer = CascadeTailer(a, eb, str(tmp_path / "cur.json"))
+    tailer.run_once()
+    assert "d1" in _live(b)
+
+    dele = [dict(stream_pos=2, lsn=9, seq=0, op="D", doc_id="d1", tokens=None,
+                 n_tok=None, source=None, rollback_to_lsn=None, epoch_hash="e1")]
+    ea.apply_epoch(events_to_df(spark, dele), epoch_id=1)
+    ch = a.read_changes(1)
+    row = ch.filter("_change_type = 'delete'").first()
+    assert row["lsn"] == 5 and row["_commit_lsn"] == 9
+    ev = changes_to_events(ch).filter("op = 'D'").first()
+    assert ev["lsn"] == 9
+    tailer.run_once()
+    assert "d1" not in _live(b)
