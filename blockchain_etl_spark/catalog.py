@@ -1764,6 +1764,8 @@ QUERIES: dict[str, callable] = {
     "embedding_near_dup": similarity.embedding_near_dup,
     # multimodal plumbing (pandas UDF; oracle via byte arithmetic)
     "binary_features": multimodal.binary_features,
+    "frame_sample": multimodal.frame_sample,
+    "resize_bytes": multimodal.resize_bytes,
 }
 
 
@@ -2082,6 +2084,34 @@ def oracle_sqls() -> dict[str, str]:
                    list_reduce(list_transform(generate_series(1, length(text)),
                                               i -> ascii(substr(text, i, 1))::BIGINT),
                                (a, b) -> a + b) AS byte_sum
+            FROM documents
+        """,
+        # frame sampling twin: every 3rd 32-byte chunk; byte == ascii code
+        # because the synthetic corpus is ASCII (same assumption as
+        # binary_features above)
+        "frame_sample": """
+            WITH d AS (
+              SELECT doc_id, text, length(text) AS n,
+                     ((length(text) + 31) // 32)::INT AS n_frames
+              FROM documents
+            )
+            SELECT doc_id, frame_idx::INT AS frame_idx, n_frames,
+                   list_reduce(
+                     list_transform(
+                       generate_series(1 + frame_idx * 32,
+                                       least((frame_idx + 1) * 32, n)),
+                       i -> ascii(substr(text, i::INT, 1))::BIGINT),
+                     (a, b) -> a + b) AS frame_checksum
+            FROM d, unnest(range(0, n_frames, 3)) AS t(frame_idx)
+        """,
+        "resize_bytes": """
+            SELECT doc_id, length(text)::INT AS n_bytes,
+                   CASE WHEN length(text) = 0 THEN 0 ELSE
+                     list_reduce(
+                       list_transform(generate_series(0, 15),
+                         i -> ascii(substr(text,
+                                ((i * length(text)) // 16 + 1)::INT, 1))::BIGINT),
+                       (a, b) -> a + b) END AS resized_checksum
             FROM documents
         """,
     }
