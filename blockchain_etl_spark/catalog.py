@@ -733,6 +733,125 @@ FROM sh
 """
 
 
+_Q_MIN_TOK = 8
+_Q_MIN_DISTINCT_RATIO = 0.3
+
+
+def corpus_prepare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-corpus pipeline as ONE lazy plan:
+    tokenize → exact-dedup (min doc_id per identical token sequence) →
+    quality filter (length + distinct-token ratio) → benchmark
+    decontamination (shared token 3-grams vs the eval slice) → fixed-
+    size chunking. Each stage is an operator the catalog already gates
+    individually; this row proves they compose — and that Catalyst
+    fuses the composition (the dedup agg and the contamination count
+    are the only shuffles; everything else is narrow)."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    t = d.select(
+        "doc_id",
+        X.tokenize("text", vocab=_VOCAB).alias("tokens"),
+    ).withColumn("n_tok", F.size("tokens"))
+
+    # exact dedup: smallest doc_id represents each identical sequence
+    reps = t.groupBy("tokens").agg(F.min("doc_id").alias("doc_id"))
+    surv = t.join(reps.select("doc_id"), "doc_id", "left_semi")
+
+    # quality: long enough, not token-degenerate
+    q = surv.filter(
+        (F.col("n_tok") >= _Q_MIN_TOK)
+        & (
+            F.size(F.array_distinct("tokens"))
+            >= F.lit(_Q_MIN_DISTINCT_RATIO) * F.col("n_tok")
+        )
+    )
+
+    # decontamination: distinct token 3-grams of the FULL eval slice
+    # (pre-dedup — an eval doc always contaminates, even if its dup was
+    # dropped), broadcast against candidate 3-grams
+    grams = F.transform(
+        F.sequence(F.lit(0), F.col("n_tok") - _DECON_K),
+        lambda i: F.concat_ws(",", F.slice("tokens", i + 1, _DECON_K).cast("array<string>")),
+    )
+    eval_grams = (
+        t.filter((F.col("doc_id") % _EVAL_MOD == 0) & (F.col("n_tok") >= _DECON_K))
+        .select(F.explode(F.array_distinct(grams)).alias("g"))
+        .distinct()
+    )
+    cand = q.filter(F.col("doc_id") % _EVAL_MOD != 0)
+    contaminated = (
+        cand.filter(F.col("n_tok") >= _DECON_K)
+        .select("doc_id", F.explode(F.array_distinct(grams)).alias("g"))
+        .join(F.broadcast(eval_grams), "g")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("hits"))
+        .filter(F.col("hits") >= _DECON_MIN_HITS)
+    )
+    clean = cand.join(contaminated.select("doc_id"), "doc_id", "left_anti")
+
+    from blockchain_etl_spark.operators import tokens as TOK
+
+    out = TOK.chunk_tokens(clean, chunk=_CHUNK)
+    return out.select(
+        F.format_string("doc-%06d", F.col("doc_id")).alias("doc_id"),
+        "chunk_id",
+        F.concat_ws(",", F.col("chunk_tokens").cast("array<string>")).alias(
+            "chunk_csv"
+        ),
+        "n_chunk_tok",
+    )
+
+
+_CORPUS_PREPARE_SQL = f"""
+WITH t AS (
+  SELECT doc_id,
+         list_transform(list_filter(string_split_regex(text, '\\s+'), w -> w <> ''),
+                        w -> ((('0x' || substr(md5(w), 1, 6))::BIGINT % {_VOCAB}))::INT)
+           AS tokens
+  FROM documents
+),
+tn AS (SELECT doc_id, tokens, len(tokens) AS n_tok FROM t),
+reps AS (SELECT min(doc_id) AS doc_id FROM tn GROUP BY tokens),
+surv AS (SELECT tn.* FROM tn JOIN reps USING (doc_id)),
+q AS (
+  SELECT * FROM surv
+  WHERE n_tok >= {_Q_MIN_TOK}
+    AND len(list_distinct(tokens)) >= {_Q_MIN_DISTINCT_RATIO} * n_tok
+),
+eg AS (
+  SELECT DISTINCT unnest(list_distinct(list_transform(
+           generate_series(0, n_tok - {_DECON_K}),
+           i -> array_to_string(list_slice(tokens, i + 1, i + {_DECON_K}), ',')))) AS g
+  FROM tn WHERE doc_id % {_EVAL_MOD} = 0 AND n_tok >= {_DECON_K}
+),
+cand AS (SELECT * FROM q WHERE doc_id % {_EVAL_MOD} <> 0),
+cg AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           generate_series(0, n_tok - {_DECON_K}),
+           i -> array_to_string(list_slice(tokens, i + 1, i + {_DECON_K}), ',')))) AS g
+  FROM cand WHERE n_tok >= {_DECON_K}
+),
+contaminated AS (
+  SELECT doc_id FROM cg JOIN eg USING (g)
+  GROUP BY doc_id HAVING count(*) >= {_DECON_MIN_HITS}
+),
+clean AS (
+  SELECT * FROM cand WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+),
+c AS (
+  SELECT doc_id, tokens, n_tok,
+         unnest(range(0, (n_tok + {_CHUNK} - 1) // {_CHUNK})) AS chunk_id
+  FROM clean WHERE n_tok > 0
+)
+SELECT 'doc-' || lpad(doc_id::VARCHAR, 6, '0') AS doc_id,
+       chunk_id::INT AS chunk_id,
+       array_to_string(
+         list_slice(tokens, chunk_id * {_CHUNK} + 1,
+                    least((chunk_id + 1) * {_CHUNK}, n_tok)), ',') AS chunk_csv,
+       (least((chunk_id + 1) * {_CHUNK}, n_tok) - chunk_id * {_CHUNK})::INT AS n_chunk_tok
+FROM c
+"""
+
+
 # --------------------------------------------------------------------------
 # ABI-decode extractors end-to-end: synthesize deterministic hex logs FROM
 # the events table (so DuckDB derives the identical logs), then run the
@@ -1757,6 +1876,7 @@ QUERIES: dict[str, callable] = {
     "sequence_packing": sequence_packing,
     "ngram_decontaminate": ngram_decontaminate,
     "repetition_ratio": repetition_ratio,
+    "corpus_prepare": corpus_prepare,
     "brute_topk": similarity.brute_topk,
     "srp_bucket_histogram": similarity.srp_bucket_histogram,
     "ann_lsh_topk": similarity.ann_lsh_topk,
@@ -1996,6 +2116,7 @@ def oracle_sqls() -> dict[str, str]:
         "sequence_packing": _SEQUENCE_PACK_SQL,
         "ngram_decontaminate": _DECONTAMINATE_SQL,
         "repetition_ratio": _REPETITION_SQL,
+        "corpus_prepare": _CORPUS_PREPARE_SQL,
         "brute_topk": f"""
             WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
                        FROM embeddings WHERE vec_id < 5),
