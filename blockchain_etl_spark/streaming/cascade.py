@@ -34,33 +34,46 @@ from blockchain_etl_spark.cdc.schema import EVENT_SCHEMA
 _SEQ_BITS = 20
 
 
-def changes_to_events(changes: DataFrame) -> DataFrame:
+def changes_to_events(changes: DataFrame, sequence_by: str = "commit_version") -> DataFrame:
     """read_changes rows → EVENT_SCHEMA change-log (I/U/D).
+    ``update_preimage`` rows are bookkeeping for diff consumers, not
+    events — dropped.
 
-    - ``insert``/``update_postimage`` become I/U carrying the post-image
-      payload at its own (lsn, seq).
-    - ``delete`` becomes D sequenced at the COMMIT watermark
-      (``_commit_lsn``/``_commit_seq``: the tombstone's position) — the
-      pre-image (lsn, seq) would lose to the very row it deletes under
-      the destination's monotonic guard. A vacuumed tombstone leaves no
-      commit watermark; ``pre-image lsn + 1`` keeps the delete ordered
-      after the row it removes.
-    - ``update_preimage`` rows are bookkeeping for diff consumers, not
-      events — dropped.
+    ``sequence_by`` picks the (lsn, seq) domain of the emitted events —
+    i.e. what the DESTINATION's monotonic guard orders by:
+
+    - ``"commit_version"`` (default): lsn = the upstream commit version.
+      The version history is monotonic even across reorgs (rollbacks are
+      roll-forward commits), so a replayed key whose corrected payload
+      reuses an old WAL lsn still wins downstream — this is the
+      Delta-CDF-replication sequencing rule, and the only one that is
+      correct for an upstream that can reorg. The destination becomes a
+      replica whose lsn column lives in the upstream-version domain.
+    - ``"payload"``: preserve each row's own (lsn, seq); deletes are
+      sequenced at the COMMIT watermark (``_commit_lsn``/``_commit_seq``,
+      the tombstone's position — the pre-image lsn would lose to the very
+      row it deletes). Keeps the original WAL positions downstream, but
+      is only safe when the upstream range contains no reorg rollback.
     """
     op = (
         F.when(F.col("_change_type") == "insert", F.lit("I"))
         .when(F.col("_change_type") == "update_postimage", F.lit("U"))
         .when(F.col("_change_type") == "delete", F.lit("D"))
     )
-    lsn = F.when(
-        F.col("_change_type") == "delete",
-        F.coalesce(F.col("_commit_lsn"), F.col("lsn") + 1),
-    ).otherwise(F.col("lsn"))
-    seq = F.when(
-        F.col("_change_type") == "delete",
-        F.coalesce(F.col("_commit_seq"), F.lit(0)),
-    ).otherwise(F.col("seq"))
+    if sequence_by == "commit_version":
+        lsn = F.col("_to_version").cast("long")
+        seq = F.lit(0)  # net diff: one event per key per range
+    elif sequence_by == "payload":
+        lsn = F.when(
+            F.col("_change_type") == "delete",
+            F.coalesce(F.col("_commit_lsn"), F.col("lsn") + 1),
+        ).otherwise(F.col("lsn"))
+        seq = F.when(
+            F.col("_change_type") == "delete",
+            F.coalesce(F.col("_commit_seq"), F.lit(0)),
+        ).otherwise(F.col("seq"))
+    else:
+        raise ValueError(f"sequence_by must be commit_version|payload, got {sequence_by!r}")
     payload = F.col("_change_type") != "delete"
     ev = changes.filter(F.col("_change_type") != "update_preimage").select(
         (F.shiftleft(lsn, _SEQ_BITS) + seq).cast("long").alias("stream_pos"),

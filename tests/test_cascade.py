@@ -60,11 +60,34 @@ def test_cascade_crash_redelivery_is_exactly_once(spark, tmp_path):
     assert _live(b) == _live(a)
 
 
+def test_cascade_across_upstream_reorg(spark, tmp_path):
+    # upstream replays a reorg (rollback commit + corrected re-apply);
+    # the cascaded net changes must still converge B to A's final state
+    epochs = generate_changelog(seed=94, n_epochs=4, p_reorg_epoch=0.6)
+    a = SnapshotTable.create(spark, str(tmp_path / "a"), TARGET_SCHEMA, n_buckets=8)
+    b = SnapshotTable.create(spark, str(tmp_path / "b"), TARGET_SCHEMA, n_buckets=8)
+    from blockchain_etl_spark.streaming.epoch_store import EpochStore
+
+    store = EpochStore(spark, str(tmp_path / "store"))
+    ea = CdcEngine(spark, a, epoch_store=store, collect_metrics=False)
+    eb = CdcEngine(spark, b, collect_metrics=False)
+    tailer = CascadeTailer(a, eb, str(tmp_path / "cursor.json"))
+    n_markers = 0
+    for i, ep in enumerate(epochs):
+        df = events_to_df(spark, ep)
+        store.write_epoch(i, df)
+        ea.apply_epoch(df, epoch_id=i)
+        n_markers += sum(1 for e in ep if e["op"] == "R")
+        tailer.run_once()
+        assert _live(b) == _live(a)
+    assert n_markers > 0, "seed must actually exercise the reorg path"
+
+
 def test_delete_sequencing_uses_commit_lsn(spark, tmp_path):
     # insert at lsn 5, delete at lsn 9: the cascaded D must carry lsn 9
     # (the pre-image lsn 5 would be stale-guarded by B and ignored)
-    a = SnapshotTable.create(spark, str(tmp_path / "a"), TARGET_SCHEMA, n_buckets=4)
-    b = SnapshotTable.create(spark, str(tmp_path / "b"), TARGET_SCHEMA, n_buckets=4)
+    a = SnapshotTable.create(spark, str(tmp_path / "da"), TARGET_SCHEMA, n_buckets=4)
+    b = SnapshotTable.create(spark, str(tmp_path / "db"), TARGET_SCHEMA, n_buckets=4)
     ea = CdcEngine(spark, a, collect_metrics=False)
     eb = CdcEngine(spark, b, collect_metrics=False)
     ins = [dict(stream_pos=1, lsn=5, seq=0, op="I", doc_id="d1", tokens=[1, 2],
@@ -80,7 +103,11 @@ def test_delete_sequencing_uses_commit_lsn(spark, tmp_path):
     ch = a.read_changes(1)
     row = ch.filter("_change_type = 'delete'").first()
     assert row["lsn"] == 5 and row["_commit_lsn"] == 9
-    ev = changes_to_events(ch).filter("op = 'D'").first()
+    # payload sequencing: D carries the tombstone's lsn, not the pre-image's
+    ev = changes_to_events(ch, sequence_by="payload").filter("op = 'D'").first()
     assert ev["lsn"] == 9
+    # commit-version sequencing (the default): D carries the version
+    ev2 = changes_to_events(ch).filter("op = 'D'").first()
+    assert ev2["lsn"] == a.current_version()
     tailer.run_once()
     assert "d1" not in _live(b)
