@@ -52,6 +52,44 @@ from pyspark.sql import types as T
 
 _BUCKET_COL = "_bucket"
 
+# columns whose footer stats land in the manifest (Iceberg's per-file
+# min/max metrics, restricted to the ones with pruning consumers)
+_STATS_COLS = ("lsn", "deleted")
+
+
+def _footer_stats(path: str) -> dict[str, Any] | None:
+    """Per-file zone map read from the parquet footer — driver-side, no
+    data pages touched (the same cost class as Iceberg collecting column
+    metrics at write time). Records ``lsn: [min, max]`` and
+    ``deleted_any`` so vacuum / time-ranged maintenance can prune files
+    without scanning the table."""
+    try:
+        import pyarrow.parquet as pq
+
+        md = pq.ParquetFile(path).metadata
+        mins: dict[str, Any] = {}
+        maxs: dict[str, Any] = {}
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            for ci in range(g.num_columns):
+                col = g.column(ci)
+                name = col.path_in_schema
+                if name not in _STATS_COLS:
+                    continue
+                st = col.statistics
+                if st is None or not st.has_min_max:
+                    return None  # incomplete stats → no zone map at all
+                mins[name] = st.min if name not in mins else min(mins[name], st.min)
+                maxs[name] = st.max if name not in maxs else max(maxs[name], st.max)
+        stats: dict[str, Any] = {}
+        if "lsn" in mins:
+            stats["lsn"] = [int(mins["lsn"]), int(maxs["lsn"])]
+        if "deleted" in maxs:
+            stats["deleted_any"] = bool(maxs["deleted"])
+        return stats or None
+    except Exception:  # noqa: BLE001 — stats are an optimization, never fatal
+        return None
+
 
 def bucket_expr(key_col: str, n_buckets: int):
     """Bucket id of a key — MUST match everywhere (write, prune, merge)."""
@@ -265,11 +303,13 @@ class SnapshotTable:
             b = int(bdir.split("=", 1)[1])
             for fn in os.listdir(os.path.join(out, bdir)):
                 if fn.endswith(".parquet"):
+                    full = os.path.join(out, bdir, fn)
                     entries.append(
                         {
                             "path": f"data/{commit_dir}/{bdir}/{fn}",
                             "bucket": b,
                             "schema_version": None,  # stamped by caller
+                            "stats": _footer_stats(full),
                         }
                     )
         return entries
@@ -647,15 +687,34 @@ class SnapshotTable:
         )
 
     # ------------------------------------------------------------- utilities
+    def vacuum_candidate_buckets(self, older_than_lsn: int) -> list[int] | None:
+        """Buckets that MAY hold tombstones older than the horizon, from
+        the manifest zone maps alone (no data read): a file is a
+        candidate when it has any tombstone row and its min lsn is below
+        the horizon. Returns None when any file lacks stats (pre-stats
+        table → caller must scan)."""
+        cands: set[int] = set()
+        for f in self.manifest().files:
+            st = f.get("stats")
+            if not st or "lsn" not in st or "deleted_any" not in st:
+                return None
+            if st["deleted_any"] and st["lsn"][0] < older_than_lsn:
+                cands.add(f["bucket"])
+        return sorted(cands)
+
     def vacuum_tombstones(self, older_than_lsn: int) -> int:
         """Drop tombstone rows with lsn < older_than_lsn (safe once the
         reorg lag + redelivery horizon has passed). Rewrites only buckets
-        that actually contain old tombstones."""
-        df = self.read(resolve=True)
-        if "deleted" not in df.columns:
-            return self.current_version()
-        old_ts = df.filter(F.col("deleted") & (F.col("lsn") < older_than_lsn))
+        that actually contain old tombstones — found via the manifest
+        zone maps (per-file lsn min/max + tombstone flag), so vacuum on
+        a mostly-clean 10^10-row table reads candidate buckets only, not
+        the table."""
         m = self.manifest()
+        if "deleted" not in [f.name for f in m.schema().fields]:
+            return self.current_version()
+        cand = self.vacuum_candidate_buckets(older_than_lsn)
+        df = self.read(resolve=True, buckets=cand)
+        old_ts = df.filter(F.col("deleted") & (F.col("lsn") < older_than_lsn))
         buckets = [
             r["b"]
             for r in old_ts.select(bucket_expr(m.key, m.n_buckets).alias("b"))

@@ -48,3 +48,55 @@ def test_gc_removes_old_versions_keeps_state(spark, tmp_path):
     kept = table.versions()
     assert len(kept) == 2
     assert table.read(version=kept[0]) is not None
+
+
+def test_manifest_zone_maps_recorded(spark, tmp_path):
+    _, table, _ = _setup(spark, tmp_path, p_reorg_epoch=0.0, p_delete=0.3)
+    files = table.manifest().files
+    assert files and all(f.get("stats") for f in files)
+    for f in files:
+        lo, hi = f["stats"]["lsn"]
+        assert lo <= hi
+        assert isinstance(f["stats"]["deleted_any"], bool)
+    assert any(f["stats"]["deleted_any"] for f in files)
+
+
+def test_vacuum_candidates_match_brute_force(spark, tmp_path):
+    _, table, _ = _setup(spark, tmp_path, p_reorg_epoch=0.0, p_delete=0.3)
+    wm = table.manifest().watermark["lsn"]
+    from blockchain_etl_spark.tables.snapshot import bucket_expr
+
+    m = table.manifest()
+    truth = {
+        r["b"]
+        for r in table.read(resolve=True)
+        .filter(F.col("deleted") & (F.col("lsn") < wm + 1))
+        .select(bucket_expr(m.key, m.n_buckets).alias("b"))
+        .distinct()
+        .collect()
+    }
+    cand = table.vacuum_candidate_buckets(wm + 1)
+    assert cand is not None
+    # zone maps may over-approximate (file-level granularity) but can
+    # never miss a bucket that really holds an old tombstone
+    assert truth <= set(cand)
+    # horizon below every lsn → no candidates at all
+    assert table.vacuum_candidate_buckets(0) == []
+
+
+def test_vacuum_falls_back_without_stats(spark, tmp_path):
+    import json as _json
+
+    _, table, _ = _setup(spark, tmp_path, p_reorg_epoch=0.0, p_delete=0.3)
+    # simulate a pre-stats table: strip stats from the live manifest
+    mp = table._manifest_path(table.current_version())
+    with open(mp) as f:
+        raw = _json.load(f)
+    for fe in raw["files"]:
+        fe.pop("stats", None)
+    with open(mp, "w") as f:
+        _json.dump(raw, f)
+    assert table.vacuum_candidate_buckets(10**9) is None
+    wm = table.manifest().watermark["lsn"]
+    table.vacuum_tombstones(older_than_lsn=wm + 1)  # full-scan path
+    assert table.read().filter("deleted").count() == 0
