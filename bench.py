@@ -68,6 +68,7 @@ HEADLINE_QUERIES = [
     "token_chunking",
     "sequence_packing",
     "ngram_decontaminate",
+    "corpus_prepare",
 ]
 
 
