@@ -125,3 +125,67 @@ def test_empty_and_identity_ranges(spark, tmp_table_dir):
     df = t.read_changes(v0, v0)
     assert df.count() == 0
     assert "_change_type" in df.columns
+
+
+def test_changes_reconstruct_state_across_mixed_commits(spark, tmp_table_dir):
+    """Invariant: applying read_changes(v0, v1) to state(v0) yields
+    state(v1), across a mixed history of delta appends, COW bucket
+    rewrites, compaction, and rollback."""
+    import random
+
+    rng = random.Random(7)
+    t = SnapshotTable.create(spark, tmp_table_dir, TARGET_SCHEMA, n_buckets=8)
+    t.overwrite(_rows(spark, [(f"d{i}", [i], 1, False) for i in range(40)]))
+
+    def commit(step):
+        kind = rng.choice(["delta", "delta", "cow", "compact", "rollback"])
+        lsn = 2 + step
+        if kind == "delta":
+            specs = []
+            for _ in range(rng.randint(1, 6)):
+                d = f"d{rng.randrange(50)}"
+                if rng.random() < 0.2:
+                    specs.append((d, None, lsn, True))
+                else:
+                    specs.append((d, [rng.randrange(100) for _ in range(3)], lsn, False))
+            t.append_deltas(_rows(spark, specs))
+        elif kind == "cow":
+            d = f"d{rng.randrange(50)}"
+            from blockchain_etl_spark.tables.snapshot import bucket_expr
+
+            b = (
+                spark.createDataFrame([(d,)], "doc_id string")
+                .select(bucket_expr("doc_id", 8).alias("b"))
+                .first()["b"]
+            )
+            cur = t.read(buckets=[b], resolve=True).filter(F.col("doc_id") != d)
+            new = _rows(spark, [(d, [99, step], lsn, False)])
+            t.replace_buckets([b], cur.unionByName(new))
+        elif kind == "compact":
+            t.compact()
+        else:
+            vs = t.versions()
+            t.rollback_to_version(rng.choice(vs[-3:]))
+
+    def live_state(v):
+        return {
+            r["doc_id"]: (tuple(r["tokens"] or []), r["lsn"])
+            for r in t.read(version=v, resolve=True).collect()
+            if not r["deleted"]
+        }
+
+    versions = [t.current_version()]
+    for step in range(8):
+        commit(step)
+        versions.append(t.current_version())
+
+    for v0 in [versions[0], versions[3], versions[6]]:
+        v1 = versions[-1]
+        s = dict(live_state(v0))
+        for r in t.read_changes(v0, v1).collect():
+            ct = r["_change_type"]
+            if ct in ("insert", "update_postimage"):
+                s[r["doc_id"]] = (tuple(r["tokens"] or []), r["lsn"])
+            elif ct == "delete":
+                s.pop(r["doc_id"], None)
+        assert s == live_state(v1), f"divergence replaying {v0}->{v1}"
