@@ -75,15 +75,24 @@ def changes_to_events(changes: DataFrame, sequence_by: str = "commit_version") -
     else:
         raise ValueError(f"sequence_by must be commit_version|payload, got {sequence_by!r}")
     payload = F.col("_change_type") != "delete"
+    # payload = every change column that is not diff bookkeeping or an
+    # engine-maintained target column — an UPSTREAM SCHEMA EVOLUTION
+    # (new payload column) flows through the hop and evolves the
+    # destination via the engine's open payload schema, instead of being
+    # silently projected away.
+    bookkeeping = {
+        "_change_type", "_from_version", "_to_version",
+        "_commit_lsn", "_commit_seq",
+        "doc_id", "lsn", "seq", "updated_epoch", "deleted",
+    }
+    payload_cols = [c for c in changes.columns if c not in bookkeeping]
     ev = changes.filter(F.col("_change_type") != "update_preimage").select(
         (F.shiftleft(lsn, _SEQ_BITS) + seq).cast("long").alias("stream_pos"),
         lsn.cast("long").alias("lsn"),
         seq.cast("int").alias("seq"),
         op.alias("op"),
         "doc_id",
-        F.when(payload, F.col("tokens")).alias("tokens"),
-        F.when(payload, F.col("n_tok")).alias("n_tok"),
-        F.when(payload, F.col("source")).alias("source"),
+        *[F.when(payload, F.col(c)).alias(c) for c in payload_cols],
         F.lit(None).cast("long").alias("rollback_to_lsn"),
         F.concat(
             F.lit("cascade-v"),
@@ -92,7 +101,10 @@ def changes_to_events(changes: DataFrame, sequence_by: str = "commit_version") -
             F.col("_to_version").cast("string"),
         ).alias("epoch_hash"),
     )
-    return ev.select([f.name for f in EVENT_SCHEMA.fields])
+    # EVENT_SCHEMA order first, evolved payload columns appended
+    base = [f.name for f in EVENT_SCHEMA.fields]
+    extra = [c for c in payload_cols if c not in base]
+    return ev.select(base + extra)
 
 
 class CascadeTailer:

@@ -111,3 +111,49 @@ def test_delete_sequencing_uses_commit_lsn(spark, tmp_path):
     assert ev2["lsn"] == a.current_version()
     tailer.run_once()
     assert "d1" not in _live(b)
+
+
+def test_cascade_propagates_schema_evolution(spark, tmp_path):
+    # upstream table evolves mid-stream (new payload column `lang`);
+    # the cascaded events must carry it and evolve B's schema too
+    from pyspark.sql import types as T
+
+    a = SnapshotTable.create(spark, str(tmp_path / "a"), TARGET_SCHEMA, n_buckets=4)
+    b = SnapshotTable.create(spark, str(tmp_path / "b"), TARGET_SCHEMA, n_buckets=4)
+    ea = CdcEngine(spark, a, collect_metrics=False)
+    eb = CdcEngine(spark, b, collect_metrics=False)
+    tailer = CascadeTailer(a, eb, str(tmp_path / "cur.json"))
+
+    ins = [dict(stream_pos=1, lsn=1, seq=0, op="I", doc_id="d1", tokens=[1],
+                n_tok=1, source="s", rollback_to_lsn=None, epoch_hash="e0")]
+    ea.apply_epoch(events_to_df(spark, ins), epoch_id=0)
+    tailer.run_once()
+
+    evolved = spark.createDataFrame(
+        [(2, 2, 0, "I", "d2", [2, 3], 2, "s", None, "e1", "en")],
+        T.StructType(
+            [
+                T.StructField("stream_pos", T.LongType()),
+                T.StructField("lsn", T.LongType()),
+                T.StructField("seq", T.IntegerType()),
+                T.StructField("op", T.StringType()),
+                T.StructField("doc_id", T.StringType()),
+                T.StructField("tokens", T.ArrayType(T.IntegerType())),
+                T.StructField("n_tok", T.IntegerType()),
+                T.StructField("source", T.StringType()),
+                T.StructField("rollback_to_lsn", T.LongType()),
+                T.StructField("epoch_hash", T.StringType()),
+                T.StructField("lang", T.StringType()),
+            ]
+        ),
+    )
+    ea.apply_epoch(evolved, epoch_id=1)
+    assert "lang" in [f.name for f in a.manifest().schema().fields]
+
+    ch = a.read_changes(tailer._cursor())
+    ev = changes_to_events(ch)
+    assert "lang" in ev.columns  # evolution flows through the hop
+    tailer.run_once()
+    rows = {r["doc_id"]: r for r in read_state(SnapshotTable(spark, b.path)).collect()}
+    assert rows["d2"]["lang"] == "en"
+    assert rows["d1"]["lang"] is None  # null-backfilled on old rows
