@@ -23,3 +23,7 @@ def spark():
 @pytest.fixture()
 def tmp_table_dir(tmp_path):
     return str(tmp_path / "table")
+
+
+def pytest_configure(config):
+    config.addinivalue_line("markers", "slow: long-running property test")
