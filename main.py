@@ -98,6 +98,15 @@ def main(argv=None):
     sp.add_argument("--table", required=True)
     sp.add_argument("--what", choices=["state", "manifest", "metrics"], default="manifest")
 
+    sp = sub.add_parser("cascade", help="apply an upstream table's new "
+                        "commits to a downstream table (table-to-table hop)")
+    sp.add_argument("--src-table", required=True)
+    sp.add_argument("--dst-table", required=True)
+    sp.add_argument("--cursor", required=True,
+                    help="version-cursor JSON file (created on first run)")
+    sp.add_argument("--buckets", type=int, default=64)
+    sp.add_argument("--mode", choices=["mor", "cow"], default="mor")
+
     sp = sub.add_parser("changes", help="incremental change-log between two "
                         "table versions (tail this table as a source)")
     sp.add_argument("--table", required=True)
@@ -164,6 +173,24 @@ def main(argv=None):
                           {"tip_lsn": args.tip_lsn, "start_lsn": args.start_lsn})
         print(json.dumps({"table_version": table.current_version(),
                           "watermark": table.manifest().watermark}))
+        return 0
+
+    if args.cmd == "cascade":
+        from blockchain_etl_spark.streaming.cascade import CascadeTailer
+
+        src = SnapshotTable(spark, args.src_table)
+        dst = SnapshotTable(spark, args.dst_table)
+        if not dst.exists():
+            SnapshotTable.create(spark, args.dst_table, src.manifest().schema(),
+                                 n_buckets=args.buckets)
+            dst = SnapshotTable(spark, args.dst_table)
+        engine = CdcEngine(spark, dst, mode=args.mode)
+        metrics = CascadeTailer(src, engine, args.cursor).run_once()
+        print(json.dumps({
+            "src_version": src.current_version(),
+            "dst_version": dst.current_version(),
+            "metrics": metrics,
+        }, default=str))
         return 0
 
     if args.cmd == "replay":

@@ -77,3 +77,40 @@ def test_make_pyfiles(tmp_path):
     names = zipfile.ZipFile(out).namelist()
     assert "blockchain_etl_spark/cdc/apply.py" in names
     assert "blockchain_etl_spark/tables/snapshot.py" in names
+
+
+def test_cli_cascade(spark, tmp_path, capsys, monkeypatch):
+    monkeypatch.setattr(climod, "_spark", lambda args: spark)
+    epochs = generate_changelog(seed=72, n_epochs=2)
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    for i, ep in enumerate(epochs):
+        events_to_df(spark, ep).coalesce(1).write.mode("overwrite").parquet(
+            str(landing / f"epoch-{i:08d}.parquet")
+        )
+    table = str(tmp_path / "t")
+    assert climod.main(["init", "--table", table, "--buckets", "8"]) == 0
+    assert climod.main(["tail", "--landing", str(landing), "--table", table,
+                        "--store", str(tmp_path / "s")]) == 0
+    capsys.readouterr()
+
+    replica = str(tmp_path / "r")
+    cursor = str(tmp_path / "cur.json")
+    assert climod.main(["cascade", "--src-table", table, "--dst-table", replica,
+                        "--cursor", cursor, "--buckets", "8"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["metrics"] is not None
+    # replica live state == source live state
+    from blockchain_etl_spark.cdc.apply import read_state
+    from blockchain_etl_spark.tables.snapshot import SnapshotTable
+
+    src = {r["doc_id"]: list(r["tokens"])
+           for r in read_state(SnapshotTable(spark, table)).collect()}
+    dst = {r["doc_id"]: list(r["tokens"])
+           for r in read_state(SnapshotTable(spark, replica)).collect()}
+    assert src == dst
+    # caught up → no-op
+    assert climod.main(["cascade", "--src-table", table, "--dst-table", replica,
+                        "--cursor", cursor]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["metrics"] is None
