@@ -39,7 +39,6 @@ from typing import Any
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from blockchain_etl_spark.cdc.schema import TARGET_SCHEMA
 from blockchain_etl_spark.streaming.epoch_store import EpochStore
 from blockchain_etl_spark.tables.schema_util import conform, merge_schemas
 from blockchain_etl_spark.tables.snapshot import SnapshotTable, bucket_expr
