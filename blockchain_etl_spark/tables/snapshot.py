@@ -208,8 +208,16 @@ class SnapshotTable:
         version: int | None = None,
         buckets: list[int] | None = None,
         resolve: bool = True,
+        min_lsn_exclusive: int | None = None,
     ) -> DataFrame:
         """Read a snapshot, optionally pruned to a set of buckets.
+
+        ``min_lsn_exclusive`` additionally skips files whose zone map
+        proves every row has lsn <= the bound (files without stats are
+        kept). Safe under merge-on-read resolution: any key with a row
+        past the bound has its last-writer winner past the bound too
+        (the winner is the max (lsn, seq) row), so dropping only
+        all-older files never changes a surviving key's winner.
 
         Files written under older schema versions are read with their own
         schema and cast to the current one (null backfill for added
@@ -227,6 +235,13 @@ class SnapshotTable:
         if buckets is not None:
             bset = set(buckets)
             files = [f for f in files if f["bucket"] in bset]
+        if min_lsn_exclusive is not None:
+            files = [
+                f
+                for f in files
+                if not (f.get("stats") or {}).get("lsn")
+                or f["stats"]["lsn"][1] > min_lsn_exclusive
+            ]
         if not files:
             return self.spark.createDataFrame([], cur)
 
@@ -684,6 +699,18 @@ class SnapshotTable:
             .select("_c.*")
             .withColumn("_from_version", F.lit(from_version))
             .withColumn("_to_version", F.lit(v1))
+        )
+
+    def read_since_lsn(self, lsn: int) -> DataFrame:
+        """Every row last written after WAL position ``lsn`` — upserts
+        AND tombstones (``deleted = true`` rows are the deletions), the
+        WAL-position complement of the version-based ``read_changes``.
+        A downstream batch consumer that tracks only an LSN high-water
+        mark calls this to pick up the delta; zone maps prune every file
+        whose rows are all at or below the mark, so a mostly-quiet table
+        reads only its recent files."""
+        return self.read(resolve=True, min_lsn_exclusive=lsn).filter(
+            F.col("lsn") > lsn
         )
 
     # ------------------------------------------------------------- utilities

@@ -110,8 +110,11 @@ def main(argv=None):
     sp = sub.add_parser("changes", help="incremental change-log between two "
                         "table versions (tail this table as a source)")
     sp.add_argument("--table", required=True)
-    sp.add_argument("--from-version", type=int, required=True)
+    sp.add_argument("--from-version", type=int, default=None)
     sp.add_argument("--to-version", type=int, default=None)
+    sp.add_argument("--since-lsn", type=int, default=None,
+                    help="WAL-position mode instead of version mode: rows "
+                    "last written after this lsn (tombstones included)")
     sp.add_argument("--out", default=None,
                     help="write the change rows to this parquet dir "
                     "(default: print to stdout)")
@@ -232,6 +235,20 @@ def main(argv=None):
     elif args.cmd == "changes":
         from pyspark.sql import functions as F
 
+        if args.since_lsn is not None:
+            ch = table.read_since_lsn(args.since_lsn)
+            if args.out:
+                ch.write.mode("overwrite").parquet(args.out)
+            else:
+                ch.show(50, truncate=60)
+            print(json.dumps({
+                "since_lsn": args.since_lsn,
+                "rows": ch.count(),
+                "deletes": ch.filter("deleted").count(),
+            }))
+            return 0
+        if args.from_version is None:
+            raise SystemExit("changes: --from-version or --since-lsn required")
         ch = table.read_changes(args.from_version, args.to_version)
         if args.out:
             ch.write.mode("overwrite").parquet(args.out)

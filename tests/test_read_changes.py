@@ -189,3 +189,32 @@ def test_changes_reconstruct_state_across_mixed_commits(spark, tmp_table_dir):
             elif ct == "delete":
                 s.pop(r["doc_id"], None)
         assert s == live_state(v1), f"divergence replaying {v0}->{v1}"
+
+
+def test_read_since_lsn_exact_and_pruned(spark, tmp_table_dir):
+    """WAL-position incremental read: equals the brute-force filter, and
+    the zone maps actually skip all-older files."""
+    t = SnapshotTable.create(spark, tmp_table_dir, TARGET_SCHEMA, n_buckets=4)
+    t.overwrite(_rows(spark, [(f"d{i}", [i], 1, False) for i in range(30)]))
+    t.append_deltas(_rows(spark, [("d1", [1, 1], 5, False), ("d2", None, 5, True)]))
+    t.append_deltas(_rows(spark, [("d3", [3, 3], 9, False), ("d1", [7], 9, False)]))
+
+    for x in (0, 4, 8, 9):
+        got = {
+            (r["doc_id"], r["lsn"], r["deleted"])
+            for r in t.read_since_lsn(x).collect()
+        }
+        exp = {
+            (r["doc_id"], r["lsn"], r["deleted"])
+            for r in t.read(resolve=True).filter(F.col("lsn") > x).collect()
+        }
+        assert got == exp, f"divergence at lsn > {x}"
+
+    # deletions surface as tombstone rows
+    since4 = {r["doc_id"]: r["deleted"] for r in t.read_since_lsn(4).collect()}
+    assert since4["d2"] is True and since4["d1"] is False
+
+    # pruning is real: raw (unresolved) scan past lsn 4 skips the 30-row
+    # base files entirely and reads only the 4 delta rows
+    raw = t.read(resolve=False, min_lsn_exclusive=4)
+    assert raw.count() == 4
