@@ -241,10 +241,14 @@ def main(argv=None):
                 ch.write.mode("overwrite").parquet(args.out)
             else:
                 ch.show(50, truncate=60)
+            stats = ch.agg(
+                F.count("*").alias("rows"),
+                F.sum(F.col("deleted").cast("int")).alias("deletes"),
+            ).first()
             print(json.dumps({
                 "since_lsn": args.since_lsn,
-                "rows": ch.count(),
-                "deletes": ch.filter("deleted").count(),
+                "rows": stats["rows"],
+                "deletes": int(stats["deletes"] or 0),
             }))
             return 0
         if args.from_version is None:
