@@ -79,3 +79,39 @@ def test_random_streams_match_oracle(spark, tmp_path_factory, epochs, redeliver)
         for k, v in oracle_replay([e for ep in epochs for e in ep]).items()
     }
     assert got == exp
+
+
+@pytest.mark.slow
+@given(epochs=change_streams(), hop_every=st.integers(min_value=1, max_value=3),
+       dst_mode=st.sampled_from(["mor", "cow"]))
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_cascade_replica_matches_oracle(spark, tmp_path_factory, epochs,
+                                        hop_every, dst_mode):
+    """Replication property: however the upstream stream interleaves
+    I/U/D/reorgs/invalid payloads and WHEREVER the hop boundaries fall,
+    the cascaded replica's live state equals the oracle's."""
+    from blockchain_etl_spark.streaming.cascade import CascadeTailer
+
+    tmp = tmp_path_factory.mktemp("casc")
+    a = SnapshotTable.create(spark, str(tmp / "a"), TARGET_SCHEMA, n_buckets=4)
+    b = SnapshotTable.create(spark, str(tmp / "b"), TARGET_SCHEMA, n_buckets=4)
+    store = EpochStore(spark, str(tmp / "s"))
+    ea = CdcEngine(spark, a, epoch_store=store, collect_metrics=False)
+    eb = CdcEngine(spark, b, collect_metrics=False, mode=dst_mode)
+    tailer = CascadeTailer(a, eb, str(tmp / "cur.json"))
+    for i, ep in enumerate(epochs):
+        store.write_epoch(i, events_to_df(spark, ep))
+        ea.apply_epoch(store.read_epoch(i), i)
+        if (i + 1) % hop_every == 0:
+            tailer.run_once()
+    tailer.run_once()  # final catch-up
+    got = {
+        r["doc_id"]: (list(r["tokens"] or []), r["n_tok"])
+        for r in read_state(b).collect()
+    }
+    exp = {
+        k: (v["tokens"], v["n_tok"])
+        for k, v in oracle_replay([e for ep in epochs for e in ep]).items()
+    }
+    assert got == exp
