@@ -219,14 +219,41 @@ def table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     recomputes the same diff relationally: last-writer state at the two
     cut points, full-outer-joined and classified.
     """
+    import os
     import tempfile
 
     from blockchain_etl_spark.cdc.apply import CdcEngine
     from blockchain_etl_spark.cdc.schema import TARGET_SCHEMA
     from blockchain_etl_spark.tables.snapshot import SnapshotTable
 
-    ev = derive_changelog(spark, sf_dir).filter(F.col("op").isin("I", "U", "D"))
+    # the same validity filter the oracle twin applies — the median split
+    # must be computed over the IDENTICAL event set on both sides, or a
+    # dataset whose max-lsn event is payload-invalid shifts the epoch
+    # boundary by one lsn and the two states diverge
+    ev = derive_changelog(spark, sf_dir).filter(
+        F.col("op").isin("I", "U", "D")
+        & (
+            (F.col("op") == "D")
+            | (F.col("tokens").isNotNull() & (F.col("n_tok") == F.size("tokens")))
+        )
+    )
     mid = ev.agg(F.max("lsn")).first()[0] // 2
+
+    # best-effort GC of gate tables older than 2h left by prior runs
+    # (the CURRENT run's dir must outlive this call — the returned
+    # DataFrame reads it lazily)
+    import shutil
+    import time as _time
+
+    tmp_root = tempfile.gettempdir()
+    for d in os.listdir(tmp_root):
+        if d.startswith("table-changes-gate-"):
+            full = os.path.join(tmp_root, d)
+            try:
+                if _time.time() - os.path.getmtime(full) > 7200:
+                    shutil.rmtree(full, ignore_errors=True)
+            except OSError:
+                pass
 
     path = tempfile.mkdtemp(prefix="table-changes-gate-")
     table = SnapshotTable.create(

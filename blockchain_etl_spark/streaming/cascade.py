@@ -140,8 +140,15 @@ class CascadeTailer:
         if v1 <= v0:
             return None
         ev = changes_to_events(self.src.read_changes(v0, v1))
-        # epoch id = upstream range, stable across redelivery
-        epoch_id = (v0 << 20) | v1
+        # epoch id = hash of the upstream range: stable across redelivery
+        # (exactly-once still holds) yet collision-free against the small
+        # sequential ids direct ingest uses — a destination that ALSO
+        # tails a bus must not have a cascade hop silently deduped
+        # against an unrelated epoch ledger entry
+        import hashlib
+
+        digest = hashlib.md5(f"cascade-{v0}-{v1}".encode()).digest()
+        epoch_id = int.from_bytes(digest[:8], "big") >> 1  # positive int63
         metrics = self.engine.apply_epoch(ev, epoch_id=epoch_id)
         self._commit_cursor(v1)
         return metrics if metrics is not None else {"deduped_range": [v0, v1]}

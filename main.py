@@ -236,7 +236,9 @@ def main(argv=None):
         from pyspark.sql import functions as F
 
         if args.since_lsn is not None:
-            ch = table.read_since_lsn(args.since_lsn)
+            # the diff plan executes once for the show/write and once for
+            # the stats — persist so the second action reuses it
+            ch = table.read_since_lsn(args.since_lsn).persist()
             if args.out:
                 ch.write.mode("overwrite").parquet(args.out)
             else:
@@ -253,7 +255,7 @@ def main(argv=None):
             return 0
         if args.from_version is None:
             raise SystemExit("changes: --from-version or --since-lsn required")
-        ch = table.read_changes(args.from_version, args.to_version)
+        ch = table.read_changes(args.from_version, args.to_version).persist()
         if args.out:
             ch.write.mode("overwrite").parquet(args.out)
         else:
