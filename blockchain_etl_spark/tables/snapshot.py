@@ -318,15 +318,24 @@ class SnapshotTable:
             b = int(bdir.split("=", 1)[1])
             for fn in os.listdir(os.path.join(out, bdir)):
                 if fn.endswith(".parquet"):
-                    full = os.path.join(out, bdir, fn)
                     entries.append(
                         {
                             "path": f"data/{commit_dir}/{bdir}/{fn}",
                             "bucket": b,
                             "schema_version": None,  # stamped by caller
-                            "stats": _footer_stats(full),
+                            "_full": os.path.join(out, bdir, fn),
                         }
                     )
+        # footer stats are pure I/O — a thread pool keeps commit latency
+        # flat as bucket count grows (a 4096-bucket commit would other-
+        # wise serialize thousands of footer reads on the driver)
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=16) as pool:
+            stats = list(pool.map(lambda e: _footer_stats(e["_full"]), entries))
+        for e, st in zip(entries, stats):
+            e["stats"] = st
+            del e["_full"]
         return entries
 
     def overwrite(self, df: DataFrame, lineage: dict[str, Any] | None = None) -> int:
