@@ -239,23 +239,27 @@ def table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     mid = ev.agg(F.max("lsn")).first()[0] // 2
 
-    # best-effort GC of gate tables older than 2h left by prior runs
-    # (the CURRENT run's dir must outlive this call — the returned
-    # DataFrame reads it lazily)
+    # gate tables are pid-scoped: reusing one dir per process bounds the
+    # footprint to one table copy per live process (a rerun in the same
+    # process rebuilds over its own previous copy), and GC only reclaims
+    # dirs whose owning process is dead — never a concurrent run's live
+    # files, however long it has been up
     import shutil
-    import time as _time
 
     tmp_root = tempfile.gettempdir()
     for d in os.listdir(tmp_root):
         if d.startswith("table-changes-gate-"):
-            full = os.path.join(tmp_root, d)
             try:
-                if _time.time() - os.path.getmtime(full) > 7200:
-                    shutil.rmtree(full, ignore_errors=True)
-            except OSError:
-                pass
+                owner = int(d.rsplit("-", 1)[1])
+                os.kill(owner, 0)  # raises if the process is gone
+            except (ValueError, ProcessLookupError):
+                shutil.rmtree(os.path.join(tmp_root, d), ignore_errors=True)
+            except PermissionError:
+                pass  # alive under another uid — leave it
 
-    path = tempfile.mkdtemp(prefix="table-changes-gate-")
+    path = os.path.join(tmp_root, f"table-changes-gate-{os.getpid()}")
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path, exist_ok=True)
     table = SnapshotTable.create(
         spark, path, TARGET_SCHEMA, key="doc_id", n_buckets=16
     )
@@ -794,24 +798,19 @@ def corpus_prepare(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # decontamination: distinct token 3-grams of the FULL eval slice
     # (pre-dedup — an eval doc always contaminates, even if its dup was
-    # dropped), broadcast against candidate 3-grams
-    grams = F.transform(
+    # dropped), broadcast against candidate 3-grams. Reuses the shared
+    # decontaminate operator with a token-gram expression.
+    token_grams = F.transform(
         F.sequence(F.lit(0), F.col("n_tok") - _DECON_K),
         lambda i: F.concat_ws(",", F.slice("tokens", i + 1, _DECON_K).cast("array<string>")),
     )
-    eval_grams = (
-        t.filter((F.col("doc_id") % _EVAL_MOD == 0) & (F.col("n_tok") >= _DECON_K))
-        .select(F.explode(F.array_distinct(grams)).alias("g"))
-        .distinct()
+    is_eval = F.col("doc_id") % _EVAL_MOD == 0
+    cand = q.filter(~is_eval)
+    decon_in = t.filter(is_eval).unionByName(cand).filter(
+        F.col("n_tok") >= _DECON_K
     )
-    cand = q.filter(F.col("doc_id") % _EVAL_MOD != 0)
-    contaminated = (
-        cand.filter(F.col("n_tok") >= _DECON_K)
-        .select("doc_id", F.explode(F.array_distinct(grams)).alias("g"))
-        .join(F.broadcast(eval_grams), "g")
-        .groupBy("doc_id")
-        .agg(F.count("*").alias("hits"))
-        .filter(F.col("hits") >= _DECON_MIN_HITS)
+    contaminated = dedup.decontaminate(
+        decon_in, is_eval, k=_DECON_K, min_hits=_DECON_MIN_HITS, grams=token_grams
     )
     clean = cand.join(contaminated.select("doc_id"), "doc_id", "left_anti")
 

@@ -191,9 +191,15 @@ class CdcEngine:
         epoch_id: int,
         stats: dict[str, Any] | None = None,
         use_store_stats: bool = True,
+        lineage_extra: dict[str, Any] | None = None,
     ) -> dict[str, Any] | None:
         """Apply one epoch exactly-once. Returns metrics, or None if the
         epoch was already applied (ledger skip).
+
+        ``lineage_extra`` rides the SAME atomic commit as the data inside
+        the manifest lineage — callers that must persist their own cursor
+        transactionally with the apply (e.g. a cascade hop's upstream
+        version range) stamp it here instead of a separate file write.
 
         ``stats`` (as produced by ``EpochStore.write_epoch``) carries the
         epoch's watermark + reorg markers; when provided, apply runs in a
@@ -345,11 +351,13 @@ class CdcEngine:
         new_wm = {"lsn": pre["ls"]["lsn"], "seq": pre["ls"]["seq"], "pos": pre["pos"]}
         if self.mode == "mor":
             metrics = self._append(
-                ups, epoch_id=epoch_id, watermark=new_wm, extra_epochs=prior_epochs
+                ups, epoch_id=epoch_id, watermark=new_wm, extra_epochs=prior_epochs,
+                lineage_extra=lineage_extra,
             )
         else:
             metrics = self._merge(
-                ups, epoch_id=epoch_id, watermark=new_wm, extra_epochs=prior_epochs
+                ups, epoch_id=epoch_id, watermark=new_wm, extra_epochs=prior_epochs,
+                lineage_extra=lineage_extra,
             )
         metrics["lsn_min"] = pre["lsn_min"]
         metrics["lsn_max"] = new_wm["lsn"]
@@ -421,6 +429,7 @@ class CdcEngine:
         epoch_id: int,
         watermark: dict[str, int],
         extra_epochs: list[int] | None = None,
+        lineage_extra: dict[str, Any] | None = None,
     ) -> dict[str, Any]:
         from pyspark.sql import Observation
 
@@ -441,7 +450,8 @@ class CdcEngine:
                 F.sum(F.when(~F.col("deleted"), 1).otherwise(0)).alias("n_upserts"),
                 F.sum(F.when(F.col("deleted"), 1).otherwise(0)).alias("n_deletes"),
             )
-        metrics: dict[str, Any] = {"epoch_id": epoch_id, "mode": "mor"}
+        metrics: dict[str, Any] = {"epoch_id": epoch_id, "mode": "mor",
+                                   **(lineage_extra or {})}
         self.table.append_deltas(
             rows,
             watermark=watermark,
@@ -471,6 +481,7 @@ class CdcEngine:
         epoch_id: int,
         watermark: dict[str, int],
         extra_epochs: list[int] | None = None,
+        lineage_extra: dict[str, Any] | None = None,
     ) -> dict[str, Any]:
         m = self.table.manifest()
         nb = m.n_buckets
@@ -540,6 +551,7 @@ class CdcEngine:
         metrics = {
             "epoch_id": epoch_id,
             "mode": "cow",
+            **(lineage_extra or {}),
             "n_insert": counts.get("insert", 0),
             "n_update": counts.get("update", 0),
             "n_delete": counts.get("delete", 0),

@@ -332,6 +332,7 @@ def decontaminate(
     k: int = 3,
     min_hits: int = 2,
     text_col: str = "text",
+    grams: Column | None = None,
 ) -> DataFrame:
     """Benchmark decontamination: flag corpus documents that share at
     least ``min_hits`` distinct word ``k``-grams with a held-out eval
@@ -346,17 +347,22 @@ def decontaminate(
     map-side combines.
 
     Output: (doc_id, n_contaminated) for flagged corpus docs only.
+
+    ``grams`` overrides the default word-shingle expression with a
+    caller-built array column (e.g. token k-grams over an already-
+    tokenized corpus); the caller then owns short-document handling.
     """
     from blockchain_etl_spark.functions import text as X
 
-    grams = docs.select(
+    shingle_expr = grams if grams is not None else X.shingles(text_col, k=k)
+    exploded = docs.select(
         "doc_id",
         eval_pred.alias("is_eval"),
-        F.explode(F.array_distinct(X.shingles(text_col, k=k))).alias("g"),
+        F.explode(F.array_distinct(shingle_expr)).alias("g"),
     )
-    eval_grams = grams.filter("is_eval").select("g").distinct()
+    eval_grams = exploded.filter("is_eval").select("g").distinct()
     return (
-        grams.filter(~F.col("is_eval"))
+        exploded.filter(~F.col("is_eval"))
         .join(F.broadcast(eval_grams), "g")
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_contaminated"))

@@ -110,45 +110,86 @@ def changes_to_events(changes: DataFrame, sequence_by: str = "commit_version") -
 class CascadeTailer:
     """Polls an upstream SnapshotTable's commit history and applies the
     new changes to a downstream CdcEngine, exactly-once per version
-    range."""
+    range.
+
+    The destination is a REPLICA owned by this cascade: its (lsn, seq)
+    guard columns live in the upstream-version domain (see
+    ``changes_to_events``), so interleaving direct WAL-domain ingest
+    into the same table is unsupported — WAL lsns would always win the
+    monotonic guard over version-domain lsns. Chain stages table→table
+    instead (each stage owns its table, like the reference's one table
+    per job).
+
+    Crash safety: the hop's upstream range is stamped INTO the
+    destination's commit lineage (same atomic manifest write as the
+    data), and the cursor is recovered from there when the cursor file
+    is missing, corrupt, or behind. A crash between apply and cursor
+    write therefore cannot lose transitions: the retry resumes from the
+    version the destination actually holds — a plain re-diff from the
+    stale cursor would silently skip a key the crashed apply inserted
+    and the upstream deleted meanwhile.
+    """
+
+    _CURSOR_KEY = "cascade_to_version"
 
     def __init__(self, src_table, dst_engine, cursor_path: str):
         self.src = src_table
         self.engine = dst_engine
         self.cursor_path = cursor_path
 
-    def _cursor(self) -> int:
+    def _file_cursor(self) -> int:
         try:
             with open(self.cursor_path) as f:
-                return json.load(f)["version"]
-        except FileNotFoundError:
+                return int(json.load(f)["version"])
+        except (FileNotFoundError, ValueError, KeyError, json.JSONDecodeError):
+            # missing or torn cursor file → the ledger-derived cursor
+            # below is authoritative
             return 0
+
+    def _ledger_cursor(self, max_walk: int = 64) -> int:
+        """Newest ``cascade_to_version`` stamped in the destination's
+        manifest lineage (bounded backward walk)."""
+        t = self.engine.table
+        if not t.exists():
+            return 0
+        versions = t.versions()
+        for v in reversed(versions[-max_walk:]):
+            got = t.manifest(v).lineage.get(self._CURSOR_KEY)
+            if got is not None:
+                return int(got)
+        return 0
+
+    def _cursor(self) -> int:
+        return max(self._file_cursor(), self._ledger_cursor())
 
     def _commit_cursor(self, version: int) -> None:
         tmp = self.cursor_path + ".tmp"
         with open(tmp, "w") as f:
             json.dump({"version": version}, f)
+            f.flush()
+            os.fsync(f.fileno())
         os.replace(tmp, self.cursor_path)
 
     def run_once(self) -> dict[str, Any] | None:
         """Apply upstream commits since the cursor; returns apply metrics
-        (None when already caught up). Crash-safe: the destination's
-        epoch ledger dedups a re-applied range if we die between apply
-        and cursor write."""
+        (None when already caught up)."""
         v0 = self._cursor()
         v1 = self.src.current_version()
         if v1 <= v0:
             return None
         ev = changes_to_events(self.src.read_changes(v0, v1))
         # epoch id = hash of the upstream range: stable across redelivery
-        # (exactly-once still holds) yet collision-free against the small
-        # sequential ids direct ingest uses — a destination that ALSO
-        # tails a bus must not have a cascade hop silently deduped
-        # against an unrelated epoch ledger entry
+        # (exactly-once still holds) and collision-free against the small
+        # sequential ids the ledger may already hold from this table's
+        # pre-replica life
         import hashlib
 
         digest = hashlib.md5(f"cascade-{v0}-{v1}".encode()).digest()
         epoch_id = int.from_bytes(digest[:8], "big") >> 1  # positive int63
-        metrics = self.engine.apply_epoch(ev, epoch_id=epoch_id)
+        metrics = self.engine.apply_epoch(
+            ev,
+            epoch_id=epoch_id,
+            lineage_extra={self._CURSOR_KEY: v1, "cascade_from_version": v0},
+        )
         self._commit_cursor(v1)
         return metrics if metrics is not None else {"deduped_range": [v0, v1]}

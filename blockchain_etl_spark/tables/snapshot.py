@@ -595,6 +595,7 @@ class SnapshotTable:
         from_version: int,
         to_version: int | None = None,
         diff_ignore: tuple[str, ...] = ("updated_epoch",),
+        buckets: list[int] | None = None,
     ) -> DataFrame:
         """Row-level change-log between two committed versions (≙ Iceberg
         incremental scan / Delta CDF ``table_changes``): the edits that
@@ -627,6 +628,15 @@ class SnapshotTable:
         v1 = self.current_version() if to_version is None else to_version
         if from_version > v1:
             raise ValueError(f"from_version {from_version} > to_version {v1}")
+        try:
+            self.manifest(from_version)
+        except FileNotFoundError:
+            raise ValueError(
+                f"from_version {from_version} was garbage-collected (gc "
+                f"retention passed while this consumer was stopped) — "
+                f"incremental resume is impossible; reseed the consumer "
+                f"with a full snapshot read instead"
+            ) from None
         m1 = self.manifest(v1)
         schema1 = m1.schema()
         key = m1.key
@@ -655,8 +665,9 @@ class SnapshotTable:
                 T.StructField("_to_version", T.IntegerType(), False),
             ]
         )
-        buckets = None
-        if from_version != v1:
+        # callers that already ran changed_buckets (e.g. the CLI summary)
+        # pass it in to skip a second manifest walk
+        if buckets is None and from_version != v1:
             buckets = self.changed_buckets(from_version, v1)
         if from_version == v1 or buckets == []:
             return self.spark.createDataFrame([], out_schema)

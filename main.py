@@ -185,7 +185,7 @@ def main(argv=None):
         dst = SnapshotTable(spark, args.dst_table)
         if not dst.exists():
             SnapshotTable.create(spark, args.dst_table, src.manifest().schema(),
-                                 n_buckets=args.buckets)
+                                 key=src.manifest().key, n_buckets=args.buckets)
             dst = SnapshotTable(spark, args.dst_table)
         engine = CdcEngine(spark, dst, mode=args.mode)
         metrics = CascadeTailer(src, engine, args.cursor).run_once()
@@ -247,6 +247,7 @@ def main(argv=None):
                 F.count("*").alias("rows"),
                 F.sum(F.col("deleted").cast("int")).alias("deletes"),
             ).first()
+            ch.unpersist()
             print(json.dumps({
                 "since_lsn": args.since_lsn,
                 "rows": stats["rows"],
@@ -255,7 +256,10 @@ def main(argv=None):
             return 0
         if args.from_version is None:
             raise SystemExit("changes: --from-version or --since-lsn required")
-        ch = table.read_changes(args.from_version, args.to_version).persist()
+        changed = table.changed_buckets(args.from_version, args.to_version)
+        ch = table.read_changes(
+            args.from_version, args.to_version, buckets=changed
+        ).persist()
         if args.out:
             ch.write.mode("overwrite").parquet(args.out)
         else:
@@ -265,12 +269,12 @@ def main(argv=None):
             for r in ch.groupBy("_change_type").agg(
                 F.count("*").alias("n")).collect()
         }
+        ch.unpersist()
         print(json.dumps({
             "from_version": args.from_version,
             "to_version": args.to_version
             if args.to_version is not None else table.current_version(),
-            "changed_buckets": table.changed_buckets(
-                args.from_version, args.to_version),
+            "changed_buckets": changed,
             "counts": counts,
         }))
     elif args.cmd == "show":

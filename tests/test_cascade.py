@@ -52,10 +52,20 @@ def test_cascade_crash_redelivery_is_exactly_once(spark, tmp_path):
     epochs, a, b, ea, tailer = _setup(spark, tmp_path, seed=93)
     ea.apply_epoch(events_to_df(spark, epochs[0]), epoch_id=0)
     tailer.run_once()
-    # crash between apply and cursor write: rewind the cursor by hand
+    # crash between apply and cursor write: rewind the cursor file. The
+    # FIRST recovery layer — the range stamped in b's manifest lineage —
+    # makes this a clean no-op (no redelivery at all).
     with open(tailer.cursor_path, "w") as f:
         json.dump({"version": 0}, f)
-    m = tailer.run_once()  # redelivered range → ledger dedup, state intact
+    assert tailer._cursor() == a.current_version()
+    assert tailer.run_once() is None
+    # SECOND layer: if the ledger walk also missed (e.g. the stamp aged
+    # out of the walk window), the redelivered range dedups against the
+    # destination's epoch ledger — state stays intact either way.
+    with open(tailer.cursor_path, "w") as f:
+        json.dump({"version": 0}, f)
+    tailer._ledger_cursor = lambda max_walk=64: 0
+    m = tailer.run_once()
     assert m == {"deduped_range": [0, a.current_version()]}
     assert _live(b) == _live(a)
 
@@ -157,3 +167,50 @@ def test_cascade_propagates_schema_evolution(spark, tmp_path):
     rows = {r["doc_id"]: r for r in read_state(SnapshotTable(spark, b.path)).collect()}
     assert rows["d2"]["lang"] == "en"
     assert rows["d1"]["lang"] is None  # null-backfilled on old rows
+
+
+def test_crash_then_upstream_advances_does_not_lose_transitions(spark, tmp_path):
+    """The killer crash case: hop (0,v1] applies but the cursor write is
+    lost; upstream then deletes a key added in that range. A re-diff from
+    the stale cursor would emit nothing for the key (absent at 0, dead
+    now) — the ledger-stamped cursor must resume from v1 instead."""
+    a = SnapshotTable.create(spark, str(tmp_path / "ca"), TARGET_SCHEMA, n_buckets=4)
+    b = SnapshotTable.create(spark, str(tmp_path / "cb"), TARGET_SCHEMA, n_buckets=4)
+    ea = CdcEngine(spark, a, collect_metrics=False)
+    eb = CdcEngine(spark, b, collect_metrics=False)
+    tailer = CascadeTailer(a, eb, str(tmp_path / "cur.json"))
+
+    ins = [dict(stream_pos=1, lsn=1, seq=0, op="I", doc_id="k", tokens=[1],
+                n_tok=1, source="s", rollback_to_lsn=None, epoch_hash="e0")]
+    ea.apply_epoch(events_to_df(spark, ins), epoch_id=0)
+    tailer.run_once()
+    assert "k" in _live(b)
+    # crash: the cursor write is lost
+    import os
+
+    os.remove(tailer.cursor_path)
+    # upstream deletes k BEFORE the retry
+    dele = [dict(stream_pos=2, lsn=2, seq=0, op="D", doc_id="k", tokens=None,
+                 n_tok=None, source=None, rollback_to_lsn=None, epoch_hash="e1")]
+    ea.apply_epoch(events_to_df(spark, dele), epoch_id=1)
+    # retry: ledger cursor (stamped in b's manifest lineage) must win
+    assert tailer._cursor() > 0
+    tailer.run_once()
+    assert "k" not in _live(b)
+    assert _live(b) == _live(a)
+
+
+def test_corrupt_cursor_file_recovers_from_ledger(spark, tmp_path):
+    a = SnapshotTable.create(spark, str(tmp_path / "fa"), TARGET_SCHEMA, n_buckets=4)
+    b = SnapshotTable.create(spark, str(tmp_path / "fb"), TARGET_SCHEMA, n_buckets=4)
+    ea = CdcEngine(spark, a, collect_metrics=False)
+    eb = CdcEngine(spark, b, collect_metrics=False)
+    tailer = CascadeTailer(a, eb, str(tmp_path / "cur.json"))
+    ins = [dict(stream_pos=1, lsn=1, seq=0, op="I", doc_id="x", tokens=[1],
+                n_tok=1, source="s", rollback_to_lsn=None, epoch_hash="e0")]
+    ea.apply_epoch(events_to_df(spark, ins), epoch_id=0)
+    tailer.run_once()
+    with open(tailer.cursor_path, "w") as f:
+        f.write("")  # torn write
+    assert tailer._cursor() == a.current_version()
+    assert tailer.run_once() is None  # caught up, no crash
