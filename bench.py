@@ -447,7 +447,38 @@ def main():
     out["queries_cold"] = queries_cold
     out["query_samples"] = query_samples  # [cold, warm...] per query
 
-    print(json.dumps(out))
+    # Full detail (scaling samples, per-query cold/warm samples, cdc run
+    # breakdown) goes to a side file; stdout carries ONE compact JSON line.
+    # r3's single fat line outgrew the driver's tail capture and truncated
+    # the headline events_per_sec out of BENCH_r03.json.
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH", "last_run_detail.json"
+    )
+    os.makedirs(os.path.dirname(detail_path), exist_ok=True)
+    with open(detail_path, "w") as f:
+        json.dump(out, f, indent=1)
+
+    headline = {
+        "metric": out["metric"],
+        "value": out["value"],
+        "unit": out["unit"],
+        "sf": out["sf"],
+        "n_events": out["n_events"],
+        "cpus": out["cpus"],
+        "events_per_sec": out["events_per_sec"],
+        "queries": queries,
+    }
+    if "scaling" in out:
+        s = out["scaling"]
+        headline["scaling"] = {
+            k: s[k]
+            for k in (
+                "cores_n", "cores_4n", "throughput_n", "throughput_4n",
+                "efficiency", "best_epoch_efficiency", "efficiency_vs_hw_ceiling",
+            )
+            if k in s
+        }
+    print(json.dumps(headline))
 
 
 if __name__ == "__main__":

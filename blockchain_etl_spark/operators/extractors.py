@@ -232,7 +232,9 @@ ASSIGN_EVENT_TOPIC = (
 
 
 def extract_erc721_transfers(
-    logs: DataFrame, erc20_tokens: DataFrame | None = None
+    logs: DataFrame,
+    erc20_tokens: DataFrame | None = None,
+    exact_values: bool = False,
 ) -> DataFrame:
     """Transfer-topic logs that are NOT known ERC20 contracts and NOT the
     CryptoPunk contract are assumed ERC721 (redundant data, no loss —
@@ -241,7 +243,16 @@ def extract_erc721_transfers(
 
     ``erc20_tokens`` (one ``address`` column) is the known-ERC20 set;
     exclusion is a broadcast LEFT ANTI hash join — the dim is ≪ the log
-    stream, so the anti join never shuffles the logs."""
+    stream, so the anti join never shuffles the logs.
+
+    ``exact_values=True`` carries ``token_id`` as the raw 64-char
+    lowercase hex word (exact for the full uint256 range — real ERC721
+    ids are routinely hash-derived ≥ 2^63, and even decimal(38,0) caps
+    at 2^120, so the string IS the production representation, exactly as
+    the reference keeps uint256 fields as strings). Default int64 keeps
+    the cross-engine oracle parity for the synthetic gate queries and
+    fails loud under ANSI mode on out-of-range ids rather than
+    truncating."""
     base = logs.filter(F.size("topics") >= 1).select(
         "event_id",
         normalized_address("address").alias("token_address"),
@@ -259,12 +270,17 @@ def extract_erc721_transfers(
             ).distinct()
         )
         out = out.join(dim, "token_address", "left_anti")
+    token_id = (
+        F.lpad(F.lower(F.regexp_replace(F.get("w", 3), "^0x", "")), 64, "0")
+        if exact_values
+        else hex_word_to_long(F.get("w", 3))
+    )
     return out.select(
         "event_id",
         "token_address",
         word_to_addr(F.get("w", 1)).alias("from_address"),
         word_to_addr(F.get("w", 2)).alias("to_address"),
-        hex_word_to_long(F.get("w", 3)).alias("token_id"),
+        token_id.alias("token_id"),
     )
 
 

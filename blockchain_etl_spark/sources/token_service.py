@@ -92,23 +92,57 @@ class TokenDimService:
         old pointer (orphan stage dir, GC'd on the next commit) or the
         new one (orphan old dir, ditto). Never a state with no `current`
         and never a directory-rename onto a non-empty target."""
-        stage = f"stage-{uuid.uuid4().hex}"
+        stage = f"stage-{os.getpid()}-{uuid.uuid4().hex}"
         dim.write.mode("overwrite").parquet(os.path.join(self.cache_path, stage))
         prev = self._data_dir()
-        ptmp = self._pointer() + f".tmp-{uuid.uuid4().hex}"
+        ptmp = self._pointer() + f".tmp-{os.getpid()}-{uuid.uuid4().hex}"
         with open(ptmp, "w") as f:
             f.write(stage)
         os.replace(ptmp, self._pointer())  # atomic file rename = the commit
-        # GC: the previous data dir and any orphaned stage dirs from crashes
+        # GC the previous data dir (now unreferenced — the pointer moved
+        # past it in OUR commit, so no new reader can resolve it) and
+        # orphaned stage/tmp files — but only those whose owning process
+        # is provably dead (same liveness gate as the table-changes gate
+        # dirs): two processes sharing one cache_path must never delete
+        # each other's in-flight stage dir or pointer temp file.
         cur = os.path.join(self.cache_path, stage)
         if os.path.abspath(prev) != os.path.abspath(cur):
             shutil.rmtree(prev, ignore_errors=True)
         for d in os.listdir(self.cache_path):
             p = os.path.join(self.cache_path, d)
-            if d.startswith("stage-") and d != stage and os.path.isdir(p):
+            is_stage = d.startswith("stage-") and d != stage and os.path.isdir(p)
+            is_tmp = d.startswith("CURRENT.tmp-")
+            if not (is_stage or is_tmp):
+                continue
+            if not self._owner_dead(d):
+                continue
+            if is_stage:
                 shutil.rmtree(p, ignore_errors=True)
-            if d.startswith("CURRENT.tmp-"):
-                os.unlink(p)
+            else:
+                try:
+                    os.unlink(p)
+                except FileNotFoundError:
+                    pass
+
+    @staticmethod
+    def _owner_dead(name: str) -> bool:
+        """True only when the pid embedded in a stage-/CURRENT.tmp- name
+        provably no longer runs. Legacy names without a pid segment are
+        treated as dead (pre-r4 layout: single-process caches only)."""
+        parts = name.split("-")
+        # stage-{pid}-{hex} / CURRENT.tmp-{pid}-{hex}
+        pid_part = parts[-2] if len(parts) >= 3 else None
+        if pid_part is None or not pid_part.isdigit():
+            return True  # legacy single-process layout
+        if int(pid_part) == os.getpid():
+            return True  # our own orphan from an earlier failed commit
+        try:
+            os.kill(int(pid_part), 0)
+            return False
+        except ProcessLookupError:
+            return True
+        except PermissionError:
+            return False  # alive under another uid — leave it
 
     def dim(self) -> DataFrame:
         return self.spark.read.schema(TOKEN_SCHEMA).parquet(self._data_dir())

@@ -138,13 +138,29 @@ class CascadeTailer:
         self.cursor_path = cursor_path
 
     def _file_cursor(self) -> int:
+        """Fast-path cursor, valid only if it provably belongs to the
+        CURRENT incarnation of the destination table.
+
+        A cursor file can be stale-HIGH (destination deleted and
+        recreated, or the file belongs to a different table) — max()ing
+        it against the ledger would then silently skip every upstream
+        change until the upstream version passes the stale value. The
+        file therefore records the destination's ``table_uid``; on
+        mismatch — or when the identity can't be verified — it is
+        discarded and the destination's own commit lineage (authoritative
+        by construction: it rides the atomic data commit) wins."""
         try:
             with open(self.cursor_path) as f:
-                return int(json.load(f)["version"])
+                got = json.load(f)
+            cur = int(got["version"])
         except (FileNotFoundError, ValueError, KeyError, json.JSONDecodeError):
             # missing or torn cursor file → the ledger-derived cursor
             # below is authoritative
             return 0
+        dst_uid = self.engine.table.table_uid() if self.engine.table.exists() else None
+        if dst_uid is None or got.get("table_uid") != dst_uid:
+            return 0
+        return cur
 
     def _ledger_cursor(self, max_walk: int = 64) -> int:
         """Newest ``cascade_to_version`` stamped in the destination's
@@ -165,7 +181,9 @@ class CascadeTailer:
     def _commit_cursor(self, version: int) -> None:
         tmp = self.cursor_path + ".tmp"
         with open(tmp, "w") as f:
-            json.dump({"version": version}, f)
+            json.dump(
+                {"version": version, "table_uid": self.engine.table.table_uid()}, f
+            )
             f.flush()
             os.fsync(f.fileno())
         os.replace(tmp, self.cursor_path)

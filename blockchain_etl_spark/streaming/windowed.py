@@ -36,27 +36,31 @@ def windowed_event_counts(
     window: str = "1 minute",
     watermark: str = "2 minutes",
     group_col: str = "event_type",
+    value_col: str | None = "value",
 ) -> DataFrame:
     """Tumbling-window counts per group with late-data drop.
 
-    Output: (window_start, window_end, <group_col>, n_events, sum_value).
+    Output: (window_start, window_end, <group_col>, n_events[,
+    sum_value]) — ``sum_value`` only when ``value_col`` is given (pass
+    None for count-only streams that carry no numeric payload).
     In append mode a row is final — downstream sinks never see a window
     twice (exactly-once friendly without a MERGE).
     """
+    aggs = [F.count("*").alias("n_events")]
+    out_cols = [
+        F.col("w.start").alias("window_start"),
+        F.col("w.end").alias("window_end"),
+        group_col,
+        "n_events",
+    ]
+    if value_col is not None:
+        aggs.append(F.round(F.sum(value_col), 2).alias("sum_value"))
+        out_cols.append(F.col("sum_value"))
     return (
         stream.withWatermark(ts_col, watermark)
         .groupBy(F.window(ts_col, window).alias("w"), group_col)
-        .agg(
-            F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
-        )
-        .select(
-            F.col("w.start").alias("window_start"),
-            F.col("w.end").alias("window_end"),
-            group_col,
-            "n_events",
-            "sum_value",
-        )
+        .agg(*aggs)
+        .select(*out_cols)
     )
 
 

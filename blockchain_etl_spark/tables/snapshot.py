@@ -148,10 +148,28 @@ class SnapshotTable:
             schemas={"0": json.dumps(schema.jsonValue())},
         )
         t._write_manifest(m)
+        # creation identity: lets external cursors (cascade hops) detect
+        # that "the table at this path" was deleted and recreated — their
+        # saved position is then meaningless and must be discarded
+        uid_tmp = os.path.join(path, "manifests", f"TABLE_ID.tmp-{uuid.uuid4().hex}")
+        with open(uid_tmp, "w") as f:
+            f.write(uuid.uuid4().hex)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(uid_tmp, os.path.join(path, "manifests", "TABLE_ID"))
         return t
 
     def exists(self) -> bool:
         return os.path.exists(os.path.join(self.path, "manifests", "LATEST"))
+
+    def table_uid(self) -> str | None:
+        """Creation identity (None for tables created before this field
+        existed — callers must treat that as 'cannot verify')."""
+        try:
+            with open(os.path.join(self.path, "manifests", "TABLE_ID")) as f:
+                return f.read().strip() or None
+        except FileNotFoundError:
+            return None
 
     # ------------------------------------------------------------- manifests
     def _manifest_path(self, version: int) -> str:

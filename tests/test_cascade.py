@@ -214,3 +214,34 @@ def test_corrupt_cursor_file_recovers_from_ledger(spark, tmp_path):
         f.write("")  # torn write
     assert tailer._cursor() == a.current_version()
     assert tailer.run_once() is None  # caught up, no crash
+
+
+def test_stale_high_cursor_from_recreated_dst_is_discarded(spark, tmp_path):
+    """A cursor file surviving a dst delete+recreate is stale-HIGH: its
+    version belongs to the previous incarnation, and max()ing it against
+    the fresh ledger would skip every upstream change until the upstream
+    version passed it. The table_uid binding discards it instead."""
+    import shutil
+
+    a = SnapshotTable.create(spark, str(tmp_path / "sa"), TARGET_SCHEMA, n_buckets=4)
+    b_path = str(tmp_path / "sb")
+    b = SnapshotTable.create(spark, b_path, TARGET_SCHEMA, n_buckets=4)
+    ea = CdcEngine(spark, a, collect_metrics=False)
+    tailer = CascadeTailer(a, CdcEngine(spark, b, collect_metrics=False),
+                           str(tmp_path / "scur.json"))
+    ins = [dict(stream_pos=i, lsn=i, seq=0, op="I", doc_id=f"d{i}", tokens=[i],
+                n_tok=1, source="s", rollback_to_lsn=None, epoch_hash=f"e{i}")
+           for i in range(1, 4)]
+    for i, e in enumerate(ins):
+        ea.apply_epoch(events_to_df(spark, [e]), epoch_id=i)
+        tailer.run_once()
+    assert _live(b) == _live(a)
+
+    # destination wiped and recreated — the cursor file survives
+    shutil.rmtree(b_path)
+    b2 = SnapshotTable.create(spark, b_path, TARGET_SCHEMA, n_buckets=4)
+    tailer2 = CascadeTailer(a, CdcEngine(spark, b2, collect_metrics=False),
+                            str(tmp_path / "scur.json"))
+    assert tailer2._cursor() == 0  # stale-HIGH file cursor discarded
+    assert tailer2.run_once() is not None  # full re-sync, not a silent skip
+    assert _live(b2) == _live(a)

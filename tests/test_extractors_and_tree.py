@@ -286,3 +286,20 @@ def test_cryptopunk_decode_and_merge(spark):
         (6, 8, 0, B),           # double match: sale path (+2)
         (6, 8, 1, A),           # double match: bid path (+1)
     ]
+
+
+def test_erc721_exact_values_carries_raw_hex_token_id(spark):
+    # hash-derived token id ≥ 2^63 (and > decimal(38,0)'s 2^120 ceiling):
+    # only the raw hex word carries it exactly
+    big_hex = "f" * 40 + "0123456789abcdef012345ef"
+    rows = [
+        (1, "0x" + "c" * 40,
+         [EXT.TRANSFER_EVENT_TOPIC, W(ADDR_A), W(ADDR_B), "0x" + big_hex], "0x"),
+    ]
+    out = EXT.extract_erc721_transfers(_logs(spark, rows), exact_values=True)
+    assert dict(out.dtypes)["token_id"] == "string"
+    assert out.collect()[0]["token_id"] == big_hex.rjust(64, "0")
+    # default int64 mode fails LOUDLY under ANSI, never silently truncates
+    import pytest as _pt
+    with _pt.raises(Exception, match="CAST_INVALID_INPUT|overflow"):
+        EXT.extract_erc721_transfers(_logs(spark, rows)).collect()
