@@ -662,8 +662,9 @@ _PACK_BUDGET = 512
 
 def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy contiguous packing (concat-and-cut): documents in doc_id
-    order within each source, cut every {budget} tokens; one window
-    cumsum shuffle on source, then the pack aggregation."""
+    order within each source, cut every {budget} tokens; two-phase
+    range-partitioned cumsum (parallelism independent of source
+    cardinality), then the pack aggregation."""
     from blockchain_etl_spark.operators import tokens as TOK
 
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")

@@ -231,10 +231,14 @@ def ann_ivf_topk(
     Assignment ties break on centroid id via an explicit rank window.
 
     Scale shape: assignment is a broadcast(n_centroids)×corpus narrow
-    map + one groupBy (at 10^10 rows use max_by for map-side combine —
-    the window here is the tie-exact oracle-parity formulation); the
-    probe join touches nprobe/n_centroids of the corpus — with 4096
-    lists and nprobe 64, >98% of the corpus is never scored."""
+    map + ONE ``max_by`` aggregation — partial (map-side) combine
+    reduces the n×n_centroids scored rows to n BEFORE any shuffle, and
+    the tie order (max cdot, then min cid) lives in the max_by ordering
+    struct, so it stays exact without a row_number window (which would
+    shuffle all n×n_centroids rows). The probe side keeps its window:
+    n_queries×n_centroids rows is metadata-sized. The probe join touches
+    nprobe/n_centroids of the corpus — with 4096 lists and nprobe 64,
+    >98% of the corpus is never scored."""
     from pyspark.sql import Window
 
     e = _emb(spark, sf_dir).select(
@@ -252,12 +256,21 @@ def ann_ivf_topk(
     scored_assign = e.crossJoin(cents).select(
         "vec_id", "embedding", "cid", V.idot("iv", "civ").alias("cdot")
     )
-    wa = Window.partitionBy("vec_id").orderBy(F.desc("cdot"), F.asc("cid"))
     assign = (
-        scored_assign.withColumn("crk", F.row_number().over(wa))
-        .filter(F.col("crk") <= 1)
-        .select("vec_id", "embedding", "cid")
+        scored_assign.groupBy("vec_id")
+        .agg(
+            F.max_by(
+                F.struct("embedding", "cid"),
+                F.struct(F.col("cdot"), (-F.col("cid")).alias("nc")),
+            ).alias("best")
+        )
+        .select(
+            "vec_id",
+            F.col("best.embedding").alias("embedding"),
+            F.col("best.cid").alias("cid"),
+        )
     )
+    wa = Window.partitionBy("vec_id").orderBy(F.desc("cdot"), F.asc("cid"))
     probes = (
         scored_assign.filter(F.col("vec_id") < n_queries)
         .withColumn("crk", F.row_number().over(wa))

@@ -86,3 +86,38 @@ def test_repetition_stats_duplicated_bigrams(spark):
     # "a b a b a" bigrams: "a b","b a","a b","b a" -> 4 total, 2 distinct
     assert out[1] == (4, 2)
     assert out[2] == (3, 3)
+
+
+def test_pack_sequences_parallelism_independent_of_sources(spark):
+    """The two-phase cumsum must (a) match the naive single-window
+    formulation exactly and (b) run at the requested range parallelism
+    even with ONE source — the scale property: a window partitioned by
+    source alone would push the whole corpus through one task."""
+    import random
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    rng = random.Random(7)
+    rows = [(i, "s0" if i % 3 else "s1", rng.randint(1, 400)) for i in range(1, 801)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_tok int")
+
+    got = TOK.pack_sequences(df, budget=512, n_parts=8)
+    # naive single-window reference (the oracle-shaped formulation)
+    w = Window.partitionBy("source").orderBy("doc_id")
+    pack = F.floor((F.sum("n_tok").over(w) - F.col("n_tok")) / F.lit(512))
+    want = (
+        df.select(
+            F.col("source").alias("part"), F.col("doc_id").alias("doc_key"),
+            "n_tok", pack.alias("pack_id"),
+        )
+        .groupBy("part", "pack_id")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_tok").alias("n_tok_sum"),
+             F.min("doc_key").alias("first_doc"), F.max("doc_key").alias("last_doc"))
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" in plan.lower()
+    # the cumsum window keys on (part, range id), never on part alone
+    assert "_rid" in plan
