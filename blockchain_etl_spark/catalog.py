@@ -535,6 +535,215 @@ FROM events LEFT JOIN customer ON user_id = c_custkey
 WHERE coalesce(c_mktsegment, '') = 'BUILDING' AND value > 100
 """
 
+_TRACK_HOPS = 3
+_TRACK_SEEDS = (1, 2)
+_TRACK_STOP_MOD = 7
+
+
+def track_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tracked-address hop expansion ≙ track_exporter.py:110-165: events
+    whose source is tracked pull their counterparty into the tracked set
+    at hop+1; stop-oracle addresses (here: id % {mod} == 0, standing in
+    for shold_stop's known-address patterns) are recorded but never
+    expanded. The value-flow edge is (user_id → props.k). Oracle twin:
+    a recursive CTE with per-level dedup (UNION) and MIN(hop) — BFS
+    distance equals min over all bounded walks.
+
+    Scale: one semi join + one anti join per hop; the frontier side is
+    broadcast while small. No path enumeration — work per hop is
+    O(edges touching new addresses)."""
+    from blockchain_etl_spark.operators.alerts import track_frontier as tf
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    edges = ev.select(
+        F.col("user_id").alias("src"),
+        F.get_json_object("props", "$.k").cast("long").alias("dst"),
+    )
+    seeds = spark.createDataFrame([(s,) for s in _TRACK_SEEDS], "src long")
+    return tf(
+        edges,
+        seeds,
+        hops=_TRACK_HOPS,
+        key="src",
+        dst_col="dst",
+        stop=lambda c: c % _TRACK_STOP_MOD == 0,
+    ).select("address", F.col("hop").cast("int").alias("hop"), "stopped")
+
+
+_TRACK_FRONTIER_SQL = f"""
+WITH RECURSIVE edges AS (
+  SELECT user_id AS src,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS dst
+  FROM events
+  WHERE user_id <> CAST(json_extract_string(props, '$.k') AS BIGINT)
+), fr(address, hop) AS (
+  SELECT * FROM (VALUES {", ".join(f"({s}::BIGINT, 0)" for s in _TRACK_SEEDS)})
+  UNION
+  SELECT e.dst, fr.hop + 1
+  FROM fr JOIN edges e ON e.src = fr.address
+  WHERE fr.hop < {_TRACK_HOPS} AND fr.address % {_TRACK_STOP_MOD} <> 0
+)
+SELECT address, MIN(hop)::INT AS hop,
+       address % {_TRACK_STOP_MOD} = 0 AS stopped
+FROM fr GROUP BY address
+"""
+
+
+# ---- streaming gate rows: two availableNow runs over one checkpoint ------
+# Batch boundaries are made deterministic by landing run 1 (even event_ids)
+# and run 2 (odd event_ids [+ exact replays]) as one file each and running
+# the SAME streaming query twice against a shared checkpoint: the watermark
+# W1 = max(run-1 ts) - delay is persisted at the end of run 1 and recovered
+# for run 2, so run 2's old rows are genuinely behind a durable watermark.
+# That makes the event-time semantics closed-form:
+#   windowed agg:  kept = run1 ∪ {run2 rows whose window END > W1};
+#                  emitted = windows with END <= W2 = max(all ts) - delay
+#   dedup:         emitted = run1 keys ∪ {run2 NEW keys with ts >= W1}
+#                  (exact replays are dropped late (ts < W1) or as live-state
+#                  duplicates (expiry ts+delay > W1) — never re-emitted)
+# — both exactly reproducible in SQL, which is the oracle twin. Boundary
+# ties (window end == watermark) are measure-zero: watermarks inherit the
+# data's microsecond precision, window ends are hour-aligned.
+
+_STREAM_WINDOW_H = 6
+_STREAM_DELAY_H = 12
+
+
+def _stream_two_runs(spark, events, transform, prefix: str, out_schema: str):
+    """Land even/odd halves, run `transform` as two availableNow passes
+    into a parquet sink sharing one checkpoint; return the emitted rows."""
+    import os
+
+    work = _pid_scoped_gate_dir(prefix)
+    landing = os.path.join(work, "landing")
+    out = os.path.join(work, "out")
+    ckpt = os.path.join(work, "ckpt")
+    os.makedirs(landing)
+
+    in_schema = "event_id long, ts timestamp, event_type string, value double"
+    base = events.select("event_id", "ts", "event_type", "value")
+
+    def run():
+        stream = spark.readStream.schema(in_schema).parquet(os.path.join(landing, "*"))
+        q = (
+            transform(stream)
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    base.filter(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(
+        os.path.join(landing, "b0")
+    )
+    run()
+    run2 = base.filter(F.col("event_id") % 2 == 1)
+    if prefix.startswith("stream-dedup"):
+        # exact redeliveries of every 10th even row — the CDC at-least-once shape
+        run2 = run2.unionByName(
+            base.filter((F.col("event_id") % 2 == 0) & (F.col("event_id") % 10 == 0))
+        )
+    run2.coalesce(1).write.parquet(os.path.join(landing, "b1"))
+    run()
+    return spark.read.schema(out_schema).parquet(out)
+
+
+def windowed_stream_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling event-time window counts with watermark late-drop,
+    driven through real Structured Streaming state + checkpoint recovery
+    (≙ the reference's consumer-loop periodic aggregation, SURVEY §2.10;
+    semantics per the header comment above)."""
+    from blockchain_etl_spark.streaming.windowed import windowed_event_counts
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    got = _stream_two_runs(
+        spark,
+        ev,
+        lambda s: windowed_event_counts(
+            s,
+            window=f"{_STREAM_WINDOW_H} hours",
+            watermark=f"{_STREAM_DELAY_H} hours",
+        ),
+        "stream-window-gate",
+        "window_start timestamp, window_end timestamp, event_type string,"
+        " n_events long, sum_value double",
+    )
+    fmt = "yyyy-MM-dd HH:mm:ss"
+    return got.select(
+        F.date_format("window_start", fmt).alias("window_start"),
+        F.date_format("window_end", fmt).alias("window_end"),
+        "event_type",
+        "n_events",
+        "sum_value",
+    )
+
+
+_WINDOWED_STREAM_SQL = f"""
+WITH r1 AS (SELECT * FROM events WHERE event_id % 2 = 0),
+w1 AS (SELECT max(ts) - INTERVAL {_STREAM_DELAY_H} HOUR AS wm FROM r1),
+w2 AS (SELECT max(ts) - INTERVAL {_STREAM_DELAY_H} HOUR AS wm FROM events),
+kept AS (
+  SELECT ts, event_type, value FROM r1
+  UNION ALL
+  SELECT e.ts, e.event_type, e.value FROM events e, w1
+  WHERE e.event_id % 2 = 1
+    AND time_bucket(INTERVAL {_STREAM_WINDOW_H} HOUR, e.ts)
+        + INTERVAL {_STREAM_WINDOW_H} HOUR > w1.wm
+),
+agg AS (
+  SELECT time_bucket(INTERVAL {_STREAM_WINDOW_H} HOUR, ts) AS ws, event_type,
+         count(*) AS n_events, round(sum(value), 2) AS sum_value
+  FROM kept GROUP BY 1, 2
+)
+SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+       strftime(ws + INTERVAL {_STREAM_WINDOW_H} HOUR,
+                '%Y-%m-%d %H:%M:%S') AS window_end,
+       event_type, n_events, sum_value
+FROM agg, w2 WHERE ws + INTERVAL {_STREAM_WINDOW_H} HOUR <= w2.wm
+"""
+
+
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-state streaming dedup under at-least-once redelivery
+    (dropDuplicatesWithinWatermark): exact replays of already-emitted
+    rows are suppressed — dropped late behind the recovered watermark or
+    matched against live key state — while genuinely new rows pass
+    (semantics per the header comment above)."""
+    from blockchain_etl_spark.streaming.windowed import dedup_within_watermark
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    got = _stream_two_runs(
+        spark,
+        ev,
+        lambda s: dedup_within_watermark(
+            s, ["event_id"], watermark=f"{_STREAM_DELAY_H} hours"
+        ),
+        "stream-dedup-gate",
+        "event_id long, ts timestamp, event_type string, value double",
+    )
+    return got.select(
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+        "event_type",
+        F.round("value", 2).alias("value"),
+    )
+
+
+_STREAM_DEDUP_SQL = f"""
+WITH r1 AS (SELECT * FROM events WHERE event_id % 2 = 0),
+wm AS (SELECT max(ts) - INTERVAL {_STREAM_DELAY_H} HOUR AS w FROM r1)
+SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+       event_type, round(value, 2) AS value
+FROM r1
+UNION ALL
+SELECT e.event_id, strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+       e.event_type, round(e.value, 2) AS value
+FROM events e, wm WHERE e.event_id % 2 = 1 AND e.ts >= wm.w
+"""
+
 
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -1894,6 +2103,9 @@ QUERIES: dict[str, callable] = {
     "trace_status": trace_status,
     "rule_engine_filter": rule_engine_filter,
     "rule_label_alert": rule_label_alert,
+    "track_frontier": track_frontier,
+    "windowed_stream_counts": windowed_stream_counts,
+    "stream_dedup": stream_dedup,
     "log_transfer_extract": log_transfer_extract,
     "erc1155_batch_decode": erc1155_batch_decode,
     "erc721_transfer_extract": erc721_transfer_extract,
@@ -2139,6 +2351,9 @@ def oracle_sqls() -> dict[str, str]:
         "trace_status": _TRACE_STATUS_SQL,
         "rule_engine_filter": _RULE_FILTER_SQL,
         "rule_label_alert": _RULE_LABEL_SQL,
+        "track_frontier": _TRACK_FRONTIER_SQL,
+        "windowed_stream_counts": _WINDOWED_STREAM_SQL,
+        "stream_dedup": _STREAM_DEDUP_SQL,
         "explode_tokens": _EXPLODE_TOKENS_SQL,
         "decimal_vsum": _DECIMAL_VSUM_SQL,
         "log_transfer_extract": _LOG_TRANSFER_SQL,

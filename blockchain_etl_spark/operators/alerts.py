@@ -57,24 +57,63 @@ def with_labels(
 
 
 def track_frontier(
-    events: DataFrame, seeds: DataFrame, hops: int, key: str = "user_id"
+    events: DataFrame,
+    seeds: DataFrame,
+    hops: int,
+    key: str = "user_id",
+    dst_col: str | None = None,
+    stop=None,
 ) -> DataFrame:
-    """Iterative frontier expansion (≙ track_exporter.py:131-165: items
-    joining the tracked-address table, hop+1 per round). Each hop is a
-    semi-join of the event stream against the current frontier; at scale
-    the frontier is broadcast while small and shuffles once it grows."""
+    """Iterative frontier expansion over the value-flow graph
+    (≙ track_exporter.py:110-165: items whose ``from_address`` is
+    tracked become tracked items; their ``to_address`` joins the
+    tracked set at hop+1; the stop oracle's addresses are recorded but
+    never expanded — shold_stop).
+
+    ``events`` is the edge stream (``key`` = source, ``dst_col`` =
+    counterparty; defaults to ``key`` for degenerate self-graphs).
+    ``stop`` is an optional Column predicate over the address marking
+    stop-oracle hits. Returns the reached set — (address, hop, stopped)
+    with BFS-minimal hop, deterministic.
+
+    Scale: each hop is one hash semi/anti join of the edge stream
+    against the frontier — the frontier starts broadcast-small and the
+    optimizer switches join strategy as it grows; only NEW addresses
+    expand (the anti join against the seen set), so a hop's work is
+    O(edges touching the new frontier), never O(all walks) the way a
+    naive path-enumerating recursion is. For deep traversals persist or
+    checkpoint the frontier per hop to truncate lineage; the tracked
+    use case is hops ≤ 5."""
     from pyspark.sql import functions as F
 
-    frontier = seeds.select(F.col(key).alias("k")).distinct().withColumn("hop", F.lit(0))
-    all_hits = None
+    dst_col = dst_col or key
+
+    def stopped(col: str):
+        return stop(F.col(col)) if stop is not None else F.lit(False)
+
+    seen = (
+        seeds.select(F.col(key).alias("address"))
+        .distinct()
+        .select("address", F.lit(0).alias("hop"), stopped("address").alias("stopped"))
+    )
+    frontier = seen
+    edges = events.filter(F.col(key) != F.col(dst_col)).select(
+        F.col(key).alias("__src"), F.col(dst_col).alias("__dst")
+    )
     for hop in range(1, hops + 1):
-        hits = events.join(
-            frontier.select("k"), events[key] == F.col("k"), "left_semi"
-        ).withColumn("hop", F.lit(hop))
-        # next frontier: counterparties touched this hop (value flows out)
-        nxt = (
-            hits.select(F.col("user_id").alias("k")).distinct().withColumn("hop", F.lit(hop))
+        reached = (
+            edges.join(
+                frontier.filter(~F.col("stopped")).select(
+                    F.col("address").alias("__src")
+                ),
+                "__src",
+                "left_semi",
+            )
+            .select(F.col("__dst").alias("address"))
+            .distinct()
         )
-        frontier = frontier.unionByName(nxt).select("k", "hop").dropDuplicates(["k"])
-        all_hits = hits if all_hits is None else all_hits.unionByName(hits)
-    return all_hits
+        frontier = reached.join(seen.select("address"), "address", "left_anti").select(
+            "address", F.lit(hop).alias("hop"), stopped("address").alias("stopped")
+        )
+        seen = seen.unionByName(frontier)
+    return seen

@@ -37,12 +37,35 @@ def test_multi_sink_fans_out(spark, tmp_path):
     ConsoleSink().write(df.limit(1), n=1)  # smoke
 
 
-def test_track_frontier_expands_hops(spark):
-    events = spark.read.parquet(f"{SF}/events.parquet")
-    seeds = events.filter(F.col("user_id") == 1).select("user_id").distinct()
-    hits = track_frontier(events, seeds, hops=2)
-    assert hits.filter("hop = 1").count() == events.filter("user_id = 1").count()
-    assert hits.filter("hop = 2").count() > 0
+def test_track_frontier_bfs_with_stop_oracle(spark):
+    # tiny explicit graph: 1→2→3→4, 2→5(stop)→6 unreachable through 5
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (2, 5), (5, 6), (9, 1)],
+        "src long, dst long",
+    )
+    seeds = spark.createDataFrame([(1,)], "src long")
+    out = {
+        r["address"]: (r["hop"], r["stopped"])
+        for r in track_frontier(
+            edges, seeds, hops=3, key="src", dst_col="dst",
+            stop=lambda c: c == 5,
+        ).collect()
+    }
+    assert out == {1: (0, False), 2: (1, False), 3: (2, False),
+                   5: (2, True), 4: (3, False)}
+    # 6 absent: only path runs through the stopped address
+
+
+def test_track_frontier_min_hop_on_diamond(spark):
+    # diamond: 1→2→4 and 1→4 — hop must be the BFS minimum (1), not 2
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 4), (1, 4)], "src long, dst long"
+    )
+    seeds = spark.createDataFrame([(1,)], "src long")
+    out = {r["address"]: r["hop"]
+           for r in track_frontier(edges, seeds, hops=3,
+                                   key="src", dst_col="dst").collect()}
+    assert out == {1: 0, 2: 1, 4: 1}
 
 
 def test_message_bus_contract(spark, tmp_path):
