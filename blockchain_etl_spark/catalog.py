@@ -290,6 +290,66 @@ def table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def entity_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dependency-DAG fan-out ≙ eth_streamer_adapter.py:354-403
+    (``_should_export`` over the entity_type.py catalog): the derived
+    changelog ingests into a root docs table in two commits, and an
+    :class:`EntityPipeline` requested for {source_stats, long_docs}
+    pulls the docs→doc_stats→source_stats chain plus the filtered
+    replica through cascade hops after EACH commit — hop 2 recomputes
+    only the sources the second commit touched. Returns the converged
+    source_stats table; the oracle recomputes it as a grouped aggregate
+    over relational last-writer state."""
+    import os
+
+    from blockchain_etl_spark.cdc.apply import CdcEngine
+    from blockchain_etl_spark.cdc.schema import TARGET_SCHEMA
+    from blockchain_etl_spark.streaming.pipeline import EntityPipeline
+    from blockchain_etl_spark.tables.snapshot import SnapshotTable
+
+    ev = derive_changelog(spark, sf_dir).filter(
+        F.col("op").isin("I", "U", "D")
+        & (
+            (F.col("op") == "D")
+            | (F.col("tokens").isNotNull() & (F.col("n_tok") == F.size("tokens")))
+        )
+    )
+    mid = ev.agg(F.max("lsn")).first()[0] // 2
+
+    work = _pid_scoped_gate_dir("entity-pipeline-gate")
+    table = SnapshotTable.create(
+        spark, os.path.join(work, "docs"), TARGET_SCHEMA, key="doc_id", n_buckets=16
+    )
+    eng = CdcEngine(spark, table, mode="cow", collect_metrics=False)
+    pipe = EntityPipeline(
+        spark, table, work, ["source_stats", "long_docs"], n_buckets=8
+    )
+    eng.apply_epoch(ev.filter(F.col("lsn") <= mid), epoch_id=1)
+    pipe.run_once()
+    eng.apply_epoch(ev.filter(F.col("lsn") > mid), epoch_id=2)
+    pipe.run_once()
+    return pipe.state("source_stats").select(
+        F.col("doc_id").alias("source"), "n_docs", "total_tokens"
+    )
+
+
+_ENTITY_PIPELINE_SQL = f"""
+WITH {_CHANGELOG_CTE},
+ev AS (
+  SELECT * FROM changelog
+  WHERE op IN ('I','U','D')
+    AND (op = 'D' OR (tokens IS NOT NULL AND n_tok = len(tokens)))
+),
+fin AS (
+  SELECT * FROM (
+    SELECT e.*, row_number() OVER (PARTITION BY doc_id ORDER BY stream_pos DESC) AS rn
+    FROM ev e) WHERE rn = 1 AND op <> 'D'
+)
+SELECT source, count(*)::BIGINT AS n_docs, sum(n_tok)::BIGINT AS total_tokens
+FROM fin GROUP BY source
+"""
+
+
 _TABLE_CHANGES_SQL = f"""
 WITH {_CHANGELOG_CTE},
 ev AS (
@@ -2078,6 +2138,7 @@ QUERIES: dict[str, callable] = {
     "cdc_replay_final_state": cdc_replay_final_state,
     "cdc_changelog_stats": cdc_changelog_stats,
     "table_changes": table_changes,
+    "entity_pipeline": entity_pipeline,
     "tokenize_docs": tokenize_docs,
     # ANN / embedding similarity (driver-unverified through r3 — front of window)
     "embedding_near_dup": similarity.embedding_near_dup,
@@ -2175,6 +2236,7 @@ def oracle_sqls() -> dict[str, str]:
         "cdc_replay_final_state": _CDC_FINAL_SQL,
         "cdc_changelog_stats": _CDC_STATS_SQL,
         "table_changes": _TABLE_CHANGES_SQL,
+        "entity_pipeline": _ENTITY_PIPELINE_SQL,
         "tokenize_docs": _TOKENIZE_SQL,
         "enrich_join": """
             SELECT l_orderkey, l_linenumber, l_quantity,

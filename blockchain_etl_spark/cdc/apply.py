@@ -56,21 +56,30 @@ def read_state(
     table: SnapshotTable,
     version: int | None = None,
     buckets: list[int] | None = None,
+    columns: list[str] | None = None,
 ) -> DataFrame:
     """Logical table state: tombstones filtered out. ``buckets`` prunes
     the read to the hash buckets of interest (point-lookup path: compute
     ``bucket_expr(key, n_buckets)`` for the keys you want and read only
-    those buckets' files)."""
+    those buckets' files); ``columns`` prunes the payload columns BELOW
+    the merge-on-read resolver, where Catalyst cannot (see
+    SnapshotTable.read)."""
     return (
-        table.read(version=version, buckets=buckets)
+        table.read(version=version, buckets=buckets, columns=columns)
         .filter(~F.col("deleted"))
         .drop("deleted")
     )
 
 
-def _valid_expr():
+def _valid_expr(df: DataFrame | None = None):
     # I/U payload contract: tokens present and n_tok == size(tokens).
-    # D rows carry no payload and are always "valid".
+    # D rows carry no payload and are always "valid". The contract is
+    # schema-aware: an event stream without the docs payload (derived
+    # entities carry their own columns — see streaming/pipeline.py) has
+    # no length invariant to check, so everything passes; entity-specific
+    # contracts go through CdcEngine(valid_expr=...).
+    if df is not None and not {"tokens", "n_tok"} <= set(df.columns):
+        return F.lit(True)
     return (F.col("op") == "D") | (
         F.col("tokens").isNotNull() & (F.col("n_tok") == F.size("tokens"))
     )
@@ -170,6 +179,7 @@ class CdcEngine:
         mode: str = "mor",
         compact_delta_threshold: int = 16,
         dlq_path: str | None = None,
+        valid_expr=None,
     ):
         self.spark = spark
         self.table = table
@@ -180,9 +190,15 @@ class CdcEngine:
         # dead-letter queue for rejected events (≙ skip-and-save,
         # blockchainetl/streaming/streamer_jsonl_skiper.py + env.py:43-45)
         self.dlq_path = dlq_path
+        # optional entity-specific payload contract (Column); None =
+        # schema-aware default (_valid_expr)
+        self.valid_expr = valid_expr
 
     def read_state(self, version: int | None = None) -> DataFrame:
         return read_state(self.table, version=version)
+
+    def _valid(self, df: DataFrame):
+        return self.valid_expr if self.valid_expr is not None else _valid_expr(df)
 
     # ------------------------------------------------------------------ api
     def apply_epoch(
@@ -333,7 +349,7 @@ class CdcEngine:
             obs = Observation()
             batch_events = batch_events.observe(
                 obs,
-                F.sum(F.when(~_valid_expr(), 1).otherwise(0)).alias("n_rejected"),
+                F.sum(F.when(~self._valid(batch_events), 1).otherwise(0)).alias("n_rejected"),
                 F.count(F.lit(1)).alias("n_batch"),
             )
         if self.dlq_path is not None:
@@ -341,10 +357,10 @@ class CdcEngine:
             # repairable upstream and auditable (skip-and-save semantics)
             import os as _os
 
-            batch_events.filter(~_valid_expr()).write.mode("overwrite").parquet(
+            batch_events.filter(~self._valid(batch_events)).write.mode("overwrite").parquet(
                 _os.path.join(self.dlq_path, f"epoch-{epoch_id:08d}")
             )
-        valid = batch_events.filter(_valid_expr())
+        valid = batch_events.filter(self._valid(batch_events))
 
         # --- last-writer per key, then merge ------------------------------
         ups = dedup_last_writer(valid)

@@ -132,10 +132,16 @@ class CascadeTailer:
 
     _CURSOR_KEY = "cascade_to_version"
 
-    def __init__(self, src_table, dst_engine, cursor_path: str):
+    def __init__(self, src_table, dst_engine, cursor_path: str, transform=None):
+        """``transform(changes_df, src_table, v0, v1) -> events_df`` maps
+        the upstream change rows to the DESTINATION entity's change-log
+        (derived entities: projections, filtered replicas, incremental
+        grouped aggregates — see streaming/pipeline.py). None = identity
+        replica via :func:`changes_to_events`."""
         self.src = src_table
         self.engine = dst_engine
         self.cursor_path = cursor_path
+        self.transform = transform
 
     def _file_cursor(self) -> int:
         """Fast-path cursor, valid only if it provably belongs to the
@@ -195,7 +201,11 @@ class CascadeTailer:
         v1 = self.src.current_version()
         if v1 <= v0:
             return None
-        ev = changes_to_events(self.src.read_changes(v0, v1))
+        changes = self.src.read_changes(v0, v1)
+        if self.transform is not None:
+            ev = self.transform(changes, self.src, v0, v1)
+        else:
+            ev = changes_to_events(changes)
         # epoch id = hash of the upstream range: stable across redelivery
         # (exactly-once still holds) and collision-free against the small
         # sequential ids the ledger may already hold from this table's

@@ -227,8 +227,19 @@ class SnapshotTable:
         buckets: list[int] | None = None,
         resolve: bool = True,
         min_lsn_exclusive: int | None = None,
+        columns: list[str] | None = None,
     ) -> DataFrame:
         """Read a snapshot, optionally pruned to a set of buckets.
+
+        ``columns`` projects the PAYLOAD columns before merge-on-read
+        resolution. Without it the resolver's ``max(struct(...))``
+        carries every payload column, which defeats Catalyst's column
+        pruning at the scan (nested fields inside an aggregated struct
+        are opaque to the pruner) — a wide table would be read in full
+        for a two-column consumer. The projection is winner-safe: the
+        last-writer winner is decided by (lsn, seq, updated_epoch),
+        which are always carried. Key and bookkeeping columns are
+        implicit; order is the table schema's.
 
         ``min_lsn_exclusive`` additionally skips files whose zone map
         proves every row has lsn <= the bound (files without stats are
@@ -289,6 +300,12 @@ class SnapshotTable:
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
+        if columns is not None:
+            must = {m.key, "lsn", "seq", "updated_epoch", "deleted"}
+            keep = [
+                f.name for f in cur.fields if f.name in must or f.name in set(columns)
+            ]
+            out = out.select(keep)
         if has_delta and resolve:
             out = self._resolve_last_writer(out, m)
         return out
