@@ -484,9 +484,20 @@ class CdcEngine:
             metrics["n_stale"] = 0
         dcounts = self.table.delta_file_counts()
         metrics["n_buckets_touched"] = len(dcounts)
-        if dcounts and max(dcounts.values()) >= self.compact_delta_threshold:
-            self.table.compact()
+        # per-BUCKET compaction policy: only buckets whose delta count
+        # crossed the threshold are folded. Compacting every
+        # delta-bearing bucket whenever one hot bucket crosses (the old
+        # policy) rewrites cold buckets' base files over and over — under
+        # hot-key skew that is write amplification proportional to table
+        # size, not to the hot set. Read amplification stays bounded:
+        # no bucket is ever read through more than threshold delta files.
+        over = sorted(
+            b for b, c in dcounts.items() if c >= self.compact_delta_threshold
+        )
+        if over:
+            self.table.compact(buckets=over)
             metrics["compacted"] = True
+            metrics["compacted_buckets"] = over
         return metrics
 
     # ------------------------------------------------- copy-on-write merge

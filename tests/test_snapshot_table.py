@@ -226,3 +226,53 @@ def test_utxo_enrich_merge_over_snapshot(spark, tmp_table_dir):
     carried = {p for p, bk in before_files.items() if bk not in touched}
     assert carried <= set(after)
     assert t.current_version() == v0 + 1 and 1 in t.manifest().applied_epochs
+
+
+def test_per_bucket_compaction_bounds_read_amplification(spark, tmp_path):
+    """Long skewed epoch sequence: the hot bucket compacts when IT
+    crosses the threshold; cold buckets are never rewritten along with
+    it (write amplification ∝ hot set, not table size), and no bucket
+    is ever readable through more than `threshold` delta files (bounded
+    read amplification). State stays oracle-correct throughout."""
+    from blockchain_etl_spark.cdc.apply import CdcEngine, read_state
+    from blockchain_etl_spark.cdc.generator import events_to_df
+    from blockchain_etl_spark.cdc.schema import TARGET_SCHEMA
+    from blockchain_etl_spark.tables.snapshot import SnapshotTable, bucket_expr
+
+    t = SnapshotTable.create(spark, str(tmp_path / "t"), TARGET_SCHEMA, n_buckets=4)
+    thresh = 4
+    eng = CdcEngine(spark, t, collect_metrics=False, mode="mor",
+                    compact_delta_threshold=thresh)
+
+    # find doc ids for a hot bucket and a cold bucket
+    probe = spark.createDataFrame(
+        [(f"d{i}",) for i in range(64)], "doc_id string"
+    ).select("doc_id", bucket_expr("doc_id", 4).alias("b")).collect()
+    by_bucket = {}
+    for r in probe:
+        by_bucket.setdefault(r["b"], []).append(r["doc_id"])
+    hot, cold = by_bucket[0][0], by_bucket[1][0]
+
+    compactions = []
+    for i in range(1, 3 * thresh + 1):
+        rows = [dict(stream_pos=10 * i, lsn=i, seq=0, op="U", doc_id=hot,
+                     tokens=[i], n_tok=1, source="h",
+                     rollback_to_lsn=None, epoch_hash=f"e{i}")]
+        if i == 1:  # cold bucket written ONCE, then left alone
+            rows.append(dict(stream_pos=10 * i + 1, lsn=i, seq=1, op="I",
+                             doc_id=cold, tokens=[0], n_tok=1, source="c",
+                             rollback_to_lsn=None, epoch_hash=f"e{i}c"))
+        m = eng.apply_epoch(events_to_df(spark, rows), epoch_id=i)
+        if m.get("compacted"):
+            compactions.append(m["compacted_buckets"])
+        # bounded read amplification at EVERY point in the sequence
+        dc = t.delta_file_counts()
+        assert all(c <= thresh for c in dc.values()), dc
+
+    assert compactions, "threshold never triggered"
+    # the cold bucket's delta was folded only if IT crossed — it never did
+    cold_bucket = 1
+    assert all(cold_bucket not in bs for bs in compactions), compactions
+
+    got = {r["doc_id"]: r["tokens"] for r in read_state(t).collect()}
+    assert got == {hot: [3 * thresh], cold: [0]}
