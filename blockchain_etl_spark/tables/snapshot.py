@@ -756,6 +756,38 @@ class SnapshotTable:
             .withColumn("_to_version", F.lit(v1))
         )
 
+    def read_changes_per_commit(
+        self,
+        from_version: int,
+        to_version: int | None = None,
+        diff_ignore: tuple[str, ...] = ("updated_epoch",),
+    ) -> DataFrame:
+        """Per-commit change attribution: the union of adjacent-version
+        diffs across the range, each row stamped with its own
+        ``(_from_version, _to_version)`` step. Unlike ``read_changes``,
+        a key inserted-then-deleted inside the range shows BOTH events —
+        this is the audit/history view (Delta CDF's per-version rows),
+        where ``read_changes`` is the state-sync view (net diff).
+
+        Pure-compaction commits are recognized as logically empty and
+        skipped without a data read. Scale: each step's diff is pruned
+        to ITS changed buckets, so a quiet commit costs only its own
+        touched slice; the union is a lazy single plan — K commits is K
+        bucket-pruned joins, not K table scans."""
+        v1 = self.current_version() if to_version is None else to_version
+        steps = [v for v in self.versions() if from_version <= v <= v1]
+        parts: list[DataFrame] = []
+        for a, b in zip(steps, steps[1:]):
+            if "compaction" in self.manifest(b).lineage:
+                continue
+            parts.append(self.read_changes(a, b, diff_ignore=diff_ignore))
+        if not parts:
+            return self.read_changes(from_version, v1, diff_ignore=diff_ignore).limit(0)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
     def read_since_lsn(self, lsn: int) -> DataFrame:
         """Every row last written after WAL position ``lsn`` — upserts
         AND tombstones (``deleted = true`` rows are the deletions), the

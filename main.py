@@ -118,6 +118,10 @@ def main(argv=None):
     sp.add_argument("--out", default=None,
                     help="write the change rows to this parquet dir "
                     "(default: print to stdout)")
+    sp.add_argument("--per-commit", action="store_true",
+                    help="audit view: one diff per commit in the range "
+                    "(insert-then-delete shows both), instead of the "
+                    "net state-sync diff")
 
     args = p.parse_args(argv)
 
@@ -257,9 +261,14 @@ def main(argv=None):
         if args.from_version is None:
             raise SystemExit("changes: --from-version or --since-lsn required")
         changed = table.changed_buckets(args.from_version, args.to_version)
-        ch = table.read_changes(
-            args.from_version, args.to_version, buckets=changed
-        ).persist()
+        if args.per_commit:
+            ch = table.read_changes_per_commit(
+                args.from_version, args.to_version
+            ).persist()
+        else:
+            ch = table.read_changes(
+                args.from_version, args.to_version, buckets=changed
+            ).persist()
         if args.out:
             ch.write.mode("overwrite").parquet(args.out)
         else:

@@ -218,3 +218,45 @@ def test_read_since_lsn_exact_and_pruned(spark, tmp_table_dir):
     # base files entirely and reads only the 4 delta rows
     raw = t.read(resolve=False, min_lsn_exclusive=4)
     assert raw.count() == 4
+
+
+def test_read_changes_per_commit_attributes_each_step(spark, tmp_path):
+    """Audit view vs state-sync view: insert-then-delete inside the
+    range nets to NOTHING in read_changes but shows both steps in
+    read_changes_per_commit, each stamped with its own version pair;
+    compaction commits are skipped as logically empty."""
+    from blockchain_etl_spark.cdc.apply import CdcEngine
+    from blockchain_etl_spark.cdc.generator import events_to_df
+    from blockchain_etl_spark.cdc.schema import TARGET_SCHEMA
+    from blockchain_etl_spark.tables.snapshot import SnapshotTable
+
+    t = SnapshotTable.create(spark, str(tmp_path / "t"), TARGET_SCHEMA, n_buckets=4)
+    eng = CdcEngine(spark, t, collect_metrics=False, mode="mor")
+    v0 = t.current_version()
+
+    def ev(lsn, op, doc, tok):
+        return dict(stream_pos=lsn, lsn=lsn, seq=0, op=op, doc_id=doc,
+                    tokens=None if op == "D" else [tok],
+                    n_tok=None if op == "D" else 1, source="s",
+                    rollback_to_lsn=None, epoch_hash=f"e{lsn}")
+
+    eng.apply_epoch(events_to_df(spark, [ev(1, "I", "x", 1)]), epoch_id=1)
+    eng.apply_epoch(events_to_df(spark, [ev(2, "D", "x", 0)]), epoch_id=2)
+    t.compact()
+    eng.apply_epoch(events_to_df(spark, [ev(3, "I", "y", 3)]), epoch_id=3)
+    v1 = t.current_version()
+
+    # net view: x vanished entirely
+    net = {(r["_change_type"], r["doc_id"]) for r in t.read_changes(v0, v1).collect()}
+    assert net == {("insert", "y")}
+
+    rows = t.read_changes_per_commit(v0, v1).collect()
+    got = sorted(
+        (r["_change_type"], r["doc_id"], r["_from_version"], r["_to_version"])
+        for r in rows
+    )
+    assert got == [
+        ("delete", "x", v0 + 1, v0 + 2),
+        ("insert", "x", v0, v0 + 1),
+        ("insert", "y", v0 + 3, v0 + 4),
+    ]
