@@ -69,6 +69,9 @@ HEADLINE_QUERIES = [
     "sequence_packing",
     "ngram_decontaminate",
     "corpus_prepare",
+    # round 4
+    "track_frontier",
+    "entity_pipeline",
 ]
 
 
