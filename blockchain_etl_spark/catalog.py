@@ -2123,6 +2123,122 @@ def _contract_classify_sql() -> str:
     """
 
 
+def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub over the corpus: emails and phone-like digit groups
+    replaced by typed placeholders, per-doc removal counts as the audit
+    signal. The synthetic corpus carries no natural PII, so a
+    deterministic contact line (derived from doc_id, identically in the
+    oracle) is appended first — the regex engines, not the data, are
+    what the gate checks. Pure regexp projections, zero shuffle."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    t = F.concat(
+        F.col("text"),
+        F.lit(" contact doc"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or 555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    cols = X.redact_pii(t)
+    return d.select(
+        "doc_id",
+        cols["n_emails"].alias("n_emails"),
+        cols["n_phones"].alias("n_phones"),
+        F.md5(cols["redacted"]).alias("redacted_md5"),
+    )
+
+
+_PII_REDACT_SQL = f"""
+WITH t AS (
+  SELECT doc_id,
+         text || ' contact doc' || doc_id::VARCHAR || '@example.com or 555-'
+              || lpad((doc_id % 10000)::VARCHAR, 4, '0') AS t
+  FROM documents
+)
+SELECT doc_id,
+       len(regexp_extract_all(t, '{X.EMAIL_RE}'))::INT AS n_emails,
+       len(regexp_extract_all(t, '{X.PHONE_RE}'))::INT AS n_phones,
+       md5(regexp_replace(regexp_replace(t, '{X.EMAIL_RE}', '<EMAIL>', 'g'),
+                          '{X.PHONE_RE}', '<PHONE>', 'g')) AS redacted_md5
+FROM t
+"""
+
+
+_SAMPLE_RATES = {"src0": 0.9, "src1": 0.5, "src2": 0.25}
+_SAMPLE_DEFAULT = 0.05
+
+
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-source corpus sampling (hash-threshold
+    Bernoulli): source weighting for corpus assembly with reproducible
+    membership — no rand(), no shuffle, and unlisted sources fall to a
+    default rate. See operators/sampling.py for the scale notes."""
+    from blockchain_etl_spark.operators.sampling import stratified_sample as ss
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return ss(d, _SAMPLE_RATES, default_rate=_SAMPLE_DEFAULT).select(
+        "doc_id", "source"
+    )
+
+
+def _sample_sql() -> str:
+    whens = "\n         ".join(
+        f"WHEN '{s}' THEN {int(r * 10000)}" for s, r in sorted(_SAMPLE_RATES.items())
+    )
+    return f"""
+SELECT doc_id, source FROM documents
+WHERE ('0x' || substr(md5('samp' || doc_id::VARCHAR), 1, 8))::BIGINT % 10000
+    < CASE source {whens} ELSE {int(_SAMPLE_DEFAULT * 10000)} END
+"""
+
+
+def kmeans_refine_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.kmeans_refine(spark, sf_dir)
+
+
+_KMEANS_SQL = f"""
+WITH e AS (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[], x -> floor(x * 1000000)::BIGINT) AS iv
+  FROM embeddings
+),
+seeds AS (
+  SELECT vec_id - {similarity.KM_SEED_BASE} AS cid, iv AS siv
+  FROM e WHERE vec_id >= {similarity.KM_SEED_BASE}
+    AND vec_id < {similarity.KM_SEED_BASE + similarity.KM_K}
+),
+sa AS (
+  SELECT e.vec_id, e.iv, seeds.cid,
+         list_sum(list_transform(generate_series(1, len(e.iv)),
+                                 i -> e.iv[i] * seeds.siv[i]))::BIGINT AS d
+  FROM e CROSS JOIN seeds
+),
+a1 AS (
+  SELECT vec_id, iv, cid AS cid1 FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cid) AS rk
+    FROM sa) WHERE rk = 1
+),
+sums AS (
+  SELECT cid1, i AS pos, sum(iv[i])::BIGINT AS s
+  FROM a1, unnest(generate_series(1, len(iv))) AS t(i)
+  GROUP BY cid1, i
+),
+cent AS (
+  SELECT cid1 AS cid, list(s ORDER BY pos) AS csum FROM sums GROUP BY cid1
+),
+cnt AS (SELECT cid1 AS cid, count(*) AS n FROM a1 GROUP BY cid1),
+sa2 AS (
+  SELECT a1.vec_id, a1.cid1, c.cid,
+         list_sum(list_transform(generate_series(1, len(a1.iv)),
+                                 i -> a1.iv[i] * c.csum[i]))::BIGINT::DOUBLE
+           / cnt.n AS d2
+  FROM a1 CROSS JOIN cent c JOIN cnt ON cnt.cid = c.cid
+)
+SELECT vec_id, cid1, cid AS cid2 FROM (
+  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2 DESC, cid) AS rk
+  FROM sa2) WHERE rk = 1
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -2150,13 +2266,14 @@ QUERIES: dict[str, callable] = {
     "binary_features": multimodal.binary_features,
     "frame_sample": multimodal.frame_sample,
     "resize_bytes": multimodal.resize_bytes,
+    # new in r4: clustering / scrub / sampling
+    "kmeans_refine": kmeans_refine_q,
+    "pii_redact": pii_redact,
+    "stratified_sample": stratified_sample,
     # relational parity (SURVEY §2.5-2.8)
-    "enrich_join": relational.enrich_join,
     "broadcast_dim_join": relational.broadcast_dim_join,
-    "missing_anti_join": relational.missing_anti_join,
     "join_mismatch_diagnostics": relational.join_mismatch_diagnostics,
     "full_outer_sendrecv": relational.full_outer_sendrecv,
-    "prev_event_join": relational.prev_event_join,
     "holder_detail_agg": relational.holder_detail_agg,
     "dedup_checker_invariant": relational.dedup_checker_invariant,
     "incremental_source_stats": relational.incremental_source_stats,
@@ -2189,6 +2306,9 @@ QUERIES: dict[str, callable] = {
     "repetition_ratio": repetition_ratio,
     "corpus_prepare": corpus_prepare,
     # ---- tail: driver-green 2+ rounds; local parity suite still covers ----
+    "enrich_join": relational.enrich_join,
+    "missing_anti_join": relational.missing_anti_join,
+    "prev_event_join": relational.prev_event_join,
     "tpch_q1": relational.tpch_q1,
     "partition_rank": relational.partition_rank,
     "topk_per_group": relational.topk_per_group,
@@ -2416,6 +2536,9 @@ def oracle_sqls() -> dict[str, str]:
         "track_frontier": _TRACK_FRONTIER_SQL,
         "windowed_stream_counts": _WINDOWED_STREAM_SQL,
         "stream_dedup": _STREAM_DEDUP_SQL,
+        "kmeans_refine": _KMEANS_SQL,
+        "pii_redact": _PII_REDACT_SQL,
+        "stratified_sample": _sample_sql(),
         "explode_tokens": _EXPLODE_TOKENS_SQL,
         "decimal_vsum": _DECIMAL_VSUM_SQL,
         "log_transfer_extract": _LOG_TRANSFER_SQL,

@@ -283,3 +283,30 @@ def repetition_stats(text: Column | str, k: int = 2) -> list[Column]:
         F.size(g).alias("n_grams"),
         F.size(F.array_distinct(g)).alias("n_distinct"),
     ]
+
+
+# ---------------------------------------------------------------- PII scrub
+# Patterns restricted to syntax Java regex and RE2 (DuckDB) parse
+# identically, so the redaction is oracle-reproducible.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\b[0-9]{3}-[0-9]{4}\b"
+
+
+def redact_pii(text: Column | str) -> dict[str, Column]:
+    """Training-corpus PII scrub: replace email addresses and phone-like
+    digit groups with typed placeholders, and count what was removed
+    (the per-doc counts are the audit signal corpus reports aggregate).
+
+    Pure regexp column expressions — codegen'd, zero shuffle, linear in
+    text bytes; exactly the shape a 100 TB scrub pass needs (the regex
+    set extends per policy; each added pattern is one more
+    ``regexp_replace`` in the same projection)."""
+    t = F.col(text) if isinstance(text, str) else text
+    red = F.regexp_replace(
+        F.regexp_replace(t, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
+    )
+    return {
+        "n_emails": F.size(F.regexp_extract_all(t, F.lit(EMAIL_RE), 0)),
+        "n_phones": F.size(F.regexp_extract_all(t, F.lit(PHONE_RE), 0)),
+        "redacted": red,
+    }

@@ -294,3 +294,83 @@ def ann_ivf_topk(
         .filter(F.col("rk") <= k)
         .select("query_id", "neighbor_id", "sim", "rk")
     )
+
+
+KM_K = 8
+KM_SEED_BASE = 100  # corpus rows used as deterministic initial centroids
+
+
+def kmeans_refine(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = KM_K,
+) -> DataFrame:
+    """One full Lloyd refinement round of k-means over the embedding
+    corpus — the clustering primitive under corpus bucketing / topic
+    balancing in training-data pipelines (and the iterative half of the
+    IVF index build: assignment + centroid recompute).
+
+    Determinism contract (what makes an iterative float algorithm
+    oracle-checkable): vectors are fixed-point quantized (floor(x·10^6)
+    as int64), so (1) round-1 assignment dots are EXACT integers,
+    (2) centroid accumulation is an INTEGER element-wise sum — immune to
+    float summation order across partitions, (3) round-2 scores divide
+    that exact integer dot by the exact member count as one IEEE double
+    op, identical in any engine. Ties break on centroid id.
+
+    Scale shape: round-1 assignment is broadcast(seeds)×corpus with a
+    map-side-combined ``max_by`` (the IVF assignment path); centroid
+    recompute is posexplode → (cid, dim) partial-agg sum — 64·n rows
+    into k·64, no collect; round 2 re-broadcasts k centroids. Per Lloyd
+    iteration: two shuffles, both map-side combined. More rounds loop
+    the same two stages."""
+    from pyspark.sql import Window
+
+    e = _emb(spark, sf_dir).select(
+        "vec_id", V.int_embedding("embedding").alias("iv")
+    )
+    seeds = F.broadcast(
+        e.filter(
+            (F.col("vec_id") >= KM_SEED_BASE) & (F.col("vec_id") < KM_SEED_BASE + k)
+        ).select((F.col("vec_id") - KM_SEED_BASE).alias("cid"), F.col("iv").alias("siv"))
+    )
+    # round 1: exact-integer argmax assignment, map-side combined
+    a1 = (
+        e.crossJoin(seeds)
+        .select("vec_id", "iv", "cid", V.idot("iv", "siv").alias("d"))
+        .groupBy("vec_id")
+        .agg(
+            F.max_by(
+                F.struct("iv", "cid"), F.struct(F.col("d"), (-F.col("cid")).alias("nc"))
+            ).alias("b")
+        )
+        .select("vec_id", F.col("b.iv").alias("iv"), F.col("b.cid").alias("cid1"))
+    )
+    # centroid recompute: exact integer element-wise sums + member counts
+    sums = (
+        a1.select("cid1", F.posexplode("iv").alias("pos", "v"))
+        .groupBy("cid1", "pos")
+        .agg(F.sum("v").alias("s"))
+        .groupBy("cid1")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "s"))), lambda x: x["s"]
+            ).alias("csum"),
+        )
+    )
+    counts = a1.groupBy("cid1").agg(F.count("*").alias("n"))
+    cent = F.broadcast(
+        sums.join(counts, "cid1").select(
+            F.col("cid1").alias("cid"), "csum", "n"
+        )
+    )
+    # round 2: exact int dot / exact count — one IEEE double division
+    d2 = V.idot("iv", "csum").cast("double") / F.col("n")
+    w = Window.partitionBy("vec_id").orderBy(F.desc("d2"), F.asc("cid"))
+    return (
+        a1.crossJoin(cent)
+        .select("vec_id", "cid1", "cid", d2.alias("d2"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "cid1", F.col("cid").alias("cid2"))
+    )

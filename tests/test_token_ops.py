@@ -121,3 +121,32 @@ def test_pack_sequences_parallelism_independent_of_sources(spark):
     assert "rangepartitioning" in plan.lower()
     # the cumsum window keys on (part, range id), never on part alone
     assert "_rid" in plan
+
+
+def test_stratified_sample_deterministic_and_rate_accurate(spark):
+    import pytest
+
+    from blockchain_etl_spark.operators.sampling import stratified_sample
+
+    df = spark.createDataFrame(
+        [(i, "a" if i % 2 else "b") for i in range(4000)],
+        "doc_id long, source string",
+    )
+    rates = {"a": 0.5, "b": 0.1}
+    s1 = stratified_sample(df, rates, default_rate=0.0)
+    got = {r["source"]: r["n"] for r in
+           s1.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    # hash-threshold sampling: realized fraction within a few % of rate
+    assert abs(got["a"] / 2000 - 0.5) < 0.05
+    assert abs(got["b"] / 2000 - 0.1) < 0.05
+    # exactly reproducible (no rand): a second run picks the SAME rows
+    assert sorted(r["doc_id"] for r in s1.collect()) == sorted(
+        r["doc_id"] for r in stratified_sample(df, rates).collect()
+    )
+    # unlisted stratum honors default_rate
+    df2 = spark.createDataFrame([(i, "zz") for i in range(100)],
+                                "doc_id long, source string")
+    assert stratified_sample(df2, rates, default_rate=1.0).count() == 100
+    assert stratified_sample(df2, rates, default_rate=0.0).count() == 0
+    with pytest.raises(ValueError, match="outside"):
+        stratified_sample(df, {"a": 1.5})
