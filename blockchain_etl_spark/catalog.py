@@ -2239,6 +2239,46 @@ SELECT vec_id, cid1, cid AS cid2 FROM (
 """
 
 
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster assignment: MinHash-LSH candidate pairs →
+    connected components by hash-min label propagation → every sampled
+    doc labeled with its duplicate-cluster canonical id (min reachable
+    doc id; singletons label themselves). The cluster step that turns
+    pairwise dedup output into "keep one per cluster". Oracle twin: a
+    recursive-CTE transitive closure with MIN over the reachable set —
+    the same fixpoint the propagation converges to."""
+    from blockchain_etl_spark.operators.dedup import connected_components
+
+    pairs = dedup.minhash_lsh_pairs(spark, sf_dir)
+    nodes = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.col("doc_id") % 5 == 0)
+        .select(F.col("doc_id").alias("node"))
+    )
+    return connected_components(pairs, nodes=nodes).select(
+        F.col("node").alias("doc_id"), F.col("label").alias("component")
+    )
+
+
+def _dedup_components_sql(num_hashes: int = 8, bands: int = 4, sample_mod: int = 5) -> str:
+    return f"""
+WITH RECURSIVE {_minhash_banded_cte(num_hashes, bands, sample_mod)},
+pairs AS (
+  SELECT a.doc_id AS a, b.doc_id AS b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+esym AS (SELECT a AS x, b AS y FROM pairs UNION SELECT b, a FROM pairs),
+reach(node, r) AS (
+  SELECT doc_id, doc_id FROM documents WHERE doc_id % {sample_mod} = 0
+  UNION
+  SELECT e.x, reach.r FROM reach JOIN esym e ON e.y = reach.node
+)
+SELECT node AS doc_id, min(r) AS component FROM reach GROUP BY node
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -2268,11 +2308,11 @@ QUERIES: dict[str, callable] = {
     "resize_bytes": multimodal.resize_bytes,
     # new in r4: clustering / scrub / sampling
     "kmeans_refine": kmeans_refine_q,
+    "dedup_components": dedup_components,
     "pii_redact": pii_redact,
     "stratified_sample": stratified_sample,
     # relational parity (SURVEY §2.5-2.8)
     "broadcast_dim_join": relational.broadcast_dim_join,
-    "join_mismatch_diagnostics": relational.join_mismatch_diagnostics,
     "full_outer_sendrecv": relational.full_outer_sendrecv,
     "holder_detail_agg": relational.holder_detail_agg,
     "dedup_checker_invariant": relational.dedup_checker_invariant,
@@ -2306,6 +2346,7 @@ QUERIES: dict[str, callable] = {
     "repetition_ratio": repetition_ratio,
     "corpus_prepare": corpus_prepare,
     # ---- tail: driver-green 2+ rounds; local parity suite still covers ----
+    "join_mismatch_diagnostics": relational.join_mismatch_diagnostics,
     "enrich_join": relational.enrich_join,
     "missing_anti_join": relational.missing_anti_join,
     "prev_event_join": relational.prev_event_join,
@@ -2537,6 +2578,7 @@ def oracle_sqls() -> dict[str, str]:
         "windowed_stream_counts": _WINDOWED_STREAM_SQL,
         "stream_dedup": _STREAM_DEDUP_SQL,
         "kmeans_refine": _KMEANS_SQL,
+        "dedup_components": _dedup_components_sql(),
         "pii_redact": _PII_REDACT_SQL,
         "stratified_sample": _sample_sql(),
         "explode_tokens": _EXPLODE_TOKENS_SQL,

@@ -368,3 +368,59 @@ def decontaminate(
         .agg(F.count("*").alias("n_contaminated"))
         .filter(F.col("n_contaminated") >= min_hits)
     )
+
+
+def connected_components(
+    edges: DataFrame,
+    nodes: DataFrame | None = None,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iters: int = 25,
+) -> DataFrame:
+    """Connected components by hash-min label propagation — the cluster
+    step of near-duplicate dedup (candidate pairs → duplicate CLUSTERS →
+    keep one canonical doc per cluster; the canonical id IS the
+    component label, the min doc id reachable).
+
+    Each iteration: every node takes the min of its own label and its
+    neighbors' — one hash join + one map-side-combined min aggregation —
+    and converges in O(component diameter) rounds (near-dup components
+    are shallow: dozens of docs sharing content, not long chains; the
+    large-star/small-star transform halves rounds if diameter ever
+    matters). Per-round lineage is truncated with localCheckpoint so the
+    plan stays O(1) deep regardless of rounds; the convergence probe is
+    a limit(1) count — bounded driver work, not a data collect.
+
+    Deterministic: the min-label fixpoint is unique, independent of
+    execution order."""
+    e = edges.select(F.col(src).alias("x"), F.col(dst).alias("y"))
+    e = e.unionByName(
+        e.select(F.col("y").alias("x"), F.col("x").alias("y"))
+    ).distinct()
+    if nodes is None:
+        nodes = e.select(F.col("x").alias("node")).distinct()
+    labels = nodes.select("node", F.col("node").alias("label"))
+    e = e.localCheckpoint(eager=True)  # reused every round — read once
+    labels = labels.localCheckpoint(eager=True)
+    for _ in range(max_iters):
+        msgs = e.withColumnRenamed("y", "node").join(
+            labels.withColumnRenamed("node", "x").withColumnRenamed("label", "nlabel"),
+            "x",
+        ).select("node", F.col("nlabel").alias("label"))
+        new = (
+            labels.unionByName(msgs)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels

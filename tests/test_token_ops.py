@@ -150,3 +150,18 @@ def test_stratified_sample_deterministic_and_rate_accurate(spark):
     assert stratified_sample(df2, rates, default_rate=0.0).count() == 0
     with pytest.raises(ValueError, match="outside"):
         stratified_sample(df, {"a": 1.5})
+
+
+def test_connected_components_chain_and_singleton(spark):
+    from blockchain_etl_spark.operators.dedup import connected_components
+
+    # chain 1-2-3-4 (diameter 3 → multiple propagation rounds), pair 7-8,
+    # singleton 9 via explicit node set
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (7, 8)], "doc_a long, doc_b long"
+    )
+    nodes = spark.createDataFrame([(i,) for i in [1, 2, 3, 4, 7, 8, 9]],
+                                  "node long")
+    got = {r["node"]: r["label"]
+           for r in connected_components(edges, nodes=nodes).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 7: 7, 8: 7, 9: 9}
