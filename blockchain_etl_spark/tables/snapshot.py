@@ -522,6 +522,87 @@ class SnapshotTable:
         self._write_manifest(new)
         return new.version
 
+    def rebucket(self, n_buckets: int) -> int:
+        """Bucket-layout evolution: rewrite the table into ``n_buckets``
+        hash buckets (a table sized for 10^8 keys needs more buckets at
+        10^10 — bucket count bounds per-bucket file size, point-lookup
+        read width, and compaction unit). One full rewrite commit;
+        tombstones and (lsn, seq) guards are preserved, so the table's
+        CDC contract is unchanged. The commit is logically empty:
+        per-commit change readers skip it, and ranged ``read_changes``
+        spanning it falls back to an unpruned diff (bucket ids mean
+        different key sets on the two sides of the layout change)."""
+        m = self.manifest()
+        if n_buckets == m.n_buckets:
+            return m.version
+        full = self.read(resolve=True)  # keep tombstone rows
+        entries = self._write_data(full, n_buckets, m.key)
+        for e in entries:
+            e["schema_version"] = m.schema_version
+            e["kind"] = "base"
+        new = Manifest(
+            version=m.version + 1,
+            key=m.key,
+            n_buckets=n_buckets,
+            schema_version=m.schema_version,
+            schemas=m.schemas,
+            files=entries,
+            watermark=m.watermark,
+            applied_epochs=m.applied_epochs,
+            parent=m.version,
+            lineage={"rebucket": {"from": m.n_buckets, "to": n_buckets}},
+        )
+        self._write_manifest(new)
+        return new.version
+
+    def clone_at(self, dst_path: str, version: int | None = None) -> "SnapshotTable":
+        """Zero-copy clone of the table at a version — the dev/backfill
+        branch primitive (Delta shallow clone / Iceberg snapshot ref).
+
+        Data files are HARDLINKED (the local-filesystem equivalent of a
+        manifest-reference clone on object storage: no data copied, one
+        metadata op per file). Links make the clone durable against the
+        source's lifecycle: source compaction/vacuum unlinks only the
+        source's name — the clone's link keeps the bytes — so there is
+        no "don't vacuum below the clone" coupling. The clone starts at
+        version 0 with its own TABLE_ID and carries the source's
+        applied-epoch ledger and watermark, so an ingest stream resumed
+        against the clone keeps exactly-once semantics."""
+        m = self.manifest(version)
+        os.makedirs(os.path.join(dst_path, "data"), exist_ok=True)
+        os.makedirs(os.path.join(dst_path, "manifests"), exist_ok=True)
+        for f in m.files:
+            src = os.path.join(self.path, f["path"])
+            dst = os.path.join(dst_path, f["path"])
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            try:
+                os.link(src, dst)
+            except OSError:  # cross-device — fall back to copy
+                import shutil
+
+                shutil.copy2(src, dst)
+        t = SnapshotTable(self.spark, dst_path)
+        new = Manifest(
+            version=0,
+            key=m.key,
+            n_buckets=m.n_buckets,
+            schema_version=m.schema_version,
+            schemas=m.schemas,
+            files=[dict(f) for f in m.files],
+            watermark=m.watermark,
+            applied_epochs=m.applied_epochs,
+            parent=None,
+            lineage={"cloned_from": self.path, "source_version": m.version},
+        )
+        t._write_manifest(new)
+        uid_tmp = os.path.join(dst_path, "manifests", f"TABLE_ID.tmp-{uuid.uuid4().hex}")
+        with open(uid_tmp, "w") as f2:
+            f2.write(uuid.uuid4().hex)
+            f2.flush()
+            os.fsync(f2.fileno())
+        os.replace(uid_tmp, os.path.join(dst_path, "manifests", "TABLE_ID"))
+        return t
+
     def rollback_to_version(self, version: int, lineage: dict[str, Any] | None = None) -> int:
         """Commit a new manifest pointing at an old snapshot (time travel).
 
@@ -612,6 +693,12 @@ class SnapshotTable:
                 m = self.manifest(v)
                 if "compaction" in m.lineage:
                     continue
+                if "rebucket" in m.lineage:
+                    # logically empty, but bucket ids MEAN different key
+                    # sets on the two sides of the layout change — a
+                    # bucket-pruned diff across it would compare
+                    # mismatched slices. Fall back to diff-everything.
+                    return None
                 parent = m.parent if m.parent is not None else v - 1
                 pfiles = {f["path"]: f for f in self.manifest(parent).files}
                 cfiles = {f["path"]: f for f in m.files}
@@ -778,8 +865,9 @@ class SnapshotTable:
         steps = [v for v in self.versions() if from_version <= v <= v1]
         parts: list[DataFrame] = []
         for a, b in zip(steps, steps[1:]):
-            if "compaction" in self.manifest(b).lineage:
-                continue
+            lin = self.manifest(b).lineage
+            if "compaction" in lin or "rebucket" in lin:
+                continue  # file rewrites with identical logical state
             parts.append(self.read_changes(a, b, diff_ignore=diff_ignore))
         if not parts:
             return self.read_changes(from_version, v1, diff_ignore=diff_ignore).limit(0)

@@ -90,6 +90,17 @@ def main(argv=None):
     sp = sub.add_parser("compact")
     sp.add_argument("--table", required=True)
 
+    sp = sub.add_parser("rebucket", help="bucket-layout evolution: rewrite "
+                        "into a new hash-bucket count")
+    sp.add_argument("--table", required=True)
+    sp.add_argument("--buckets", type=int, required=True)
+
+    sp = sub.add_parser("clone", help="zero-copy clone at a version "
+                        "(hardlinked data files, own identity+ledger)")
+    sp.add_argument("--table", required=True)
+    sp.add_argument("--dst", required=True)
+    sp.add_argument("--version", type=int, default=None)
+
     sp = sub.add_parser("vacuum")
     sp.add_argument("--table", required=True)
     sp.add_argument("--older-than-lsn", type=int, required=True)
@@ -233,6 +244,13 @@ def main(argv=None):
     if args.cmd == "compact":
         v = table.compact()
         print(json.dumps({"version": v}))
+    elif args.cmd == "rebucket":
+        v = table.rebucket(args.buckets)
+        print(json.dumps({"version": v, "buckets": args.buckets}))
+    elif args.cmd == "clone":
+        c = table.clone_at(args.dst, version=args.version)
+        print(json.dumps({"cloned": args.dst,
+                          "source_version": c.manifest().lineage["source_version"]}))
     elif args.cmd == "vacuum":
         v = table.vacuum_tombstones(args.older_than_lsn)
         print(json.dumps({"version": v}))

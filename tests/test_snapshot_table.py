@@ -276,3 +276,78 @@ def test_per_bucket_compaction_bounds_read_amplification(spark, tmp_path):
 
     got = {r["doc_id"]: r["tokens"] for r in read_state(t).collect()}
     assert got == {hot: [3 * thresh], cold: [0]}
+
+
+def _mk_events(spark, rows):
+    from blockchain_etl_spark.cdc.generator import events_to_df
+    return events_to_df(spark, rows)
+
+
+def test_rebucket_preserves_state_and_guards(spark, tmp_path):
+    from blockchain_etl_spark.cdc.apply import CdcEngine, read_state
+    from blockchain_etl_spark.cdc.schema import TARGET_SCHEMA
+    from blockchain_etl_spark.tables.snapshot import SnapshotTable
+
+    t = SnapshotTable.create(spark, str(tmp_path / "t"), TARGET_SCHEMA, n_buckets=2)
+    eng = CdcEngine(spark, t, collect_metrics=False, mode="mor")
+    ev = [dict(stream_pos=i, lsn=i, seq=0, op="I", doc_id=f"d{i}", tokens=[i],
+               n_tok=1, source="s", rollback_to_lsn=None, epoch_hash=f"e{i}")
+          for i in range(1, 30)]
+    ev.append(dict(stream_pos=99, lsn=99, seq=0, op="D", doc_id="d5",
+                   tokens=None, n_tok=None, source=None,
+                   rollback_to_lsn=None, epoch_hash="ed"))
+    eng.apply_epoch(_mk_events(spark, ev), epoch_id=0)
+    before = {r["doc_id"]: r["tokens"] for r in read_state(t).collect()}
+    v_pre = t.current_version()
+
+    v = t.rebucket(16)
+    assert t.manifest().n_buckets == 16
+    after = {r["doc_id"]: r["tokens"] for r in read_state(t).collect()}
+    assert after == before
+    # tombstone guard survived the rewrite: a stale replay of d5 still loses
+    eng.apply_epoch(_mk_events(spark, [
+        dict(stream_pos=3, lsn=3, seq=0, op="I", doc_id="d5", tokens=[3],
+             n_tok=1, source="s", rollback_to_lsn=None, epoch_hash="stale"),
+    ]), epoch_id=1)
+    assert "d5" not in {r["doc_id"] for r in read_state(t).collect()}
+    # the rebucket commit is logically empty for change readers
+    assert t.read_changes_per_commit(v_pre, v).count() == 0
+    # ranged diff across it falls back to unpruned (None) but stays correct
+    assert t.changed_buckets(v_pre, v) is None
+    assert t.read_changes(v_pre, v).count() == 0
+
+
+def test_clone_at_is_independent_of_source_lifecycle(spark, tmp_path):
+    from blockchain_etl_spark.cdc.apply import CdcEngine, read_state
+    from blockchain_etl_spark.cdc.schema import TARGET_SCHEMA
+    from blockchain_etl_spark.tables.snapshot import SnapshotTable
+
+    t = SnapshotTable.create(spark, str(tmp_path / "src"), TARGET_SCHEMA, n_buckets=4)
+    eng = CdcEngine(spark, t, collect_metrics=False, mode="mor")
+    def ins(lo, hi, epoch):
+        eng.apply_epoch(_mk_events(spark, [
+            dict(stream_pos=i, lsn=i, seq=0, op="I", doc_id=f"d{i}", tokens=[i],
+                 n_tok=1, source="s", rollback_to_lsn=None, epoch_hash=f"e{i}")
+            for i in range(lo, hi)]), epoch_id=epoch)
+    ins(1, 10, 0)
+    v_fork = t.current_version()
+    ins(10, 20, 1)
+
+    c = t.clone_at(str(tmp_path / "fork"), version=v_fork)
+    got = {r["doc_id"] for r in read_state(c).collect()}
+    assert got == {f"d{i}" for i in range(1, 10)}  # state AT the fork point
+    # clone has its own identity and ledger carried over
+    assert c.table_uid() is not None and c.table_uid() != t.table_uid()
+    assert 0 in c.manifest().applied_epochs
+
+    # source lifecycle (compact rewrites files) cannot corrupt the clone
+    t.compact()
+    assert {r["doc_id"] for r in read_state(c).collect()} == got
+    # and writes diverge independently
+    ce = CdcEngine(spark, c, collect_metrics=False, mode="mor")
+    ce.apply_epoch(_mk_events(spark, [
+        dict(stream_pos=500, lsn=500, seq=0, op="I", doc_id="fork-only",
+             tokens=[1], n_tok=1, source="s", rollback_to_lsn=None,
+             epoch_hash="f")]), epoch_id=77)
+    assert "fork-only" in {r["doc_id"] for r in read_state(c).collect()}
+    assert "fork-only" not in {r["doc_id"] for r in read_state(t).collect()}
