@@ -2279,6 +2279,94 @@ SELECT node AS doc_id, min(r) AS component FROM reach GROUP BY node
 """
 
 
+def tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(doc, term) TF-IDF — the keyword/weighting primitive under
+    corpus search and topical filtering. tf and df are EXACT integers;
+    only the final score multiplies by ln((N+1)/(df+1)) and rounds to
+    6 dp (a 1-ulp libm divergence flipping a rounded digit is
+    measure-zero — no ranking rides on the float).
+
+    Scale: tf is one explode + (doc, term) hash agg (map-side combined);
+    df reuses tf's output (already one row per (doc, term)) with a
+    second agg on term; the df join shuffles on term — at web scale the
+    term dim is heavy-tailed and AQE's skew split handles the head
+    (stopword-class terms)."""
+    d = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.col("doc_id") % 10 == 0)
+    )
+    n_docs = d.count()
+    w = d.select("doc_id", F.explode(X.words("text")).alias("term"))
+    tf = w.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    score = F.round(
+        F.col("tf") * F.log(F.lit(float(n_docs + 1)) / (F.col("df") + 1)), 6
+    )
+    return tf.join(df_, "term").select(
+        "doc_id", "term", "tf", "df", score.alias("tfidf")
+    )
+
+
+_TFIDF_SQL = """
+WITH d AS (SELECT * FROM documents WHERE doc_id % 10 = 0),
+n AS (SELECT count(*) AS n_docs FROM d),
+w AS (
+  SELECT doc_id, unnest(list_filter(string_split_regex(text, '\\s+'),
+                                    x -> x <> '')) AS term
+  FROM d
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM w GROUP BY 1, 2),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1)
+SELECT tf.doc_id, tf.term, tf.tf, df.df,
+       round(tf.tf * ln((n.n_docs + 1)::DOUBLE / (df.df + 1)), 6) AS tfidf
+FROM tf JOIN df USING (term), n
+"""
+
+
+def source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination matrix: for every source pair, how
+    many distinct word 3-grams they share — the corpus-level signal
+    behind "is split A leaking into split B" checks (the decontamination
+    op's aggregate cousin). All integer counts, no floats.
+
+    Scale: distinct (source, gram) is one agg; the pair join is
+    gram⋈gram — blocked by the gram itself (a join key with bounded
+    per-key cardinality = #sources, so the join output is ≤ S² per gram,
+    never quadratic in docs)."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    g = d.select(
+        "source", F.explode(X.shingles("text", k=3)).alias("gram")
+    ).distinct()
+    a = g.select(F.col("source").alias("src_a"), "gram")
+    b = g.select(F.col("source").alias("src_b"), "gram")
+    return (
+        a.join(b, "gram")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count("*").alias("shared_grams"))
+    )
+
+
+_SOURCE_OVERLAP_SQL = """
+WITH w AS (
+  SELECT source,
+         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS words
+  FROM documents
+),
+g AS (
+  SELECT DISTINCT source, unnest(
+    CASE WHEN len(words) >= 3 THEN
+      list_transform(generate_series(0, len(words) - 3),
+                     i -> array_to_string(list_slice(words, i + 1, i + 3), ' '))
+    ELSE [array_to_string(words, ' ')] END) AS gram
+  FROM w
+)
+SELECT a.source AS src_a, b.source AS src_b, count(*) AS shared_grams
+FROM g a JOIN g b ON a.gram = b.gram AND a.source < b.source
+GROUP BY 1, 2
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -2309,6 +2397,8 @@ QUERIES: dict[str, callable] = {
     # new in r4: clustering / scrub / sampling
     "kmeans_refine": kmeans_refine_q,
     "dedup_components": dedup_components,
+    "tfidf_terms": tfidf_terms,
+    "source_overlap": source_overlap,
     "pii_redact": pii_redact,
     "stratified_sample": stratified_sample,
     # relational parity (SURVEY §2.5-2.8)
@@ -2324,7 +2414,6 @@ QUERIES: dict[str, callable] = {
     "track_frontier": track_frontier,
     "windowed_stream_counts": windowed_stream_counts,
     "stream_dedup": stream_dedup,
-    "log_transfer_extract": log_transfer_extract,
     "erc1155_batch_decode": erc1155_batch_decode,
     "erc721_transfer_extract": erc721_transfer_extract,
     "cryptopunk_transfer_extract": cryptopunk_transfer_extract,
@@ -2333,7 +2422,6 @@ QUERIES: dict[str, callable] = {
     "call_tree_flatten": call_tree_flatten,
     "contract_classify": contract_classify,
     "extract_tokens": extract_tokens,
-    "trace_union_synthetic": trace_union_synthetic,
     "receipt_missing_fill": receipt_missing_fill,
     # training-data ops
     "minhash_lsh_pairs": dedup.minhash_lsh_pairs,
@@ -2346,6 +2434,8 @@ QUERIES: dict[str, callable] = {
     "repetition_ratio": repetition_ratio,
     "corpus_prepare": corpus_prepare,
     # ---- tail: driver-green 2+ rounds; local parity suite still covers ----
+    "log_transfer_extract": log_transfer_extract,
+    "trace_union_synthetic": trace_union_synthetic,
     "join_mismatch_diagnostics": relational.join_mismatch_diagnostics,
     "enrich_join": relational.enrich_join,
     "missing_anti_join": relational.missing_anti_join,
@@ -2579,6 +2669,8 @@ def oracle_sqls() -> dict[str, str]:
         "stream_dedup": _STREAM_DEDUP_SQL,
         "kmeans_refine": _KMEANS_SQL,
         "dedup_components": _dedup_components_sql(),
+        "tfidf_terms": _TFIDF_SQL,
+        "source_overlap": _SOURCE_OVERLAP_SQL,
         "pii_redact": _PII_REDACT_SQL,
         "stratified_sample": _sample_sql(),
         "explode_tokens": _EXPLODE_TOKENS_SQL,

@@ -109,6 +109,17 @@ def main(argv=None):
     sp.add_argument("--table", required=True)
     sp.add_argument("--what", choices=["state", "manifest", "metrics"], default="manifest")
 
+    sp = sub.add_parser("pipeline", help="fan a source table into derived "
+                        "entity tables through the dependency DAG "
+                        "(docs -> doc_stats -> source_stats, long_docs)")
+    sp.add_argument("--src-table", required=True)
+    sp.add_argument("--root", required=True,
+                    help="directory holding the derived tables + cursors")
+    sp.add_argument("--entities", required=True,
+                    help="comma-separated requested entities; upstream "
+                    "deps materialize automatically, the rest is pruned")
+    sp.add_argument("--buckets", type=int, default=8)
+
     sp = sub.add_parser("cascade", help="apply an upstream table's new "
                         "commits to a downstream table (table-to-table hop)")
     sp.add_argument("--src-table", required=True)
@@ -193,7 +204,20 @@ def main(argv=None):
                           "watermark": table.manifest().watermark}))
         return 0
 
-    if args.cmd == "cascade":
+    if args.cmd == "pipeline":
+        from blockchain_etl_spark.streaming.pipeline import EntityPipeline
+
+        src = SnapshotTable(spark, args.src_table)
+        pipe = EntityPipeline(spark, src, args.root,
+                              args.entities.split(","), n_buckets=args.buckets)
+        metrics = pipe.run_once()
+        print(json.dumps({
+            "materialized": pipe.order,
+            "versions": {e: pipe.tables[e].current_version()
+                         for e in pipe.order},
+            "metrics": metrics,
+        }, default=str))
+    elif args.cmd == "cascade":
         from blockchain_etl_spark.streaming.cascade import CascadeTailer
 
         src = SnapshotTable(spark, args.src_table)
