@@ -57,6 +57,7 @@ def read_state(
     version: int | None = None,
     buckets: list[int] | None = None,
     columns: list[str] | None = None,
+    key_range: tuple[str, str] | None = None,
 ) -> DataFrame:
     """Logical table state: tombstones filtered out. ``buckets`` prunes
     the read to the hash buckets of interest (point-lookup path: compute
@@ -65,10 +66,33 @@ def read_state(
     the merge-on-read resolver, where Catalyst cannot (see
     SnapshotTable.read)."""
     return (
-        table.read(version=version, buckets=buckets, columns=columns)
+        table.read(
+            version=version, buckets=buckets, columns=columns, key_range=key_range
+        )
         .filter(~F.col("deleted"))
         .drop("deleted")
     )
+
+
+def point_lookup(table: SnapshotTable, key_value: str) -> DataFrame:
+    """Single-key read: bucket pruning picks the ONE bucket, the key
+    zone maps pick which of its base+delta files can mention the key,
+    and the parquet row-group min/max pushdown (the filter below) prunes
+    inside the opened files — three pruning levels, none scanning cold
+    data. The MOR resolution then runs over the surviving sliver."""
+    m = table.manifest()
+    bucket = (
+        table.spark.range(1)
+        .select(
+            F.pmod(F.xxhash64(F.lit(key_value)), F.lit(m.n_buckets))
+            .cast("int")
+            .alias("b")
+        )
+        .first()["b"]
+    )
+    return read_state(
+        table, buckets=[bucket], key_range=(key_value, key_value)
+    ).filter(F.col(m.key) == key_value)
 
 
 def _valid_expr(df: DataFrame | None = None):

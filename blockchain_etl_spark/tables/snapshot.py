@@ -57,15 +57,16 @@ _BUCKET_COL = "_bucket"
 _STATS_COLS = ("lsn", "deleted")
 
 
-def _footer_stats(path: str) -> dict[str, Any] | None:
+def _footer_stats(path: str, key: str | None = None) -> dict[str, Any] | None:
     """Per-file zone map read from the parquet footer — driver-side, no
     data pages touched (the same cost class as Iceberg collecting column
-    metrics at write time). Records ``lsn: [min, max]`` and
-    ``deleted_any`` so vacuum / time-ranged maintenance can prune files
-    without scanning the table."""
+    metrics at write time). Records ``lsn: [min, max]``, ``deleted_any``,
+    and — when ``key`` is given — ``key: [min, max]`` so point lookups
+    and time-ranged maintenance can prune FILES without opening them."""
     try:
         import pyarrow.parquet as pq
 
+        want = set(_STATS_COLS) | ({key} if key else set())
         md = pq.ParquetFile(path).metadata
         mins: dict[str, Any] = {}
         maxs: dict[str, Any] = {}
@@ -74,7 +75,7 @@ def _footer_stats(path: str) -> dict[str, Any] | None:
             for ci in range(g.num_columns):
                 col = g.column(ci)
                 name = col.path_in_schema
-                if name not in _STATS_COLS:
+                if name not in want:
                     continue
                 st = col.statistics
                 if st is None or not st.has_min_max:
@@ -86,6 +87,8 @@ def _footer_stats(path: str) -> dict[str, Any] | None:
             stats["lsn"] = [int(mins["lsn"]), int(maxs["lsn"])]
         if "deleted" in maxs:
             stats["deleted_any"] = bool(maxs["deleted"])
+        if key and key in mins:
+            stats["key"] = [str(mins[key]), str(maxs[key])]
         return stats or None
     except Exception:  # noqa: BLE001 — stats are an optimization, never fatal
         return None
@@ -228,6 +231,7 @@ class SnapshotTable:
         resolve: bool = True,
         min_lsn_exclusive: int | None = None,
         columns: list[str] | None = None,
+        key_range: tuple[str, str] | None = None,
     ) -> DataFrame:
         """Read a snapshot, optionally pruned to a set of buckets.
 
@@ -240,6 +244,15 @@ class SnapshotTable:
         last-writer winner is decided by (lsn, seq, updated_epoch),
         which are always carried. Key and bookkeeping columns are
         implicit; order is the table schema's.
+
+        ``key_range=(lo, hi)`` (inclusive) prunes files whose key zone
+        map proves no key in the range — the point-lookup path combines
+        bucket pruning (which bucket) with file pruning (which of the
+        bucket's base+delta files can hold the key), so a hot bucket
+        with many delta files opens only the files that mention it.
+        Winner-safe under merge-on-read: all of a key's rows live in its
+        bucket, and a file that cannot contain the key contributes no
+        row to its resolution. Files without stats are kept.
 
         ``min_lsn_exclusive`` additionally skips files whose zone map
         proves every row has lsn <= the bound (files without stats are
@@ -264,6 +277,14 @@ class SnapshotTable:
         if buckets is not None:
             bset = set(buckets)
             files = [f for f in files if f["bucket"] in bset]
+        if key_range is not None:
+            lo, hi = key_range
+            files = [
+                f
+                for f in files
+                if not (f.get("stats") or {}).get("key")
+                or not (f["stats"]["key"][1] < lo or f["stats"]["key"][0] > hi)
+            ]
         if min_lsn_exclusive is not None:
             files = [
                 f
@@ -367,7 +388,7 @@ class SnapshotTable:
         from concurrent.futures import ThreadPoolExecutor
 
         with ThreadPoolExecutor(max_workers=16) as pool:
-            stats = list(pool.map(lambda e: _footer_stats(e["_full"]), entries))
+            stats = list(pool.map(lambda e: _footer_stats(e["_full"], key), entries))
         for e, st in zip(entries, stats):
             e["stats"] = st
             del e["_full"]

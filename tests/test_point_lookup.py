@@ -50,3 +50,40 @@ def test_backward_scan_version_lookup(spark, tmp_path):
     assert t2.manifest(t2.latest_version_at_or_before(100)).watermark["lsn"] == 20
     assert t2.latest_version_at_or_before(-1) == 0  # genesis wm = -1
     assert t2.latest_version_at_or_before(-5) is None  # below genesis
+
+
+def test_key_zone_maps_prune_files_inside_a_bucket(spark, tmp_path):
+    """Point lookup prunes at THREE levels: bucket → file (key zone
+    map) → row group. The file level is the new one: a bucket that
+    accumulated many delta files from disjoint key batches opens only
+    the files whose [min,max] key range can contain the probe."""
+    from blockchain_etl_spark.cdc.apply import CdcEngine, point_lookup, read_state
+    from blockchain_etl_spark.cdc.generator import events_to_df
+    from blockchain_etl_spark.cdc.schema import TARGET_SCHEMA
+    from blockchain_etl_spark.tables.snapshot import SnapshotTable
+
+    t = SnapshotTable.create(spark, str(tmp_path / "t"), TARGET_SCHEMA, n_buckets=1)
+    eng = CdcEngine(spark, t, collect_metrics=False, mode="mor",
+                    compact_delta_threshold=10_000)
+    # three commits with DISJOINT key prefixes → disjoint file key ranges
+    for epoch, prefix in enumerate(["a", "m", "z"]):
+        eng.apply_epoch(events_to_df(spark, [
+            dict(stream_pos=epoch * 100 + i, lsn=epoch * 100 + i, seq=0, op="I",
+                 doc_id=f"{prefix}{i:03d}", tokens=[i], n_tok=1, source="s",
+                 rollback_to_lsn=None, epoch_hash=f"e{epoch}-{i}")
+            for i in range(20)]), epoch_id=epoch)
+
+    files = t.manifest().files
+    assert all((f.get("stats") or {}).get("key") for f in files), files
+    # manifest-level: only ONE of the three files can contain "m005"
+    lo, hi = "m005", "m005"
+    cands = [f for f in files
+             if not (f["stats"]["key"][1] < lo or f["stats"]["key"][0] > hi)]
+    assert len(cands) == 1 and len(files) == 3
+
+    got = point_lookup(t, "m005").collect()
+    assert len(got) == 1 and got[0]["tokens"] == [5]
+    assert point_lookup(t, "qqq").count() == 0
+    # pruned read agrees with the unpruned one
+    full = read_state(t).filter("doc_id = 'm005'").collect()
+    assert [r["doc_id"] for r in full] == ["m005"]
