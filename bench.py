@@ -72,6 +72,11 @@ HEADLINE_QUERIES = [
     # round 4
     "track_frontier",
     "entity_pipeline",
+    # added after the r4 reference run (BENCH/BASELINE.md) — first
+    # recorded numbers will be the driver's BENCH_r04
+    "kmeans_refine",
+    "dedup_components",
+    "tfidf_terms",
 ]
 
 

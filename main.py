@@ -90,6 +90,11 @@ def main(argv=None):
     sp = sub.add_parser("compact")
     sp.add_argument("--table", required=True)
 
+    sp = sub.add_parser("lookup", help="single-key point read: bucket + "
+                        "key-zone-map file pruning + row-group pushdown")
+    sp.add_argument("--table", required=True)
+    sp.add_argument("--key", required=True)
+
     sp = sub.add_parser("rebucket", help="bucket-layout evolution: rewrite "
                         "into a new hash-bucket count")
     sp.add_argument("--table", required=True)
@@ -268,6 +273,12 @@ def main(argv=None):
     if args.cmd == "compact":
         v = table.compact()
         print(json.dumps({"version": v}))
+    elif args.cmd == "lookup":
+        from blockchain_etl_spark.cdc.apply import point_lookup
+
+        rows = point_lookup(table, args.key).collect()
+        print(json.dumps({"key": args.key, "found": len(rows),
+                          "rows": [r.asDict() for r in rows]}, default=str))
     elif args.cmd == "rebucket":
         v = table.rebucket(args.buckets)
         print(json.dumps({"version": v, "buckets": args.buckets}))
