@@ -21,11 +21,11 @@ tests. Only buckets whose file sets differ become partitions, so a
 commit touching k of B buckets plans k readers (manifest file-diff
 pruning, driver-side).
 
-Limitations (documented, not silent): files are read as written — a
-range spanning a schema-evolution commit is unsupported here (use the
-batch ``read_changes``, which conforms schemas); a range spanning a
-``rebucket`` falls back to ONE partition holding all files (bucket ids
-pair differently across the layout change).
+Schema evolution: files are conformed to the range-end schema at read
+time (missing columns null-backfill, same as the batch path — pandas
+reindex per file). Limitation: a range spanning a ``rebucket`` falls
+back to ONE partition holding all files (bucket ids pair differently
+across the layout change).
 """
 
 from __future__ import annotations
@@ -66,7 +66,10 @@ def _load_resolved(files: list[str], schema, key: str):
     if not files:
         return pd.DataFrame(columns=cols)
     frames = [pq.read_table(p).to_pandas() for p in files]
-    df = pd.concat(frames, ignore_index=True)[cols]
+    # schema-on-read conformance: files written under older schema
+    # versions lack newer payload columns — null-backfill them (the
+    # pandas twin of the batch reader's conform())
+    df = pd.concat(frames, ignore_index=True).reindex(columns=cols)
     order = [c for c in ("lsn", "seq", "updated_epoch") if c in df.columns]
     df = df.sort_values(order, kind="stable").drop_duplicates(key, keep="last")
     return df
@@ -148,12 +151,7 @@ class TableChangesStreamReader(DataSourceStreamReader):
         if v1 <= v0:
             return [BucketDiff(v0=v0, v1=v0, schema_json=self._schema_json(v0))]
         m0, m1 = self._manifest(v0), self._manifest(v1)
-        sj = self._schema_json(v1)
-        if m1["schema_version"] != m0["schema_version"]:
-            raise ValueError(
-                "table_changes stream across a schema-evolution commit is "
-                "unsupported — consume the range with the batch read_changes"
-            )
+        sj = self._schema_json(v1)  # range-END schema; older files conform
         key = m1["key"]
         by_bucket: dict[int, tuple[list, list]] = {}
         if m0["n_buckets"] != m1["n_buckets"]:

@@ -104,10 +104,39 @@ def test_stream_restart_is_exactly_once(spark, tmp_path):
     assert len(got1) > 0
 
 
-def test_stream_skips_compaction_and_errors_on_schema_evolution(spark, tmp_path):
+def test_stream_skips_compaction_commits(spark, tmp_path):
     t = _setup(spark, tmp_path)
     ck = str(tmp_path / "ck4")
     _run_stream(spark, t, ck)
     t.compact()
     # compaction commit: identical logical state → zero rows, no error
     assert _run_stream(spark, t, ck) == []
+
+
+def test_stream_conforms_across_schema_evolution(spark, tmp_path):
+    """A range spanning a schema-evolution commit reads old files under
+    the new schema (null backfill) — same rows as the batch path."""
+    from pyspark.sql import functions as F
+
+    t = _setup(spark, tmp_path)
+    ck = str(tmp_path / "ck5")
+    _run_stream(spark, t, ck)  # drain pre-evolution history
+    eng = CdcEngine(spark, t, collect_metrics=False, mode="mor")
+    ev = events_to_df(spark, [_ev(11, "I", "n1", 6)]).withColumn(
+        "lang", F.lit("en")
+    )
+    eng.apply_epoch(ev, epoch_id=9)
+    got = _run_stream(spark, t, ck)
+    by_doc = {(r["_change_type"], r["doc_id"]): r for r in got}
+    assert ("insert", "n1") in by_doc
+    assert by_doc[("insert", "n1")]["lang"] == "en"
+    # the evolved batch also re-describes untouched keys? no — only n1
+    assert set(by_doc) == {("insert", "n1")}
+
+    # a FULL-history stream under the evolved schema: old rows carry
+    # lang = NULL, identical to the batch reader's conformance
+    got_all = _run_stream(spark, t, str(tmp_path / "ck6"))
+    want = t.read_changes(0).collect()
+    assert _norm(got_all) == _norm(want)
+    langs = {r["doc_id"]: r["lang"] for r in got_all}
+    assert langs["n1"] == "en" and langs["a"] is None
