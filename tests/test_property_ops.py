@@ -1,0 +1,111 @@
+"""Property-based checks for the iterative / multi-phase operators:
+random inputs, python-oracle equivalence.
+
+- connected components vs a union-find oracle over random edge sets
+  (label propagation must hit the same unique min-label fixpoint).
+- two-phase pack_sequences vs a sequential python fold over random
+  (source, n_tok) streams at random range parallelism (the parallel
+  prefix-sum decomposition must be invisible in the result).
+"""
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from blockchain_etl_spark.operators.dedup import connected_components
+from blockchain_etl_spark.operators.tokens import pack_sequences
+
+_SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@st.composite
+def edge_sets(draw):
+    n = draw(st.integers(min_value=2, max_value=24))
+    n_edges = draw(st.integers(min_value=0, max_value=30))
+    edges = [
+        (draw(st.integers(0, n - 1)), draw(st.integers(0, n - 1)))
+        for _ in range(n_edges)
+    ]
+    return n, [(a, b) for a, b in edges if a != b]
+
+
+def _uf_components(n, edges):
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical label = min node id in the component
+    label = {}
+    for v in range(n):
+        r = find(v)
+        label.setdefault(r, min(u for u in range(n) if find(u) == r))
+    return {v: label[find(v)] for v in range(n)}
+
+
+@settings(**_SETTINGS)
+@given(edge_sets())
+def test_connected_components_matches_union_find(spark, case):
+    n, edges = case
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "node long")
+    if edges:
+        e = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    else:
+        e = spark.createDataFrame([], "doc_a long, doc_b long")
+    got = {r["node"]: r["label"]
+           for r in connected_components(e, nodes=nodes).collect()}
+    assert got == _uf_components(n, edges)
+
+
+@st.composite
+def doc_streams(draw):
+    n = draw(st.integers(min_value=1, max_value=60))
+    n_sources = draw(st.integers(min_value=1, max_value=3))
+    rows = [
+        (i, f"s{draw(st.integers(0, n_sources - 1))}",
+         draw(st.integers(1, 300)))
+        for i in range(1, n + 1)
+    ]
+    budget = draw(st.sampled_from([64, 128, 512]))
+    n_parts = draw(st.sampled_from([1, 3, 8]))
+    return rows, budget, n_parts
+
+
+def _pack_oracle(rows, budget):
+    out = {}
+    by_src = {}
+    for doc_id, src, n_tok in sorted(rows):
+        by_src.setdefault(src, []).append((doc_id, n_tok))
+    for src, docs in by_src.items():
+        cum = 0
+        for doc_id, n_tok in docs:
+            pack = cum // budget
+            cum += n_tok
+            k = (src, pack)
+            n_docs, tok_sum, first, last = out.get(k, (0, 0, doc_id, doc_id))
+            out[k] = (n_docs + 1, tok_sum + n_tok, min(first, doc_id),
+                      max(last, doc_id))
+    return out
+
+
+@settings(**_SETTINGS)
+@given(doc_streams())
+def test_pack_sequences_matches_sequential_fold(spark, case):
+    rows, budget, n_parts = case
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_tok int")
+    got = {
+        (r["part"], r["pack_id"]): (r["n_docs"], r["n_tok_sum"],
+                                    r["first_doc"], r["last_doc"])
+        for r in pack_sequences(df, budget=budget, n_parts=n_parts).collect()
+    }
+    assert got == _pack_oracle(rows, budget)
