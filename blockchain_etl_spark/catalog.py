@@ -2367,6 +2367,47 @@ GROUP BY 1, 2
 """
 
 
+def length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document-length quartiles + counts — the distribution
+    profile corpus reports lead with (length filters are set from these
+    numbers). EXACT percentiles (Spark ``percentile`` = linear
+    interpolation = DuckDB ``quantile_cont``, bit-identical on integer
+    inputs — verified, not assumed).
+
+    Scale note: exact percentile is a full sort per group — fine for
+    per-source profiling (few groups, heavy combine); at 10^10 rows per
+    group switch to ``percentile_approx`` (t-digest) and drop the
+    oracle row to a tolerance check."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n = F.size(X.words("text"))
+    return (
+        d.select("source", n.alias("n_words"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.percentile("n_words", F.lit(0.25)), 6).alias("q25"),
+            F.round(F.percentile("n_words", F.lit(0.5)), 6).alias("q50"),
+            F.round(F.percentile("n_words", F.lit(0.75)), 6).alias("q75"),
+            F.max("n_words").alias("max_words"),
+        )
+    )
+
+
+_LENGTH_QUANTILES_SQL = """
+WITH n AS (
+  SELECT source,
+         len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS n_words
+  FROM documents
+)
+SELECT source, count(*) AS n_docs,
+       round(quantile_cont(n_words, 0.25), 6) AS q25,
+       round(quantile_cont(n_words, 0.5), 6) AS q50,
+       round(quantile_cont(n_words, 0.75), 6) AS q75,
+       max(n_words)::INT AS max_words
+FROM n GROUP BY source
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -2399,6 +2440,7 @@ QUERIES: dict[str, callable] = {
     "dedup_components": dedup_components,
     "tfidf_terms": tfidf_terms,
     "source_overlap": source_overlap,
+    "length_quantiles": length_quantiles,
     "pii_redact": pii_redact,
     "stratified_sample": stratified_sample,
     # relational parity (SURVEY §2.5-2.8)
@@ -2671,6 +2713,7 @@ def oracle_sqls() -> dict[str, str]:
         "dedup_components": _dedup_components_sql(),
         "tfidf_terms": _TFIDF_SQL,
         "source_overlap": _SOURCE_OVERLAP_SQL,
+        "length_quantiles": _LENGTH_QUANTILES_SQL,
         "pii_redact": _PII_REDACT_SQL,
         "stratified_sample": _sample_sql(),
         "explode_tokens": _EXPLODE_TOKENS_SQL,
