@@ -2367,6 +2367,81 @@ GROUP BY 1, 2
 """
 
 
+def entity_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 1:N derived-entity shape end-to-end (block→transactions /
+    doc→context-window-chunks): a doc_chunks table is maintained off the
+    root CDC table through cascade hops with parent-scoped
+    reconciliation — an update that shrinks a document DELETES its
+    surplus chunks downstream (old chunk keys from the v0 snapshot, new
+    from v1; see streaming/pipeline.py doc_chunks_events). Two commits,
+    hop after each; the oracle chunks the relational last-writer state
+    directly — equality proves the incremental hops converge to the
+    batch recompute."""
+    import os
+
+    from blockchain_etl_spark.cdc.apply import CdcEngine
+    from blockchain_etl_spark.cdc.schema import TARGET_SCHEMA
+    from blockchain_etl_spark.streaming.pipeline import EntityPipeline
+    from blockchain_etl_spark.tables.snapshot import SnapshotTable
+
+    ev = derive_changelog(spark, sf_dir).filter(
+        F.col("op").isin("I", "U", "D")
+        & (
+            (F.col("op") == "D")
+            | (F.col("tokens").isNotNull() & (F.col("n_tok") == F.size("tokens")))
+        )
+    )
+    mid = ev.agg(F.max("lsn")).first()[0] // 2
+    work = _pid_scoped_gate_dir("entity-chunks-gate")
+    table = SnapshotTable.create(
+        spark, os.path.join(work, "docs"), TARGET_SCHEMA, key="doc_id", n_buckets=8
+    )
+    eng = CdcEngine(spark, table, mode="cow", collect_metrics=False)
+    pipe = EntityPipeline(spark, table, work, ["doc_chunks"], n_buckets=8)
+    eng.apply_epoch(ev.filter(F.col("lsn") <= mid), epoch_id=1)
+    pipe.run_once()
+    eng.apply_epoch(ev.filter(F.col("lsn") > mid), epoch_id=2)
+    pipe.run_once()
+    return pipe.state("doc_chunks").select(
+        F.col("doc_id").alias("chunk_key"),
+        "parent_id",
+        "chunk_id",
+        F.concat_ws(",", F.col("chunk_tokens").cast("array<string>")).alias(
+            "chunk_csv"
+        ),
+        "n_chunk_tok",
+    )
+
+
+def _entity_chunks_sql(width: int) -> str:
+    return f"""
+WITH {_CHANGELOG_CTE},
+ev AS (
+  SELECT * FROM changelog
+  WHERE op IN ('I','U','D')
+    AND (op = 'D' OR (tokens IS NOT NULL AND n_tok = len(tokens)))
+),
+fin AS (
+  SELECT * FROM (
+    SELECT e.*, row_number() OVER (PARTITION BY doc_id ORDER BY stream_pos DESC) AS rn
+    FROM ev e) WHERE rn = 1 AND op <> 'D'
+),
+c AS (
+  SELECT doc_id, tokens, len(tokens) AS n,
+         unnest(range(0, (len(tokens) + {width} - 1) // {width})) AS chunk_id
+  FROM fin WHERE len(tokens) > 0
+)
+SELECT doc_id || '#' || lpad(chunk_id::VARCHAR, 4, '0') AS chunk_key,
+       doc_id AS parent_id,
+       chunk_id::INT AS chunk_id,
+       array_to_string(
+         list_slice(tokens, chunk_id * {width} + 1,
+                    least((chunk_id + 1) * {width}, n)), ',') AS chunk_csv,
+       (least((chunk_id + 1) * {width}, n) - chunk_id * {width})::INT AS n_chunk_tok
+FROM c
+"""
+
+
 def length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source document-length quartiles + counts — the distribution
     profile corpus reports lead with (length filters are set from these
@@ -2424,6 +2499,7 @@ QUERIES: dict[str, callable] = {
     "cdc_changelog_stats": cdc_changelog_stats,
     "table_changes": table_changes,
     "entity_pipeline": entity_pipeline,
+    "entity_chunks": entity_chunks,
     "tokenize_docs": tokenize_docs,
     # ANN / embedding similarity (driver-unverified through r3 — front of window)
     "embedding_near_dup": similarity.embedding_near_dup,
@@ -2447,7 +2523,6 @@ QUERIES: dict[str, callable] = {
     "broadcast_dim_join": relational.broadcast_dim_join,
     "full_outer_sendrecv": relational.full_outer_sendrecv,
     "holder_detail_agg": relational.holder_detail_agg,
-    "dedup_checker_invariant": relational.dedup_checker_invariant,
     "incremental_source_stats": relational.incremental_source_stats,
     "asof_lookup": relational.asof_lookup,
     "trace_status": trace_status,
@@ -2476,6 +2551,7 @@ QUERIES: dict[str, callable] = {
     "repetition_ratio": repetition_ratio,
     "corpus_prepare": corpus_prepare,
     # ---- tail: driver-green 2+ rounds; local parity suite still covers ----
+    "dedup_checker_invariant": relational.dedup_checker_invariant,
     "log_transfer_extract": log_transfer_extract,
     "trace_union_synthetic": trace_union_synthetic,
     "join_mismatch_diagnostics": relational.join_mismatch_diagnostics,
@@ -2530,6 +2606,7 @@ def oracle_sqls() -> dict[str, str]:
         "cdc_changelog_stats": _CDC_STATS_SQL,
         "table_changes": _TABLE_CHANGES_SQL,
         "entity_pipeline": _ENTITY_PIPELINE_SQL,
+        "entity_chunks": _entity_chunks_sql(8),
         "tokenize_docs": _TOKENIZE_SQL,
         "enrich_join": """
             SELECT l_orderkey, l_linenumber, l_quantity,

@@ -166,6 +166,81 @@ def source_stats_events(
     )
 
 
+CHUNK_WIDTH = 8
+
+
+def _chunk_rows(state: DataFrame) -> DataFrame:
+    """(doc_id, tokens) → one row per fixed-width chunk, keyed
+    ``{doc_id}#{chunk_id:04d}`` (the engine's key column is single —
+    compose parent+ordinal into it, reference item_id style)."""
+    from blockchain_etl_spark.operators.tokens import chunk_tokens
+
+    c = chunk_tokens(state.select("doc_id", "tokens"), chunk=CHUNK_WIDTH)
+    return c.select(
+        F.concat_ws(
+            "#", F.col("doc_id"), F.lpad(F.col("chunk_id").cast("string"), 4, "0")
+        ).alias("key"),
+        F.col("doc_id").alias("parent_id"),
+        "chunk_id",
+        "chunk_tokens",
+        "n_chunk_tok",
+    )
+
+
+def doc_chunks_events(
+    changes: DataFrame, src: SnapshotTable, v0: int, v1: int
+) -> DataFrame:
+    """1:N explode with parent-scoped reconciliation — the fourth
+    derivation shape (block→transactions / doc→context-window-chunks):
+    each upstream row fans into a variable number of derived rows, and
+    an UPDATE can shrink the fan-out, so the hop must emit deletes for
+    chunks that no longer exist.
+
+    Self-contained via time travel, no destination read: old chunk keys
+    come from the v0 snapshot of the affected parents, new chunks from
+    the v1 snapshot — deletes = old \\ new keys, upserts = all new
+    (value changes ride the upsert; unchanged chunks are re-upserted
+    idempotently, bounded by the affected parents' fan-out). Work is
+    O(changed parents × chunks/parent), never O(table)."""
+    affected = (
+        changes.select(F.col("doc_id").alias("pid"))
+        .filter(F.col("pid").isNotNull())
+        .distinct()
+    )
+
+    def chunks_at(version):
+        st = read_state(src, version=version, columns=["tokens"])
+        return _chunk_rows(st.join(affected, st["doc_id"] == affected["pid"], "left_semi"))
+
+    new = chunks_at(v1)
+    old_keys = chunks_at(v0).select("key")
+    gone = old_keys.join(new.select("key"), "key", "left_anti")
+    ups = new.select(
+        F.col("key").alias("doc_id"),
+        F.lit("U").alias("op"),
+        "parent_id", "chunk_id", "chunk_tokens", "n_chunk_tok",
+    )
+    dels = gone.select(
+        F.col("key").alias("doc_id"),
+        F.lit("D").alias("op"),
+        F.lit(None).cast("string").alias("parent_id"),
+        F.lit(None).cast("int").alias("chunk_id"),
+        F.lit(None).cast("array<int>").alias("chunk_tokens"),
+        F.lit(None).cast("int").alias("n_chunk_tok"),
+    )
+    lsn = F.lit(v1).cast("long")
+    return ups.unionByName(dels).select(
+        F.shiftleft(lsn, _SEQ_BITS).cast("long").alias("stream_pos"),
+        lsn.alias("lsn"),
+        F.lit(0).alias("seq"),
+        "op",
+        "doc_id",
+        "parent_id", "chunk_id", "chunk_tokens", "n_chunk_tok",
+        F.lit(None).cast("long").alias("rollback_to_lsn"),
+        F.lit(f"cascade-v{v0}-{v1}").alias("epoch_hash"),
+    )
+
+
 # ----------------------------------------------------------------- registry
 @dataclass(frozen=True)
 class EntityDef:
@@ -210,6 +285,19 @@ REGISTRY: dict[str, EntityDef] = {
                 [
                     T.StructField("n_docs", T.LongType(), True),
                     T.StructField("total_tokens", T.LongType(), True),
+                ]
+            ),
+        ),
+        EntityDef(
+            "doc_chunks",
+            ROOT,
+            doc_chunks_events,
+            target_schema(
+                [
+                    T.StructField("parent_id", T.StringType(), True),
+                    T.StructField("chunk_id", T.IntegerType(), True),
+                    T.StructField("chunk_tokens", T.ArrayType(T.IntegerType()), True),
+                    T.StructField("n_chunk_tok", T.IntegerType(), True),
                 ]
             ),
         ),

@@ -169,3 +169,83 @@ def test_source_stats_hop_prunes_columns_and_groups(spark, tmp_path):
         for r in pipe.state("source_stats").collect()
     }
     assert got == {"s0": (3, 9), "s1": (3, 11), "s2": (3, 9)}
+
+
+def test_doc_chunks_one_to_many_with_shrink(spark, tmp_path):
+    """The 1:N derived entity reconciles fan-out changes: an update that
+    SHRINKS a document must delete its surplus chunks downstream."""
+    from blockchain_etl_spark.streaming.pipeline import CHUNK_WIDTH
+
+    root = SnapshotTable.create(
+        spark, str(tmp_path / "docs"), TARGET_SCHEMA, n_buckets=4
+    )
+    eng = CdcEngine(spark, root, collect_metrics=False)
+    pipe = EntityPipeline(spark, root, str(tmp_path), ["doc_chunks"])
+
+    long_toks = list(range(3 * CHUNK_WIDTH + 2))  # 4 chunks
+    eng.apply_epoch(events_to_df(spark, [
+        dict(stream_pos=1, lsn=1, seq=0, op="I", doc_id="x", tokens=long_toks,
+             n_tok=len(long_toks), source="s", rollback_to_lsn=None,
+             epoch_hash="e1"),
+        dict(stream_pos=2, lsn=1, seq=1, op="I", doc_id="y", tokens=[1, 2],
+             n_tok=2, source="s", rollback_to_lsn=None, epoch_hash="e2"),
+    ]), epoch_id=0)
+    pipe.run_once()
+
+    def chunks():
+        return {
+            r["doc_id"]: (r["parent_id"], r["chunk_id"],
+                          list(r["chunk_tokens"]), r["n_chunk_tok"])
+            for r in pipe.state("doc_chunks").collect()
+        }
+
+    got = chunks()
+    assert len(got) == 5  # 4 for x + 1 for y
+    assert got["x#0003"] == ("x", 3, long_toks[3 * CHUNK_WIDTH:], 2)
+    assert got["y#0000"] == ("y", 0, [1, 2], 2)
+
+    # shrink x to ONE chunk; y untouched
+    eng.apply_epoch(events_to_df(spark, [
+        dict(stream_pos=10, lsn=5, seq=0, op="U", doc_id="x", tokens=[7, 8, 9],
+             n_tok=3, source="s", rollback_to_lsn=None, epoch_hash="e3"),
+    ]), epoch_id=1)
+    pipe.run_once()
+    got = chunks()
+    assert set(got) == {"x#0000", "y#0000"}
+    assert got["x#0000"] == ("x", 0, [7, 8, 9], 3)
+
+    # delete x entirely → only y's chunk remains; idempotent rerun
+    eng.apply_epoch(events_to_df(spark, [
+        dict(stream_pos=20, lsn=9, seq=0, op="D", doc_id="x", tokens=None,
+             n_tok=None, source=None, rollback_to_lsn=None, epoch_hash="e4"),
+    ]), epoch_id=2)
+    pipe.run_once()
+    assert set(chunks()) == {"y#0000"}
+    assert all(m is None for m in pipe.run_once().values())
+
+
+def test_doc_chunks_converges_across_reorgs(spark, tmp_path):
+    from blockchain_etl_spark.streaming.pipeline import CHUNK_WIDTH
+
+    from blockchain_etl_spark.streaming.epoch_store import EpochStore
+
+    epochs = generate_changelog(seed=23, n_epochs=3, p_reorg_epoch=0.5)
+    root = SnapshotTable.create(
+        spark, str(tmp_path / "docs"), TARGET_SCHEMA, n_buckets=8
+    )
+    store = EpochStore(spark, str(tmp_path / "store"))
+    eng = CdcEngine(spark, root, epoch_store=store, collect_metrics=False)
+    pipe = EntityPipeline(spark, root, str(tmp_path), ["doc_chunks"])
+    for i, ep in enumerate(epochs):
+        store.write_epoch(i, events_to_df(spark, ep))
+        eng.apply_epoch(store.read_epoch(i), i)
+        pipe.run_once()
+
+    want = {}
+    for doc_id, row in _oracle_state(epochs).items():
+        toks = row["tokens"]
+        for ci in range(0, (len(toks) + CHUNK_WIDTH - 1) // CHUNK_WIDTH):
+            want[f"{doc_id}#{ci:04d}"] = toks[ci * CHUNK_WIDTH:(ci + 1) * CHUNK_WIDTH]
+    got = {r["doc_id"]: list(r["chunk_tokens"])
+           for r in pipe.state("doc_chunks").collect()}
+    assert got == want
