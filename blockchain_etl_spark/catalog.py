@@ -2442,6 +2442,90 @@ FROM c
 """
 
 
+def entity_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Append-only history entity next to the latest-state root table
+    (≙ HISTORY_BALANCE vs LATEST_BALANCE, entity_type.py:24-31): two
+    root commits, a history hop after each — every observed net change
+    becomes an immutable row keyed (entity, observed version). The
+    oracle rebuilds the same log relationally: state at the mid-LSN cut
+    emits as version-1 inserts; the mid→end diff (insert / update
+    post-image / delete, pre-images excluded) emits at version 2."""
+    import os
+
+    from blockchain_etl_spark.cdc.apply import CdcEngine
+    from blockchain_etl_spark.cdc.schema import TARGET_SCHEMA
+    from blockchain_etl_spark.streaming.pipeline import EntityPipeline
+    from blockchain_etl_spark.tables.snapshot import SnapshotTable
+
+    ev = derive_changelog(spark, sf_dir).filter(
+        F.col("op").isin("I", "U", "D")
+        & (
+            (F.col("op") == "D")
+            | (F.col("tokens").isNotNull() & (F.col("n_tok") == F.size("tokens")))
+        )
+    )
+    mid = ev.agg(F.max("lsn")).first()[0] // 2
+    work = _pid_scoped_gate_dir("entity-history-gate")
+    table = SnapshotTable.create(
+        spark, os.path.join(work, "docs"), TARGET_SCHEMA, key="doc_id", n_buckets=8
+    )
+    eng = CdcEngine(spark, table, mode="cow", collect_metrics=False)
+    pipe = EntityPipeline(spark, table, work, ["doc_history"], n_buckets=8)
+    eng.apply_epoch(ev.filter(F.col("lsn") <= mid), epoch_id=1)
+    pipe.run_once()
+    eng.apply_epoch(ev.filter(F.col("lsn") > mid), epoch_id=2)
+    pipe.run_once()
+    return pipe.state("doc_history").select(
+        F.col("doc_id").alias("hist_key"),
+        "entity_id",
+        "change_type",
+        "n_tok",
+        "entity_source",
+        "observed_version",
+    )
+
+
+_ENTITY_HISTORY_SQL = f"""
+WITH {_CHANGELOG_CTE},
+ev AS (
+  SELECT * FROM changelog
+  WHERE op IN ('I','U','D')
+    AND (op = 'D' OR (tokens IS NOT NULL AND n_tok = len(tokens)))
+),
+mx AS (SELECT max(lsn) // 2 AS mid FROM ev),
+s0 AS (
+  SELECT * FROM (
+    SELECT e.*, row_number() OVER (PARTITION BY doc_id ORDER BY stream_pos DESC) AS rn
+    FROM ev e, mx WHERE e.lsn <= mx.mid) WHERE rn = 1 AND op <> 'D'
+),
+s1 AS (
+  SELECT * FROM (
+    SELECT e.*, row_number() OVER (PARTITION BY doc_id ORDER BY stream_pos DESC) AS rn
+    FROM ev e) WHERE rn = 1 AND op <> 'D'
+),
+hop2 AS (
+  SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+         a.doc_id IS NOT NULL AS in0, b.doc_id IS NOT NULL AS in1,
+         (a.stream_pos IS DISTINCT FROM b.stream_pos) AS changed,
+         b.n_tok AS b_n_tok, b.source AS b_source
+  FROM s0 a FULL OUTER JOIN s1 b ON a.doc_id = b.doc_id
+)
+SELECT doc_id || '@v00000001' AS hist_key, doc_id AS entity_id,
+       'insert' AS change_type, n_tok, source AS entity_source,
+       1 AS observed_version
+FROM s0
+UNION ALL
+SELECT doc_id || '@v00000002', doc_id, 'insert', b_n_tok, b_source, 2
+FROM hop2 WHERE in1 AND NOT in0
+UNION ALL
+SELECT doc_id || '@v00000002', doc_id, 'update_postimage', b_n_tok, b_source, 2
+FROM hop2 WHERE in0 AND in1 AND changed
+UNION ALL
+SELECT doc_id || '@v00000002', doc_id, 'delete', NULL, NULL, 2
+FROM hop2 WHERE in0 AND NOT in1
+"""
+
+
 def length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source document-length quartiles + counts — the distribution
     profile corpus reports lead with (length filters are set from these
@@ -2500,6 +2584,7 @@ QUERIES: dict[str, callable] = {
     "table_changes": table_changes,
     "entity_pipeline": entity_pipeline,
     "entity_chunks": entity_chunks,
+    "entity_history": entity_history,
     "tokenize_docs": tokenize_docs,
     # ANN / embedding similarity (driver-unverified through r3 — front of window)
     "embedding_near_dup": similarity.embedding_near_dup,
@@ -2523,7 +2608,6 @@ QUERIES: dict[str, callable] = {
     "broadcast_dim_join": relational.broadcast_dim_join,
     "full_outer_sendrecv": relational.full_outer_sendrecv,
     "holder_detail_agg": relational.holder_detail_agg,
-    "incremental_source_stats": relational.incremental_source_stats,
     "asof_lookup": relational.asof_lookup,
     "trace_status": trace_status,
     "rule_engine_filter": rule_engine_filter,
@@ -2551,6 +2635,7 @@ QUERIES: dict[str, callable] = {
     "repetition_ratio": repetition_ratio,
     "corpus_prepare": corpus_prepare,
     # ---- tail: driver-green 2+ rounds; local parity suite still covers ----
+    "incremental_source_stats": relational.incremental_source_stats,
     "dedup_checker_invariant": relational.dedup_checker_invariant,
     "log_transfer_extract": log_transfer_extract,
     "trace_union_synthetic": trace_union_synthetic,
@@ -2607,6 +2692,7 @@ def oracle_sqls() -> dict[str, str]:
         "table_changes": _TABLE_CHANGES_SQL,
         "entity_pipeline": _ENTITY_PIPELINE_SQL,
         "entity_chunks": _entity_chunks_sql(8),
+        "entity_history": _ENTITY_HISTORY_SQL,
         "tokenize_docs": _TOKENIZE_SQL,
         "enrich_join": """
             SELECT l_orderkey, l_linenumber, l_quantity,

@@ -241,6 +241,46 @@ def doc_chunks_events(
     )
 
 
+def doc_history_events(
+    changes: DataFrame, src: SnapshotTable, v0: int, v1: int
+) -> DataFrame:
+    """Append-only audit entity — the reference's history/latest table
+    split (``entity_type.py``: HISTORY_BALANCE next to LATEST_BALANCE,
+    one row per balance-affecting sync keyed (address, blknum)): every
+    net change in the hop range becomes its own immutable row keyed
+    ``{doc_id}@v{range_end:08d}``, never updated, never deleted.
+
+    Granularity is the hop range (run the tailer per upstream commit for
+    per-commit history — pacing IS the granularity dial). Reorgs need no
+    special case: the upstream version history is monotonic (rollbacks
+    are roll-forward commits), so corrective net diffs append under new
+    version keys and the observed-transition log stays faithful.
+    Redelivery is idempotent twice over: the ledger dedupes the epoch,
+    and a replayed row carries the identical (key, lsn) so the guard
+    drops it as stale."""
+    ev = changes.filter(F.col("_change_type") != "update_preimage")
+    payload = F.col("_change_type") != "delete"
+    lsn = F.col("_to_version").cast("long")
+    return ev.select(
+        F.shiftleft(lsn, _SEQ_BITS).cast("long").alias("stream_pos"),
+        lsn.alias("lsn"),
+        F.lit(0).alias("seq"),
+        F.lit("U").alias("op"),  # append-only: every history row upserts
+        F.concat(
+            F.col("doc_id"),
+            F.lit("@v"),
+            F.lpad(F.col("_to_version").cast("string"), 8, "0"),
+        ).alias("doc_id"),
+        F.col("doc_id").alias("entity_id"),
+        F.col("_change_type").alias("change_type"),
+        F.when(payload, F.col("n_tok")).alias("n_tok"),
+        F.when(payload, F.col("source")).alias("entity_source"),
+        F.col("_to_version").cast("int").alias("observed_version"),
+        F.lit(None).cast("long").alias("rollback_to_lsn"),
+        F.lit(f"cascade-v{v0}-{v1}").alias("epoch_hash"),
+    )
+
+
 # ----------------------------------------------------------------- registry
 @dataclass(frozen=True)
 class EntityDef:
@@ -285,6 +325,20 @@ REGISTRY: dict[str, EntityDef] = {
                 [
                     T.StructField("n_docs", T.LongType(), True),
                     T.StructField("total_tokens", T.LongType(), True),
+                ]
+            ),
+        ),
+        EntityDef(
+            "doc_history",
+            ROOT,
+            doc_history_events,
+            target_schema(
+                [
+                    T.StructField("entity_id", T.StringType(), True),
+                    T.StructField("change_type", T.StringType(), True),
+                    T.StructField("n_tok", T.IntegerType(), True),
+                    T.StructField("entity_source", T.StringType(), True),
+                    T.StructField("observed_version", T.IntegerType(), True),
                 ]
             ),
         ),

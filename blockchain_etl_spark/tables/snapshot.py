@@ -598,6 +598,12 @@ class SnapshotTable:
             os.makedirs(os.path.dirname(dst), exist_ok=True)
             try:
                 os.link(src, dst)
+            except FileExistsError:
+                # retry of a clone that crashed before its manifest write:
+                # the link already points at the same immutable file —
+                # idempotent, keep going (the commit is the manifest write
+                # at the end, same protocol as every other commit)
+                pass
             except OSError:  # cross-device — fall back to copy
                 import shutil
 

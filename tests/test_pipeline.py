@@ -249,3 +249,41 @@ def test_doc_chunks_converges_across_reorgs(spark, tmp_path):
     got = {r["doc_id"]: list(r["chunk_tokens"])
            for r in pipe.state("doc_chunks").collect()}
     assert got == want
+
+
+def test_doc_history_is_append_only_across_reorgs(spark, tmp_path):
+    """The audit entity only ever grows: every hop's net changes land as
+    immutable rows keyed (entity, observed version); an upstream reorg
+    appends corrective rows under new versions instead of rewriting."""
+    from blockchain_etl_spark.streaming.epoch_store import EpochStore
+
+    epochs = generate_changelog(seed=31, n_epochs=3, p_reorg_epoch=0.5)
+    root = SnapshotTable.create(
+        spark, str(tmp_path / "docs"), TARGET_SCHEMA, n_buckets=8
+    )
+    store = EpochStore(spark, str(tmp_path / "store"))
+    eng = CdcEngine(spark, root, epoch_store=store, collect_metrics=False)
+    pipe = EntityPipeline(spark, root, str(tmp_path), ["doc_history"])
+
+    sizes = []
+    for i, ep in enumerate(epochs):
+        store.write_epoch(i, events_to_df(spark, ep))
+        eng.apply_epoch(store.read_epoch(i), i)
+        pipe.run_once()
+        sizes.append(pipe.state("doc_history").count())
+    assert sizes == sorted(sizes)  # monotone growth, never a rewrite
+
+    hist = pipe.state("doc_history").collect()
+    # unique immutable keys; latest observed row per entity mirrors the
+    # oracle's final state (delete rows close entities that ended dead)
+    assert len({r["doc_id"] for r in hist}) == len(hist)
+    latest = {}
+    for r in sorted(hist, key=lambda r: (r["entity_id"], r["observed_version"])):
+        latest[r["entity_id"]] = r
+    want = _oracle_state(epochs)
+    live = {k: r for k, r in latest.items() if r["change_type"] != "delete"}
+    assert {k: r["n_tok"] for k, r in live.items()} == {
+        k: v["n_tok"] for k, v in want.items()
+    }
+    # idempotent when caught up
+    assert all(m is None for m in pipe.run_once().values())

@@ -351,3 +351,38 @@ def test_clone_at_is_independent_of_source_lifecycle(spark, tmp_path):
              epoch_hash="f")]), epoch_id=77)
     assert "fork-only" in {r["doc_id"] for r in read_state(c).collect()}
     assert "fork-only" not in {r["doc_id"] for r in read_state(t).collect()}
+
+
+def test_clone_retry_after_crash_is_idempotent(spark, tmp_path):
+    """A clone that crashed after linking some files but before its
+    manifest write must be retryable: links to the same immutable files
+    are treated as already-done, and the manifest write is the commit."""
+    import os
+
+    from blockchain_etl_spark.cdc.apply import CdcEngine, read_state
+    from blockchain_etl_spark.cdc.generator import events_to_df
+    from blockchain_etl_spark.cdc.schema import TARGET_SCHEMA
+    from blockchain_etl_spark.tables.snapshot import SnapshotTable
+
+    t = SnapshotTable.create(spark, str(tmp_path / "src"), TARGET_SCHEMA, n_buckets=4)
+    eng = CdcEngine(spark, t, collect_metrics=False, mode="mor")
+    eng.apply_epoch(events_to_df(spark, [
+        dict(stream_pos=i, lsn=i, seq=0, op="I", doc_id=f"d{i}", tokens=[i],
+             n_tok=1, source="s", rollback_to_lsn=None, epoch_hash=f"e{i}")
+        for i in range(1, 9)]), epoch_id=0)
+
+    dst = str(tmp_path / "fork")
+    # simulate the crash: link a SUBSET of the data files, no manifest
+    m = t.manifest()
+    half = m.files[: len(m.files) // 2]
+    for f in half:
+        p = os.path.join(dst, f["path"])
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        os.link(os.path.join(t.path, f["path"]), p)
+    assert not SnapshotTable(spark, dst).exists()
+
+    c = t.clone_at(dst)  # retry completes over the partial residue
+    assert c.exists()
+    assert {r["doc_id"] for r in read_state(c).collect()} == {
+        f"d{i}" for i in range(1, 9)
+    }
