@@ -2526,6 +2526,105 @@ FROM hop2 WHERE in0 AND NOT in1
 """
 
 
+def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy quality score (the CCNet-style LM filter's
+    stand-in): per-doc mean negative log-probability under the corpus's
+    own unigram distribution — boilerplate/common-word docs score low,
+    rare-garbage docs score high; both tails get filtered.
+
+    Exactness: counts are integers; log((total+V)/(count+1)) is one libm
+    call on an exact ratio, summed per doc then rounded — same
+    float-safety class as tfidf (no ranking rides on the float).
+
+    Scale: corpus counts are one (word) agg; the doc-side join is on the
+    word dim (heavy-tailed → AQE skew split); per-doc mean is a second
+    agg. Three shuffles total, all map-side combined."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    w = d.select("doc_id", F.explode(X.words("text")).alias("word"))
+    counts = w.groupBy("word").agg(F.count("*").alias("c"))
+    tot_row = counts.agg(
+        F.sum("c").alias("t"), F.count("*").alias("v")
+    ).first()
+    total, vocab = int(tot_row["t"]), int(tot_row["v"])
+    nlp = F.log(F.lit(float(total + vocab)) / (F.col("c") + 1))
+    return (
+        w.join(counts, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.round(F.avg(nlp), 6).alias("mean_nlp"),
+        )
+    )
+
+
+_UNIGRAM_SQL = """
+WITH w AS (
+  SELECT doc_id, unnest(list_filter(string_split_regex(text, '\\s+'),
+                                    x -> x <> '')) AS word
+  FROM documents
+),
+c AS (SELECT word, count(*) AS c FROM w GROUP BY word),
+t AS (SELECT sum(c) AS total, count(*) AS vocab FROM c)
+SELECT w.doc_id, count(*) AS n_words,
+       round(avg(ln((t.total + t.vocab)::DOUBLE / (c.c + 1))), 6) AS mean_nlp
+FROM w JOIN c USING (word), t
+GROUP BY w.doc_id
+"""
+
+
+def dedup_keeplist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deduped-corpus OUTPUT: near-dup clustering's canonical
+    representatives — one doc per duplicate cluster (the min doc id,
+    which IS the component label), singletons kept as themselves. This
+    is the row set a training run actually reads after dedup; the
+    cluster sizes ride along as the dedup report.
+
+    Edges require >= 2 shared LSH bands (the precision dial: one shared
+    band at this corpus's tiny vocabulary connects nearly everything —
+    band-count thresholding is the standard banded-LSH precision/recall
+    trade)."""
+    from blockchain_etl_spark.operators.dedup import connected_components
+
+    pairs = dedup.minhash_lsh_pairs(spark, sf_dir).filter(
+        F.col("n_shared_bands") >= 2
+    )
+    nodes = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.col("doc_id") % 5 == 0)
+        .select(F.col("doc_id").alias("node"))
+    )
+    comp = connected_components(pairs, nodes=nodes)
+    sizes = comp.groupBy("label").agg(F.count("*").alias("cluster_size"))
+    return (
+        comp.filter(F.col("node") == F.col("label"))
+        .join(sizes, "label")
+        .select(F.col("node").alias("doc_id"), "cluster_size")
+    )
+
+
+def _dedup_keeplist_sql(num_hashes: int = 8, bands: int = 4, sample_mod: int = 5) -> str:
+    return f"""
+WITH RECURSIVE {_minhash_banded_cte(num_hashes, bands, sample_mod)},
+pairs AS (
+  SELECT a.doc_id AS a, b.doc_id AS b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+  HAVING count(*) >= 2
+),
+esym AS (SELECT a AS x, b AS y FROM pairs UNION SELECT b, a FROM pairs),
+reach(node, r) AS (
+  SELECT doc_id, doc_id FROM documents WHERE doc_id % {sample_mod} = 0
+  UNION
+  SELECT e.x, reach.r FROM reach JOIN esym e ON e.y = reach.node
+),
+comp AS (SELECT node, min(r) AS label FROM reach GROUP BY node),
+sizes AS (SELECT label, count(*) AS cluster_size FROM comp GROUP BY label)
+SELECT node AS doc_id, cluster_size
+FROM comp JOIN sizes USING (label) WHERE node = label
+"""
+
+
 def length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source document-length quartiles + counts — the distribution
     profile corpus reports lead with (length filters are set from these
@@ -2602,13 +2701,13 @@ QUERIES: dict[str, callable] = {
     "tfidf_terms": tfidf_terms,
     "source_overlap": source_overlap,
     "length_quantiles": length_quantiles,
+    "unigram_logprob": unigram_logprob,
+    "dedup_keeplist": dedup_keeplist,
     "pii_redact": pii_redact,
     "stratified_sample": stratified_sample,
     # relational parity (SURVEY §2.5-2.8)
     "broadcast_dim_join": relational.broadcast_dim_join,
-    "full_outer_sendrecv": relational.full_outer_sendrecv,
     "holder_detail_agg": relational.holder_detail_agg,
-    "asof_lookup": relational.asof_lookup,
     "trace_status": trace_status,
     "rule_engine_filter": rule_engine_filter,
     "rule_label_alert": rule_label_alert,
@@ -2635,6 +2734,8 @@ QUERIES: dict[str, callable] = {
     "repetition_ratio": repetition_ratio,
     "corpus_prepare": corpus_prepare,
     # ---- tail: driver-green 2+ rounds; local parity suite still covers ----
+    "asof_lookup": relational.asof_lookup,
+    "full_outer_sendrecv": relational.full_outer_sendrecv,
     "incremental_source_stats": relational.incremental_source_stats,
     "dedup_checker_invariant": relational.dedup_checker_invariant,
     "log_transfer_extract": log_transfer_extract,
@@ -2877,6 +2978,8 @@ def oracle_sqls() -> dict[str, str]:
         "tfidf_terms": _TFIDF_SQL,
         "source_overlap": _SOURCE_OVERLAP_SQL,
         "length_quantiles": _LENGTH_QUANTILES_SQL,
+        "unigram_logprob": _UNIGRAM_SQL,
+        "dedup_keeplist": _dedup_keeplist_sql(),
         "pii_redact": _PII_REDACT_SQL,
         "stratified_sample": _sample_sql(),
         "explode_tokens": _EXPLODE_TOKENS_SQL,
