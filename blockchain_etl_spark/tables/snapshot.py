@@ -52,6 +52,11 @@ from pyspark.sql import types as T
 
 _BUCKET_COL = "_bucket"
 
+
+class CommitConflictError(RuntimeError):
+    """A concurrent writer committed this version first (optimistic
+    concurrency loser) — re-read the table state and retry."""
+
 # columns whose footer stats land in the manifest (Iceberg's per-file
 # min/max metrics, restricted to the ones with pruning consumers)
 _STATS_COLS = ("lsn", "deleted")
@@ -150,7 +155,13 @@ class SnapshotTable:
             schema_version=0,
             schemas={"0": json.dumps(schema.jsonValue())},
         )
-        t._write_manifest(m)
+        try:
+            t._write_manifest(m)
+        except CommitConflictError:
+            # a previous create wrote v0 but crashed before the pointer
+            # swap — the conflict handler healed the pointer, so the
+            # table now exists; creating it is idempotent
+            pass
         # creation identity: lets external cursors (cascade hops) detect
         # that "the table at this path" was deleted and recreated — their
         # saved position is then meaningless and must be discarded
@@ -179,11 +190,26 @@ class SnapshotTable:
         return os.path.join(self.path, "manifests", f"v{version:08d}.json")
 
     def _write_manifest(self, m: Manifest) -> None:
-        """Atomic commit: write the manifest, then swap the LATEST pointer.
+        """Atomic commit: CAS-create the version's manifest file, then
+        advance the LATEST pointer.
 
-        A crash before the pointer swap leaves the table at the previous
-        version with some orphan data files (garbage-collectable), never
-        a torn state — same guarantee as Iceberg's metadata swap.
+        Optimistic concurrency (Iceberg's commit protocol): the manifest
+        file is created with link(2) — atomic create-if-absent — so two
+        writers racing to commit the SAME next version produce exactly
+        one winner; the loser gets :class:`CommitConflictError` and must
+        re-read the table and re-derive its commit (its data files are
+        orphans, GC-able). Without the CAS, last-write-wins on the
+        manifest path would silently DROP the first writer's commit.
+
+        The pointer swap never regresses: it only advances (a writer
+        whose pointer write trails a later version's leaves the newer
+        pointer in place), and a conflict first heals the pointer up to
+        the existing manifest — covering the window where the previous
+        winner crashed between its CAS and its pointer swap.
+
+        A crash before the pointer swap leaves the table readable at the
+        previous version with a committed-but-unpublished manifest,
+        healed by the next writer — never a torn state.
         """
         mp = self._manifest_path(m.version)
         tmp = mp + f".tmp-{uuid.uuid4().hex}"
@@ -191,14 +217,17 @@ class SnapshotTable:
             f.write(m.to_json())
             f.flush()
             os.fsync(f.fileno())
-        os.replace(tmp, mp)
-        ptr = os.path.join(self.path, "manifests", "LATEST")
-        tmp = ptr + f".tmp-{uuid.uuid4().hex}"
-        with open(tmp, "w") as f:
-            f.write(str(m.version))
-            f.flush()
-            os.fsync(f.fileno())
-        os.replace(tmp, ptr)
+        try:
+            os.link(tmp, mp)  # the CAS: fails iff the version is taken
+        except FileExistsError:
+            os.unlink(tmp)
+            self._advance_pointer(m.version)  # heal a crashed winner's swap
+            raise CommitConflictError(
+                f"version {m.version} of {self.path} was committed by a "
+                f"concurrent writer — re-read the table and retry the commit"
+            ) from None
+        os.unlink(tmp)
+        self._advance_pointer(m.version)
         # version→watermark sidecar: makes latest_version_at_or_before an
         # index scan with ZERO per-version manifest reads. Crash after the
         # pointer swap but before this append is healed by the lookup's
@@ -207,6 +236,24 @@ class SnapshotTable:
             f.write(
                 json.dumps({"version": m.version, "lsn": m.watermark["lsn"]}) + "\n"
             )
+
+    def _advance_pointer(self, version: int) -> None:
+        """Move LATEST forward to ``version`` if it is not already at or
+        past it (monotone — the read-check-replace window is benign:
+        losing the race means a NEWER pointer is in place)."""
+        ptr = os.path.join(self.path, "manifests", "LATEST")
+        try:
+            with open(ptr) as f:
+                if int(f.read().strip()) >= version:
+                    return
+        except (FileNotFoundError, ValueError):
+            pass
+        tmp = ptr + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            f.write(str(version))
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, ptr)
 
     def current_version(self) -> int:
         with open(os.path.join(self.path, "manifests", "LATEST")) as f:

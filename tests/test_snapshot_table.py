@@ -386,3 +386,55 @@ def test_clone_retry_after_crash_is_idempotent(spark, tmp_path):
     assert {r["doc_id"] for r in read_state(c).collect()} == {
         f"d{i}" for i in range(1, 9)
     }
+
+
+def test_concurrent_commit_loser_gets_conflict_and_pointer_heals(spark, tmp_path):
+    """Optimistic concurrency: two writers racing to the same next
+    version produce one winner; the loser raises CommitConflictError
+    instead of silently clobbering the winner's commit, and the pointer
+    heals to the winner even if the winner crashed before its swap."""
+    import json as _json
+    import os
+
+    import pytest as _pt
+
+    from blockchain_etl_spark.cdc.schema import TARGET_SCHEMA
+    from blockchain_etl_spark.tables.snapshot import (
+        CommitConflictError,
+        Manifest,
+        SnapshotTable,
+    )
+
+    t = SnapshotTable.create(spark, str(tmp_path / "t"), TARGET_SCHEMA, n_buckets=2)
+    df = spark.createDataFrame(
+        [("a", [1], 1, "s", 1, 0, None, False)], TARGET_SCHEMA
+    )
+    t.overwrite(df)  # v1
+    base = t.manifest()
+
+    # a concurrent winner commits v2 but CRASHES before the pointer swap
+    winner = Manifest(
+        version=base.version + 1, key=base.key, n_buckets=base.n_buckets,
+        schema_version=base.schema_version, schemas=base.schemas,
+        files=base.files, watermark=base.watermark,
+        applied_epochs=base.applied_epochs, parent=base.version,
+        lineage={"who": "winner"},
+    )
+    with open(t._manifest_path(winner.version), "w") as f:
+        f.write(winner.to_json())
+    assert t.current_version() == base.version  # swap never happened
+
+    # our commit at the same version must CONFLICT, not clobber
+    with _pt.raises(CommitConflictError, match="concurrent writer"):
+        t.overwrite(df)
+    # ...and the conflict healed the pointer to the crashed winner
+    assert t.current_version() == winner.version
+    assert t.manifest().lineage == {"who": "winner"}
+
+    # the retry (fresh read) lands cleanly on the NEXT version
+    v = t.overwrite(df)
+    assert v == winner.version + 1
+
+    # pointer never regresses: a stale writer's late swap is a no-op
+    t._advance_pointer(1)
+    assert t.current_version() == v
