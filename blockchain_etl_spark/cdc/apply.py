@@ -41,7 +41,11 @@ from pyspark.sql import functions as F
 
 from blockchain_etl_spark.streaming.epoch_store import EpochStore
 from blockchain_etl_spark.tables.schema_util import conform, merge_schemas
-from blockchain_etl_spark.tables.snapshot import SnapshotTable, bucket_expr
+from blockchain_etl_spark.tables.snapshot import (
+    CommitConflictError,
+    SnapshotTable,
+    bucket_expr,
+)
 
 # event bookkeeping columns — everything else in an event is payload, so
 # a stream that grows columns (schema evolution) Just Works: new payload
@@ -389,16 +393,33 @@ class CdcEngine:
         # --- last-writer per key, then merge ------------------------------
         ups = dedup_last_writer(valid)
         new_wm = {"lsn": pre["ls"]["lsn"], "seq": pre["ls"]["seq"], "pos": pre["pos"]}
-        if self.mode == "mor":
-            metrics = self._append(
-                ups, epoch_id=epoch_id, watermark=new_wm, extra_epochs=prior_epochs,
-                lineage_extra=lineage_extra,
-            )
-        else:
-            metrics = self._merge(
-                ups, epoch_id=epoch_id, watermark=new_wm, extra_epochs=prior_epochs,
-                lineage_extra=lineage_extra,
-            )
+        # optimistic-concurrency retry: a concurrent writer winning our
+        # version is NOT an error for the epoch — re-check the ledger
+        # (the competitor may have applied this very epoch: redelivery
+        # through two workers), then re-derive against the fresh state.
+        # Each attempt recomputes from the current manifest, so the
+        # retried merge sees the competitor's rows; conflicted data
+        # files are orphans, reclaimed by GC.
+        for attempt in range(3):
+            try:
+                if self.mode == "mor":
+                    metrics = self._append(
+                        ups, epoch_id=epoch_id, watermark=new_wm,
+                        extra_epochs=prior_epochs, lineage_extra=lineage_extra,
+                    )
+                else:
+                    metrics = self._merge(
+                        ups, epoch_id=epoch_id, watermark=new_wm,
+                        extra_epochs=prior_epochs, lineage_extra=lineage_extra,
+                    )
+                break
+            except CommitConflictError:
+                m2 = self.table.manifest()
+                if epoch_id in m2.applied_epochs:
+                    return None  # the competitor applied it — exactly-once
+                if attempt == 2:
+                    raise
+                prior_epochs = list(m2.applied_epochs)
         metrics["lsn_min"] = pre["lsn_min"]
         metrics["lsn_max"] = new_wm["lsn"]
         metrics["n_events"] = pre["n_events"]

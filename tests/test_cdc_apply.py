@@ -164,3 +164,57 @@ def test_mor_compaction_preserves_state(spark, tmp_path):
     assert after == before == oracle_replay(flat)
     # tombstones survive compaction (stale-replay guard)
     assert table.read().filter("deleted").count() > 0
+
+
+def test_apply_retries_through_commit_conflict(spark, tmp_path):
+    """A concurrent writer stealing our next version must not fail the
+    epoch: apply re-checks the ledger and re-derives against the fresh
+    state, landing one version later with identical results."""
+    from blockchain_etl_spark.tables.snapshot import Manifest, SnapshotTable
+
+    t = SnapshotTable.create(spark, str(tmp_path / "t"), TARGET_SCHEMA, n_buckets=2)
+    eng = CdcEngine(spark, t, collect_metrics=False, mode="mor")
+    eng.apply_epoch(events_to_df(spark, [
+        dict(stream_pos=1, lsn=1, seq=0, op="I", doc_id="a", tokens=[1],
+             n_tok=1, source="s", rollback_to_lsn=None, epoch_hash="e1")]),
+        epoch_id=0)
+    v = t.current_version()
+
+    # competitor commits v+1 (a foreign epoch) before our next apply
+    base = t.manifest()
+    foreign = Manifest(
+        version=v + 1, key=base.key, n_buckets=base.n_buckets,
+        schema_version=base.schema_version, schemas=base.schemas,
+        files=base.files, watermark=base.watermark,
+        applied_epochs=base.applied_epochs + [999], parent=v,
+        lineage={"who": "competitor"},
+    )
+    with open(t._manifest_path(foreign.version), "w") as f:
+        f.write(foreign.to_json())
+
+    m = eng.apply_epoch(events_to_df(spark, [
+        dict(stream_pos=2, lsn=2, seq=0, op="I", doc_id="b", tokens=[2],
+             n_tok=1, source="s", rollback_to_lsn=None, epoch_hash="e2")]),
+        epoch_id=1)
+    assert m is not None
+    assert t.current_version() == v + 2  # landed AFTER the competitor
+    ledger = t.manifest().applied_epochs
+    assert 1 in ledger and 999 in ledger  # both commits survived
+    got = {r["doc_id"] for r in read_state(t).collect()}
+    assert got == {"a", "b"}
+
+    # if the competitor had applied OUR epoch, apply returns None (dedup)
+    base = t.manifest()
+    foreign2 = Manifest(
+        version=base.version + 1, key=base.key, n_buckets=base.n_buckets,
+        schema_version=base.schema_version, schemas=base.schemas,
+        files=base.files, watermark=base.watermark,
+        applied_epochs=base.applied_epochs + [7], parent=base.version,
+        lineage={},
+    )
+    with open(t._manifest_path(foreign2.version), "w") as f:
+        f.write(foreign2.to_json())
+    assert eng.apply_epoch(events_to_df(spark, [
+        dict(stream_pos=3, lsn=3, seq=0, op="I", doc_id="c", tokens=[3],
+             n_tok=1, source="s", rollback_to_lsn=None, epoch_hash="e3")]),
+        epoch_id=7) is None
