@@ -290,6 +290,52 @@ def table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _changelog_valid(spark: SparkSession, sf_dir: str):
+    """The gate-shared event stream: valid I/U/D events (the reorg and
+    rejection paths are cdc_replay_final_state's job) + the median-LSN
+    epoch split — the SAME filter/split the oracle twins encode."""
+    ev = derive_changelog(spark, sf_dir).filter(
+        F.col("op").isin("I", "U", "D")
+        & (
+            (F.col("op") == "D")
+            | (F.col("tokens").isNotNull() & (F.col("n_tok") == F.size("tokens")))
+        )
+    )
+    return ev, ev.agg(F.max("lsn")).first()[0] // 2
+
+
+def _pipeline_gate(
+    spark: SparkSession,
+    sf_dir: str,
+    prefix: str,
+    entities: list[str],
+    root_buckets: int = 8,
+):
+    """Shared scaffold for the entity-DAG gates: ingest the filtered
+    changelog into a root table in TWO copy-on-write commits with a
+    pipeline hop after each (the incremental path), return the pipeline."""
+    import os
+
+    from blockchain_etl_spark.cdc.apply import CdcEngine
+    from blockchain_etl_spark.cdc.schema import TARGET_SCHEMA
+    from blockchain_etl_spark.streaming.pipeline import EntityPipeline
+    from blockchain_etl_spark.tables.snapshot import SnapshotTable
+
+    ev, mid = _changelog_valid(spark, sf_dir)
+    work = _pid_scoped_gate_dir(prefix)
+    table = SnapshotTable.create(
+        spark, os.path.join(work, "docs"), TARGET_SCHEMA, key="doc_id",
+        n_buckets=root_buckets,
+    )
+    eng = CdcEngine(spark, table, mode="cow", collect_metrics=False)
+    pipe = EntityPipeline(spark, table, work, entities, n_buckets=8)
+    eng.apply_epoch(ev.filter(F.col("lsn") <= mid), epoch_id=1)
+    pipe.run_once()
+    eng.apply_epoch(ev.filter(F.col("lsn") > mid), epoch_id=2)
+    pipe.run_once()
+    return pipe
+
+
 def entity_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dependency-DAG fan-out ≙ eth_streamer_adapter.py:354-403
     (``_should_export`` over the entity_type.py catalog): the derived
@@ -300,34 +346,10 @@ def entity_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     only the sources the second commit touched. Returns the converged
     source_stats table; the oracle recomputes it as a grouped aggregate
     over relational last-writer state."""
-    import os
-
-    from blockchain_etl_spark.cdc.apply import CdcEngine
-    from blockchain_etl_spark.cdc.schema import TARGET_SCHEMA
-    from blockchain_etl_spark.streaming.pipeline import EntityPipeline
-    from blockchain_etl_spark.tables.snapshot import SnapshotTable
-
-    ev = derive_changelog(spark, sf_dir).filter(
-        F.col("op").isin("I", "U", "D")
-        & (
-            (F.col("op") == "D")
-            | (F.col("tokens").isNotNull() & (F.col("n_tok") == F.size("tokens")))
-        )
+    pipe = _pipeline_gate(
+        spark, sf_dir, "entity-pipeline-gate", ["source_stats", "long_docs"],
+        root_buckets=16,
     )
-    mid = ev.agg(F.max("lsn")).first()[0] // 2
-
-    work = _pid_scoped_gate_dir("entity-pipeline-gate")
-    table = SnapshotTable.create(
-        spark, os.path.join(work, "docs"), TARGET_SCHEMA, key="doc_id", n_buckets=16
-    )
-    eng = CdcEngine(spark, table, mode="cow", collect_metrics=False)
-    pipe = EntityPipeline(
-        spark, table, work, ["source_stats", "long_docs"], n_buckets=8
-    )
-    eng.apply_epoch(ev.filter(F.col("lsn") <= mid), epoch_id=1)
-    pipe.run_once()
-    eng.apply_epoch(ev.filter(F.col("lsn") > mid), epoch_id=2)
-    pipe.run_once()
     return pipe.state("source_stats").select(
         F.col("doc_id").alias("source"), "n_docs", "total_tokens"
     )
@@ -2191,10 +2213,6 @@ WHERE ('0x' || substr(md5('samp' || doc_id::VARCHAR), 1, 8))::BIGINT % 10000
 """
 
 
-def kmeans_refine_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return similarity.kmeans_refine(spark, sf_dir)
-
-
 _KMEANS_SQL = f"""
 WITH e AS (
   SELECT vec_id,
@@ -2377,31 +2395,7 @@ def entity_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     hop after each; the oracle chunks the relational last-writer state
     directly — equality proves the incremental hops converge to the
     batch recompute."""
-    import os
-
-    from blockchain_etl_spark.cdc.apply import CdcEngine
-    from blockchain_etl_spark.cdc.schema import TARGET_SCHEMA
-    from blockchain_etl_spark.streaming.pipeline import EntityPipeline
-    from blockchain_etl_spark.tables.snapshot import SnapshotTable
-
-    ev = derive_changelog(spark, sf_dir).filter(
-        F.col("op").isin("I", "U", "D")
-        & (
-            (F.col("op") == "D")
-            | (F.col("tokens").isNotNull() & (F.col("n_tok") == F.size("tokens")))
-        )
-    )
-    mid = ev.agg(F.max("lsn")).first()[0] // 2
-    work = _pid_scoped_gate_dir("entity-chunks-gate")
-    table = SnapshotTable.create(
-        spark, os.path.join(work, "docs"), TARGET_SCHEMA, key="doc_id", n_buckets=8
-    )
-    eng = CdcEngine(spark, table, mode="cow", collect_metrics=False)
-    pipe = EntityPipeline(spark, table, work, ["doc_chunks"], n_buckets=8)
-    eng.apply_epoch(ev.filter(F.col("lsn") <= mid), epoch_id=1)
-    pipe.run_once()
-    eng.apply_epoch(ev.filter(F.col("lsn") > mid), epoch_id=2)
-    pipe.run_once()
+    pipe = _pipeline_gate(spark, sf_dir, "entity-chunks-gate", ["doc_chunks"])
     return pipe.state("doc_chunks").select(
         F.col("doc_id").alias("chunk_key"),
         "parent_id",
@@ -2450,31 +2444,7 @@ def entity_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle rebuilds the same log relationally: state at the mid-LSN cut
     emits as version-1 inserts; the mid→end diff (insert / update
     post-image / delete, pre-images excluded) emits at version 2."""
-    import os
-
-    from blockchain_etl_spark.cdc.apply import CdcEngine
-    from blockchain_etl_spark.cdc.schema import TARGET_SCHEMA
-    from blockchain_etl_spark.streaming.pipeline import EntityPipeline
-    from blockchain_etl_spark.tables.snapshot import SnapshotTable
-
-    ev = derive_changelog(spark, sf_dir).filter(
-        F.col("op").isin("I", "U", "D")
-        & (
-            (F.col("op") == "D")
-            | (F.col("tokens").isNotNull() & (F.col("n_tok") == F.size("tokens")))
-        )
-    )
-    mid = ev.agg(F.max("lsn")).first()[0] // 2
-    work = _pid_scoped_gate_dir("entity-history-gate")
-    table = SnapshotTable.create(
-        spark, os.path.join(work, "docs"), TARGET_SCHEMA, key="doc_id", n_buckets=8
-    )
-    eng = CdcEngine(spark, table, mode="cow", collect_metrics=False)
-    pipe = EntityPipeline(spark, table, work, ["doc_history"], n_buckets=8)
-    eng.apply_epoch(ev.filter(F.col("lsn") <= mid), epoch_id=1)
-    pipe.run_once()
-    eng.apply_epoch(ev.filter(F.col("lsn") > mid), epoch_id=2)
-    pipe.run_once()
+    pipe = _pipeline_gate(spark, sf_dir, "entity-history-gate", ["doc_history"])
     return pipe.state("doc_history").select(
         F.col("doc_id").alias("hist_key"),
         "entity_id",
@@ -2696,7 +2666,7 @@ QUERIES: dict[str, callable] = {
     "frame_sample": multimodal.frame_sample,
     "resize_bytes": multimodal.resize_bytes,
     # new in r4: clustering / scrub / sampling
-    "kmeans_refine": kmeans_refine_q,
+    "kmeans_refine": similarity.kmeans_refine,
     "dedup_components": dedup_components,
     "tfidf_terms": tfidf_terms,
     "source_overlap": source_overlap,

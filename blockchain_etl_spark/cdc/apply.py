@@ -301,7 +301,18 @@ class CdcEngine:
                     raise RuntimeError(
                         f"reorg to lsn {min_rb} is deeper than snapshot retention"
                     )
-                self.table.rollback_to_version(v, lineage={"epoch_id": epoch_id})
+                try:
+                    self.table.rollback_to_version(v, lineage={"epoch_id": epoch_id})
+                except CommitConflictError:
+                    # a competitor advanced the table mid-reorg: if it
+                    # applied this very epoch, the dedup contract holds;
+                    # otherwise the interleaving is a genuine write-write
+                    # race on a reorging table — surface it (reorg epochs
+                    # must be single-writer, like the reference's one
+                    # streamer per chain)
+                    if epoch_id in self.table.manifest().applied_epochs:
+                        return None
+                    raise
                 snap_wm = self.table.manifest().watermark
                 # replay the retained slice (snapshot, batch start) up to
                 # the rollback point; inner markers re-apply their kills.
@@ -355,13 +366,24 @@ class CdcEngine:
                 pre["pos"] = cur["pos"]
 
         if pre["n_events"] == 0:
-            # empty epoch: ledger-only commit (exactly-once)
-            self.table.replace_buckets(
-                [],
-                self.spark.createDataFrame([], self.table.manifest().schema()),
-                epoch_id=epoch_id,
-                extra_epochs=prior_epochs,
-            )
+            # empty epoch: ledger-only commit (exactly-once). A commit
+            # conflict here is the redelivered-to-two-workers race — the
+            # competitor either recorded this epoch (skip) or advanced the
+            # table (retry the ledger stamp against the fresh manifest).
+            for attempt in range(3):
+                try:
+                    self.table.replace_buckets(
+                        [],
+                        self.spark.createDataFrame([], self.table.manifest().schema()),
+                        epoch_id=epoch_id,
+                        extra_epochs=list(self.table.manifest().applied_epochs),
+                    )
+                    break
+                except CommitConflictError:
+                    if epoch_id in self.table.manifest().applied_epochs:
+                        return None
+                    if attempt == 2:
+                        raise
             return {
                 "epoch_id": epoch_id, "n_events": 0, "n_insert": 0, "n_update": 0,
                 "n_delete": 0, "n_stale": 0, "n_rejected": 0, "n_reorg": 0,
@@ -540,9 +562,18 @@ class CdcEngine:
             b for b, c in dcounts.items() if c >= self.compact_delta_threshold
         )
         if over:
-            self.table.compact(buckets=over)
-            metrics["compacted"] = True
-            metrics["compacted_buckets"] = over
+            try:
+                self.table.compact(buckets=over)
+                metrics["compacted"] = True
+                metrics["compacted_buckets"] = over
+            except CommitConflictError:
+                # the EPOCH commit above already succeeded — a concurrent
+                # writer merely won the next version. Letting this
+                # propagate to the epoch retry loop would misread our own
+                # ledger entry as "competitor applied it" and return None
+                # despite a successful apply. Compaction is advisory:
+                # defer to a later epoch.
+                metrics["compaction_deferred"] = True
         return metrics
 
     # ------------------------------------------------- copy-on-write merge

@@ -413,14 +413,19 @@ def connected_components(
             .agg(F.min("label").alias("label"))
             .localCheckpoint(eager=True)
         )
+        # convergence = NO (node, label) pair differs from the previous
+        # round. The anti join on BOTH columns also catches nodes first
+        # introduced by messages (edge endpoints outside `nodes`), which
+        # a node-keyed inner-join comparison would silently ignore —
+        # early-exiting before their labels propagate.
         changed = (
-            new.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
+            new.join(labels, ["node", "label"], "left_anti").limit(1).count()
         )
         labels = new
         if changed == 0:
-            break
-    return labels
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge within {max_iters} rounds "
+        f"— a component's diameter exceeds the iteration budget; raise "
+        f"max_iters (or pre-contract with large-star/small-star)"
+    )

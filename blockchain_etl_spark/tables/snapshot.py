@@ -160,17 +160,29 @@ class SnapshotTable:
         except CommitConflictError:
             # a previous create wrote v0 but crashed before the pointer
             # swap — the conflict handler healed the pointer, so the
-            # table now exists; creating it is idempotent
-            pass
+            # table now exists and creating it is idempotent. A POPULATED
+            # table at this path is a different situation entirely:
+            # proceeding would hand the caller old state under a fresh
+            # identity (and invalidate live cascade cursors) — refuse.
+            if t.current_version() > 0:
+                raise FileExistsError(
+                    f"{path} already holds a table at version "
+                    f"{t.current_version()} — open it with SnapshotTable("
+                    f"spark, path) or remove it before create()"
+                ) from None
         # creation identity: lets external cursors (cascade hops) detect
         # that "the table at this path" was deleted and recreated — their
-        # saved position is then meaningless and must be discarded
-        uid_tmp = os.path.join(path, "manifests", f"TABLE_ID.tmp-{uuid.uuid4().hex}")
-        with open(uid_tmp, "w") as f:
-            f.write(uuid.uuid4().hex)
-            f.flush()
-            os.fsync(f.fileno())
-        os.replace(uid_tmp, os.path.join(path, "manifests", "TABLE_ID"))
+        # saved position is then meaningless and must be discarded.
+        # Kept if already present (idempotent completion of a crashed
+        # create must not rotate the identity out from under consumers).
+        uid_path = os.path.join(path, "manifests", "TABLE_ID")
+        if not os.path.exists(uid_path):
+            uid_tmp = uid_path + f".tmp-{uuid.uuid4().hex}"
+            with open(uid_tmp, "w") as f:
+                f.write(uuid.uuid4().hex)
+                f.flush()
+                os.fsync(f.fileno())
+            os.replace(uid_tmp, uid_path)
         return t
 
     def exists(self) -> bool:
@@ -239,21 +251,31 @@ class SnapshotTable:
 
     def _advance_pointer(self, version: int) -> None:
         """Move LATEST forward to ``version`` if it is not already at or
-        past it (monotone — the read-check-replace window is benign:
-        losing the race means a NEWER pointer is in place)."""
+        past it. The read-check-replace runs under an advisory flock so
+        two committers cannot interleave check and swap — without it, a
+        v5 committer preempted between check and replace could overwrite
+        a v6 committer's pointer, hiding committed data until the next
+        conflict healed it (read-your-writes would break for the v6
+        writer). Readers never take the lock (pointer reads stay one
+        open())."""
+        import fcntl
+
         ptr = os.path.join(self.path, "manifests", "LATEST")
-        try:
-            with open(ptr) as f:
-                if int(f.read().strip()) >= version:
-                    return
-        except (FileNotFoundError, ValueError):
-            pass
-        tmp = ptr + f".tmp-{uuid.uuid4().hex}"
-        with open(tmp, "w") as f:
-            f.write(str(version))
-            f.flush()
-            os.fsync(f.fileno())
-        os.replace(tmp, ptr)
+        lock_path = os.path.join(self.path, "manifests", ".ptr.lock")
+        with open(lock_path, "w") as lock:
+            fcntl.flock(lock, fcntl.LOCK_EX)
+            try:
+                with open(ptr) as f:
+                    if int(f.read().strip()) >= version:
+                        return
+            except (FileNotFoundError, ValueError):
+                pass
+            tmp = ptr + f".tmp-{uuid.uuid4().hex}"
+            with open(tmp, "w") as f:
+                f.write(str(version))
+                f.flush()
+                os.fsync(f.fileno())
+            os.replace(tmp, ptr)
 
     def current_version(self) -> int:
         with open(os.path.join(self.path, "manifests", "LATEST")) as f:

@@ -222,7 +222,8 @@ def main(argv=None):
                          for e in pipe.order},
             "metrics": metrics,
         }, default=str))
-    elif args.cmd == "cascade":
+        return 0
+    if args.cmd == "cascade":
         from blockchain_etl_spark.streaming.cascade import CascadeTailer
 
         src = SnapshotTable(spark, args.src_table)

@@ -140,3 +140,33 @@ def test_stream_conforms_across_schema_evolution(spark, tmp_path):
     assert _norm(got_all) == _norm(want)
     langs = {r["doc_id"]: r["lang"] for r in got_all}
     assert langs["n1"] == "en" and langs["a"] is None
+
+
+def test_paced_stream_restart_never_regresses(spark, tmp_path):
+    """Restart safety under pacing: a fresh reader recovers its cursor
+    from Spark's checkpoint replay (partitions/commit are re-driven for
+    the committed batch before latestOffset), so the clamped offset
+    never falls behind the committed frontier — no version is re-emitted
+    across restarts, in order."""
+    t = _setup(spark, tmp_path)  # 3 commits
+    ck = str(tmp_path / "ckr")
+    seen = []
+    for _ in range(6):  # each invocation = a full restart
+        step = _run_stream(spark, t, ck, max_versions_per_batch=1)
+        if step:
+            vers = {(r["_from_version"], r["_to_version"]) for r in step}
+            assert len(vers) == 1  # exactly one commit per paced batch
+            seen.append(vers.pop())
+    assert seen == [(0, 1), (1, 2), (2, 3)]
+
+    # more commits after a cold restart — resumes exactly at the frontier
+    eng = CdcEngine(spark, t, collect_metrics=False, mode="mor")
+    eng.apply_epoch(events_to_df(spark, [_ev(20, "I", "r1", 1)]), epoch_id=5)
+    eng.apply_epoch(events_to_df(spark, [_ev(21, "I", "r2", 2)]), epoch_id=6)
+    for _ in range(4):
+        step = _run_stream(spark, t, ck, max_versions_per_batch=1)
+        if step:
+            seen.append(
+                (step[0]["_from_version"], step[0]["_to_version"])
+            )
+    assert seen == [(0, 1), (1, 2), (2, 3), (3, 4), (4, 5)]

@@ -165,3 +165,28 @@ def test_connected_components_chain_and_singleton(spark):
     got = {r["node"]: r["label"]
            for r in connected_components(edges, nodes=nodes).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 7: 7, 8: 7, 9: 9}
+
+
+def test_connected_components_bridges_nodes_outside_node_set(spark):
+    """Edge endpoints absent from `nodes` still conduct labels: a-b-c
+    with only {a, c} declared must merge a and c through b — and the
+    convergence probe must not early-exit while b's label is still
+    propagating (regression: a node-keyed inner-join probe ignored
+    message-introduced nodes)."""
+    from blockchain_etl_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "doc_a long, doc_b long")
+    nodes = spark.createDataFrame([(1,), (3,)], "node long")
+    got = {r["node"]: r["label"]
+           for r in connected_components(edges, nodes=nodes).collect()}
+    assert got[1] == 1 and got[3] == 1  # bridged through 2
+
+    # non-convergence inside the budget raises instead of silently
+    # returning partial labels
+    import pytest as _pt
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 12)], "doc_a long, doc_b long"
+    )
+    with _pt.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iters=2)
