@@ -438,3 +438,58 @@ def test_concurrent_commit_loser_gets_conflict_and_pointer_heals(spark, tmp_path
     # pointer never regresses: a stale writer's late swap is a no-op
     t._advance_pointer(1)
     assert t.current_version() == v
+
+
+def test_commit_cas_under_threaded_contention(spark, tmp_path):
+    """Four writers hammer the commit protocol concurrently (manifest
+    CAS + flock'd pointer, no Spark on the hot path): every version has
+    exactly one winner, the history is gapless, total wins equal the
+    version count, and the pointer lands on the max — no commit is ever
+    silently dropped or shadowed."""
+    import threading
+
+    from blockchain_etl_spark.cdc.schema import TARGET_SCHEMA
+    from blockchain_etl_spark.tables.snapshot import (
+        CommitConflictError,
+        Manifest,
+        SnapshotTable,
+    )
+
+    t = SnapshotTable.create(spark, str(tmp_path / "t"), TARGET_SCHEMA, n_buckets=2)
+    per_writer = 25
+    wins = {w: 0 for w in range(4)}
+
+    def worker(wid):
+        for _ in range(per_writer):
+            while True:
+                m = t.manifest()
+                new = Manifest(
+                    version=m.version + 1, key=m.key, n_buckets=m.n_buckets,
+                    schema_version=m.schema_version, schemas=m.schemas,
+                    files=m.files, watermark=m.watermark,
+                    applied_epochs=m.applied_epochs, parent=m.version,
+                    lineage={"writer": wid},
+                )
+                try:
+                    t._write_manifest(new)
+                    wins[wid] += 1
+                    break
+                except CommitConflictError:
+                    continue  # lost the race — re-read and retry
+
+    threads = [threading.Thread(target=worker, args=(w,)) for w in wins]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+
+    total = 4 * per_writer
+    assert sum(wins.values()) == total
+    assert t.current_version() == total  # pointer at the max, no shadowing
+    assert t.versions() == list(range(0, total + 1))  # gapless history
+    # every committed version names exactly one winner
+    owners = [t.manifest(v).lineage.get("writer") for v in range(1, total + 1)]
+    assert all(o in wins for o in owners)
+    from collections import Counter
+
+    assert Counter(owners) == Counter({w: wins[w] for w in wins if wins[w]})
