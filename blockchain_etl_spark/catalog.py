@@ -2595,6 +2595,44 @@ FROM comp JOIN sizes USING (label) WHERE node = label
 """
 
 
+_SPLIT_FRACTIONS = {"train": 0.9, "val": 0.05, "test": 0.05}
+
+
+def corpus_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment + per-(source, split)
+    counts — the split step every training pipeline runs after dedup
+    and filtering. A row's split is a pure function of its key (md5
+    hash ranges), so re-runs and backfills agree with no coordination
+    and documents never migrate between splits as other data changes —
+    the leakage-safety property the decontamination ops assume."""
+    from blockchain_etl_spark.operators.sampling import assign_splits
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = assign_splits(d.select("doc_id", "source"), _SPLIT_FRACTIONS)
+    return out.groupBy("source", "split").agg(
+        F.count("*").alias("n_docs"), F.min("doc_id").alias("min_doc")
+    )
+
+
+def _corpus_splits_sql() -> str:
+    names = sorted(_SPLIT_FRACTIONS)
+    cases, lo = [], 0
+    for n in names[:-1]:
+        lo += int(_SPLIT_FRACTIONS[n] * 10000)
+        cases.append(f"WHEN h < {lo} THEN '{n}'")
+    case = "CASE " + " ".join(cases) + f" ELSE '{names[-1]}' END"
+    return f"""
+WITH h AS (
+  SELECT doc_id, source,
+         ('0x' || substr(md5('split' || doc_id::VARCHAR), 1, 8))::BIGINT
+           % 10000 AS h
+  FROM documents
+)
+SELECT source, {case} AS split, count(*) AS n_docs, min(doc_id) AS min_doc
+FROM h GROUP BY 1, 2
+"""
+
+
 def length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source document-length quartiles + counts — the distribution
     profile corpus reports lead with (length filters are set from these
@@ -2675,9 +2713,9 @@ QUERIES: dict[str, callable] = {
     "dedup_keeplist": dedup_keeplist,
     "pii_redact": pii_redact,
     "stratified_sample": stratified_sample,
+    "corpus_splits": corpus_splits,
     # relational parity (SURVEY §2.5-2.8)
     "broadcast_dim_join": relational.broadcast_dim_join,
-    "holder_detail_agg": relational.holder_detail_agg,
     "trace_status": trace_status,
     "rule_engine_filter": rule_engine_filter,
     "rule_label_alert": rule_label_alert,
@@ -2704,6 +2742,7 @@ QUERIES: dict[str, callable] = {
     "repetition_ratio": repetition_ratio,
     "corpus_prepare": corpus_prepare,
     # ---- tail: driver-green 2+ rounds; local parity suite still covers ----
+    "holder_detail_agg": relational.holder_detail_agg,
     "asof_lookup": relational.asof_lookup,
     "full_outer_sendrecv": relational.full_outer_sendrecv,
     "incremental_source_stats": relational.incremental_source_stats,
@@ -2952,6 +2991,7 @@ def oracle_sqls() -> dict[str, str]:
         "dedup_keeplist": _dedup_keeplist_sql(),
         "pii_redact": _PII_REDACT_SQL,
         "stratified_sample": _sample_sql(),
+        "corpus_splits": _corpus_splits_sql(),
         "explode_tokens": _EXPLODE_TOKENS_SQL,
         "decimal_vsum": _DECIMAL_VSUM_SQL,
         "log_transfer_extract": _LOG_TRANSFER_SQL,

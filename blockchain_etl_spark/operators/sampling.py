@@ -58,3 +58,33 @@ def stratified_sample(
         expr = F.when(cond, t) if expr is None else expr.when(cond, t)
     thresh = expr.otherwise(thresh) if expr is not None else thresh
     return df.filter(sample_hash(key_col) < thresh)
+
+
+def assign_splits(
+    df: DataFrame,
+    fractions: dict[str, float],
+    key_col: str = "doc_id",
+    salt: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: consecutive hash ranges
+    of ``sample_hash(key)`` map to the named splits in sorted-name
+    order; leftover range (rounding) goes to the LAST split. Pure
+    projection — a row's split is a function of its key alone, so
+    re-runs, backfills, and late-arriving shards agree without any
+    coordination, and no document ever migrates between splits when
+    other data changes (the leakage-safety property).
+
+    Returns the frame with a ``split`` column appended."""
+    if abs(sum(fractions.values()) - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {fractions}")
+    names = sorted(fractions)
+    h = sample_hash(key_col, salt=salt)
+    expr = None
+    lo = 0
+    for name in names[:-1]:
+        hi = lo + int(fractions[name] * _MOD)
+        cond = h < F.lit(hi)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+        lo = hi
+    expr = F.lit(names[-1]) if expr is None else expr.otherwise(names[-1])
+    return df.withColumn("split", expr)

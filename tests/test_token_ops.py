@@ -190,3 +190,24 @@ def test_connected_components_bridges_nodes_outside_node_set(spark):
     )
     with _pt.raises(RuntimeError, match="did not converge"):
         connected_components(chain, max_iters=2)
+
+
+def test_assign_splits_is_stable_and_exhaustive(spark):
+    import pytest as _pt
+
+    from blockchain_etl_spark.operators.sampling import assign_splits
+
+    df = spark.createDataFrame([(i,) for i in range(3000)], "doc_id long")
+    fr = {"train": 0.9, "val": 0.05, "test": 0.05}
+    out = assign_splits(df, fr)
+    counts = {r["split"]: r["n"] for r in
+              out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == set(fr)  # exhaustive, no null split
+    assert abs(counts["train"] / 3000 - 0.9) < 0.03
+    # a doc's split never depends on what else is in the frame
+    sub = assign_splits(df.filter("doc_id < 100"), fr)
+    full_first = {r["doc_id"]: r["split"]
+                  for r in out.filter("doc_id < 100").collect()}
+    assert {r["doc_id"]: r["split"] for r in sub.collect()} == full_first
+    with _pt.raises(ValueError, match="sum to 1"):
+        assign_splits(df, {"a": 0.5, "b": 0.4})
