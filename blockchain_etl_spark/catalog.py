@@ -2178,7 +2178,8 @@ WITH t AS (
 )
 SELECT doc_id,
        len(regexp_extract_all(t, '{X.EMAIL_RE}'))::INT AS n_emails,
-       len(regexp_extract_all(t, '{X.PHONE_RE}'))::INT AS n_phones,
+       len(regexp_extract_all(regexp_replace(t, '{X.EMAIL_RE}', '<EMAIL>', 'g'),
+                              '{X.PHONE_RE}'))::INT AS n_phones,
        md5(regexp_replace(regexp_replace(t, '{X.EMAIL_RE}', '<EMAIL>', 'g'),
                           '{X.PHONE_RE}', '<PHONE>', 'g')) AS redacted_md5
 FROM t

@@ -302,11 +302,14 @@ def redact_pii(text: Column | str) -> dict[str, Column]:
     set extends per policy; each added pattern is one more
     ``regexp_replace`` in the same projection)."""
     t = F.col(text) if isinstance(text, str) else text
-    red = F.regexp_replace(
-        F.regexp_replace(t, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
-    )
+    no_email = F.regexp_replace(t, EMAIL_RE, "<EMAIL>")
+    red = F.regexp_replace(no_email, PHONE_RE, "<PHONE>")
     return {
         "n_emails": F.size(F.regexp_extract_all(t, F.lit(EMAIL_RE), 0)),
-        "n_phones": F.size(F.regexp_extract_all(t, F.lit(PHONE_RE), 0)),
+        # counted on the email-redacted INTERMEDIATE, so a phone-shaped
+        # substring inside an email address (already removed as part of
+        # <EMAIL>) is not reported as a <PHONE> replacement — the counts
+        # are exact replacement counts, not raw-text match counts.
+        "n_phones": F.size(F.regexp_extract_all(no_email, F.lit(PHONE_RE), 0)),
         "redacted": red,
     }

@@ -71,7 +71,13 @@ def _load_resolved(files: list[str], schema, key: str):
     # pandas twin of the batch reader's conform())
     df = pd.concat(frames, ignore_index=True).reindex(columns=cols)
     order = [c for c in ("lsn", "seq", "updated_epoch") if c in df.columns]
-    df = df.sort_values(order, kind="stable").drop_duplicates(key, keep="last")
+    # na_position="first": a null order column must LOSE ties, matching
+    # the Spark resolver's struct-max where null sorts smallest — pandas'
+    # default (NaN last) would let a null updated_epoch WIN and diverge
+    # from SnapshotTable._resolve_last_writer on mixed-null ties.
+    df = df.sort_values(order, kind="stable", na_position="first").drop_duplicates(
+        key, keep="last"
+    )
     return df
 
 
@@ -146,7 +152,16 @@ class TableChangesStreamReader(DataSourceStreamReader):
         return {"version": max(cur, min(tip, cur + self.max_versions))}
 
     def partitions(self, start: dict, end: dict):
-        self._last = max(getattr(self, "_last", self.start_version), end["version"])
+        # fold BOTH range ends into the cursor floor: on recovery Spark
+        # replays the last batch's partitions() before asking for a new
+        # latestOffset, and folding start means even a batch whose end we
+        # never see committed still pins the floor at the checkpointed
+        # start — latestOffset can then never propose an end below it.
+        self._last = max(
+            getattr(self, "_last", self.start_version),
+            start["version"],
+            end["version"],
+        )
         v0, v1 = start["version"], end["version"]
         if v1 <= v0:
             return [BucketDiff(v0=v0, v1=v0, schema_json=self._schema_json(v0))]

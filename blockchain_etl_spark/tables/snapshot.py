@@ -170,6 +170,23 @@ class SnapshotTable:
                     f"{t.current_version()} — open it with SnapshotTable("
                     f"spark, path) or remove it before create()"
                 ) from None
+            # idempotent completion is only safe if the existing v0 IS the
+            # table we were asked to create — two racing creators with
+            # different schemas/keys/layouts must not silently share one
+            # table under the loser's assumed shape.
+            ex = t.manifest(0)
+            if (
+                ex.key != key
+                or ex.n_buckets != n_buckets
+                or ex.schemas[str(ex.schema_version)]
+                != json.dumps(schema.jsonValue())
+            ):
+                raise FileExistsError(
+                    f"{path} holds a table created with a different shape "
+                    f"(key={ex.key!r}, n_buckets={ex.n_buckets}) than "
+                    f"requested (key={key!r}, n_buckets={n_buckets}) or a "
+                    f"different schema — refusing idempotent create()"
+                ) from None
         # creation identity: lets external cursors (cascade hops) detect
         # that "the table at this path" was deleted and recreated — their
         # saved position is then meaningless and must be discarded.
@@ -198,6 +215,26 @@ class SnapshotTable:
             return None
 
     # ------------------------------------------------------------- manifests
+    @staticmethod
+    def _monotone_watermark(
+        proposed: dict[str, int] | None, current: dict[str, int]
+    ) -> dict[str, int]:
+        """Commit-time watermark guard: a commit may only advance the
+        watermark. An OCC loser retrying after a competitor committed a
+        LATER epoch re-derives its file set from the fresh manifest but
+        proposes the watermark it computed before the conflict — without
+        this clamp the retry would REGRESS the table watermark, breaking
+        the monotonicity the version→lsn sidecar,
+        ``latest_version_at_or_before`` and the reorg-depth check assume.
+        (Intentional regressions — rollback commits — bypass this by
+        writing their manifest directly.) Comparison is lexicographic on
+        (lsn, seq), the same total order the merge guard uses."""
+        if proposed is None:
+            return current
+        if (proposed["lsn"], proposed["seq"]) < (current["lsn"], current["seq"]):
+            return current
+        return proposed
+
     def _manifest_path(self, version: int) -> str:
         return os.path.join(self.path, "manifests", f"v{version:08d}.json")
 
@@ -525,7 +562,7 @@ class SnapshotTable:
             schema_version=sv,
             schemas=schemas,
             files=kept + entries,
-            watermark=watermark or m.watermark,
+            watermark=self._monotone_watermark(watermark, m.watermark),
             applied_epochs=sorted(
                 set(m.applied_epochs)
                 | ({epoch_id} if epoch_id is not None else set())
@@ -569,7 +606,7 @@ class SnapshotTable:
             schema_version=sv,
             schemas=schemas,
             files=m.files + entries,
-            watermark=watermark or m.watermark,
+            watermark=self._monotone_watermark(watermark, m.watermark),
             applied_epochs=sorted(
                 set(m.applied_epochs)
                 | ({epoch_id} if epoch_id is not None else set())

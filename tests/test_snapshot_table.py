@@ -493,3 +493,56 @@ def test_commit_cas_under_threaded_contention(spark, tmp_path):
     from collections import Counter
 
     assert Counter(owners) == Counter({w: wins[w] for w in wins if wins[w]})
+
+
+def test_commit_watermark_never_regresses(spark, tmp_path):
+    """An OCC loser retrying with its pre-conflict watermark must not
+    regress the table watermark a competitor's later epoch advanced
+    (ADVICE r4: append_deltas/replace_buckets set watermark
+    unconditionally). The clamp is lexicographic on (lsn, seq)."""
+    t = SnapshotTable.create(spark, str(tmp_path / "t"), TARGET_SCHEMA, n_buckets=4)
+    deltas = _mk_rows(spark, range(5), lsn=100).withColumn("updated_epoch", F.lit(1))
+    t.append_deltas(deltas, watermark={"lsn": 100, "seq": 3, "pos": 50}, epoch_id=1)
+    assert t.manifest().watermark == {"lsn": 100, "seq": 3, "pos": 50}
+
+    # a retry proposing an OLDER watermark: commit lands, watermark holds
+    stale = _mk_rows(spark, range(5, 8), lsn=90).withColumn("updated_epoch", F.lit(2))
+    t.append_deltas(stale, watermark={"lsn": 90, "seq": 9, "pos": 40}, epoch_id=2)
+    assert t.manifest().watermark == {"lsn": 100, "seq": 3, "pos": 50}
+    # same via the COW path
+    t.replace_buckets(
+        [0, 1, 2, 3],
+        t.read(resolve=True),
+        watermark={"lsn": 99, "seq": 0, "pos": 10},
+        epoch_id=3,
+    )
+    assert t.manifest().watermark == {"lsn": 100, "seq": 3, "pos": 50}
+    # a genuinely newer watermark still advances
+    newer = _mk_rows(spark, range(8, 9), lsn=101).withColumn("updated_epoch", F.lit(4))
+    t.append_deltas(newer, watermark={"lsn": 101, "seq": 0, "pos": 60}, epoch_id=4)
+    assert t.manifest().watermark == {"lsn": 101, "seq": 0, "pos": 60}
+    # ledger carried every epoch regardless of clamping
+    assert set(t.manifest().applied_epochs) == {1, 2, 3, 4}
+
+
+def test_create_conflict_heal_checks_shape(spark, tmp_path):
+    """Idempotent create() after a crashed v0 commit only heals when the
+    existing table has the SAME key/n_buckets/schema — racing creators
+    with different shapes must not silently share one table."""
+    import pytest
+
+    path = str(tmp_path / "t")
+    SnapshotTable.create(spark, path, TARGET_SCHEMA, n_buckets=8)
+    # same shape → idempotent, same table
+    t2 = SnapshotTable.create(spark, path, TARGET_SCHEMA, n_buckets=8)
+    assert t2.current_version() == 0
+    # different bucket layout → refused
+    with pytest.raises(FileExistsError):
+        SnapshotTable.create(spark, path, TARGET_SCHEMA, n_buckets=16)
+    # different schema → refused
+    other = T.StructType([T.StructField("doc_id", T.StringType()), T.StructField("x", T.LongType())])
+    with pytest.raises(FileExistsError):
+        SnapshotTable.create(spark, path, other, n_buckets=8)
+    # different key → refused
+    with pytest.raises(FileExistsError):
+        SnapshotTable.create(spark, path, TARGET_SCHEMA, key="source", n_buckets=8)

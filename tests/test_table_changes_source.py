@@ -170,3 +170,81 @@ def test_paced_stream_restart_never_regresses(spark, tmp_path):
                 (step[0]["_from_version"], step[0]["_to_version"])
             )
     assert seen == [(0, 1), (1, 2), (2, 3), (3, 4), (4, 5)]
+
+
+def test_load_resolved_null_updated_epoch_loses_ties(tmp_path):
+    """Pandas resolver tie order must match the Spark struct-max: a null
+    updated_epoch sorts SMALLEST and loses (lsn, seq) ties (ADVICE r4 —
+    pandas' default NaN-last would let it win)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import types as T
+
+    from blockchain_etl_spark.sources.table_changes_source import _load_resolved
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("v", T.LongType()),
+        T.StructField("lsn", T.LongType()),
+        T.StructField("seq", T.IntegerType()),
+        T.StructField("updated_epoch", T.LongType()),
+        T.StructField("deleted", T.BooleanType()),
+    ])
+    f1 = str(tmp_path / "a.parquet")
+    f2 = str(tmp_path / "b.parquet")
+    # same (lsn, seq); one row has updated_epoch=3, the other null
+    pq.write_table(pa.table({
+        "doc_id": ["k"], "v": [1], "lsn": [10], "seq": [0],
+        "updated_epoch": pa.array([3], type=pa.int64()), "deleted": [False],
+    }), f1)
+    pq.write_table(pa.table({
+        "doc_id": ["k"], "v": [2], "lsn": [10], "seq": [0],
+        "updated_epoch": pa.array([None], type=pa.int64()), "deleted": [False],
+    }), f2)
+    got = _load_resolved([f1, f2], schema, "doc_id")
+    assert len(got) == 1
+    assert int(got.iloc[0]["v"]) == 1  # non-null updated_epoch wins
+    # order of file listing must not matter
+    got2 = _load_resolved([f2, f1], schema, "doc_id")
+    assert int(got2.iloc[0]["v"]) == 1
+
+
+def test_reader_cursor_floor_includes_replayed_start(tmp_path):
+    """On checkpoint recovery Spark replays the last batch's partitions()
+    before latestOffset; folding start['version'] into the cursor floor
+    means latestOffset can never propose an end below the checkpointed
+    start even if commit() never ran (ADVICE r4)."""
+    import json
+    import os
+
+    from blockchain_etl_spark.sources.table_changes_source import (
+        TableChangesStreamReader,
+    )
+
+    # minimal on-disk manifest scaffolding for the driver-side helpers
+    path = str(tmp_path / "t")
+    os.makedirs(os.path.join(path, "manifests"))
+    schema_json = json.dumps(
+        {"type": "struct", "fields": [
+            {"name": "doc_id", "type": "string", "nullable": True, "metadata": {}}
+        ]}
+    )
+    for v in range(0, 10):
+        with open(os.path.join(path, "manifests", f"v{v:08d}.json"), "w") as f:
+            json.dump({"version": v, "key": "doc_id", "n_buckets": 4,
+                       "schema_version": 0, "schemas": {"0": schema_json},
+                       "files": []}, f)
+    with open(os.path.join(path, "manifests", "LATEST"), "w") as f:
+        f.write("9")
+
+    r = TableChangesStreamReader({"path": path, "start_version": 0,
+                                  "max_versions_per_batch": 2})
+    # fresh reader, recovery replays the checkpointed batch (6, 8]
+    r.partitions({"version": 6}, {"version": 8})
+    off = r.latestOffset()
+    assert off["version"] >= 8  # never below the replayed range
+    # and a fresh reader that saw only the batch START still floors there
+    r2 = TableChangesStreamReader({"path": path, "start_version": 0,
+                                   "max_versions_per_batch": 2})
+    r2.partitions({"version": 7}, {"version": 7})
+    assert r2.latestOffset()["version"] >= 7
