@@ -44,8 +44,12 @@ class EpochStore:
             json.dump(idx, f, sort_keys=True)
         os.replace(tmp, self._index_path())
 
-    def epoch_ids(self) -> list[int]:
-        return sorted(int(k) for k in self._index())
+    def epoch_ids(self, include_pruned: bool = False) -> list[int]:
+        return sorted(
+            int(k)
+            for k, m in self._index().items()
+            if include_pruned or not m.get("pruned")
+        )
 
     def write_epoch(self, epoch_id: int, events_df: DataFrame) -> dict[str, Any]:
         """Land one epoch. Stats (offsets, watermark, reorg markers) are
@@ -123,15 +127,90 @@ class EpochStore:
             os.path.join(self.path, meta["file"])
         )
 
-    def read_slice(self, pos_lo: int, pos_hi: int) -> DataFrame | None:
-        """Events with pos_lo < stream_pos < pos_hi, pruned by epoch range.
+    def slice_metas(
+        self,
+        pos_lo: int,
+        pos_hi: int,
+        min_lsn_exclusive: int | None = None,
+    ) -> list[dict[str, Any]]:
+        """Index entries of LIVE epochs overlapping the slice. With
+        ``min_lsn_exclusive``, epochs whose every event is at or below
+        the bound are skipped without opening a file — the lag-window
+        read opens O(lag / epoch span) files, not O(history).
+
+        A PRUNED epoch that would have matched both filters means the
+        caller's read reaches below the retention horizon — that is a
+        fail-loud error, never a silent gap in the replay."""
+        out: list[dict[str, Any]] = []
+        for k, m in self._index().items():
+            if not (m["pos_max"] > pos_lo and m["pos_min"] < pos_hi):
+                continue
+            if min_lsn_exclusive is not None and m["lsn_max"] <= min_lsn_exclusive:
+                continue
+            if m.get("pruned"):
+                raise RuntimeError(
+                    f"epoch {k} (pos {m['pos_min']}..{m['pos_max']}, "
+                    f"lsn {m['lsn_min']}..{m['lsn_max']}) was pruned below the "
+                    f"retention horizon — the requested slice cannot be replayed"
+                )
+            out.append(m)
+        return out
+
+    def index_markers(self, pos_hi: int | None = None) -> list[dict[str, Any]]:
+        """All reorg markers ever landed, straight from the index —
+        zero data files opened. Markers survive epoch pruning (they are
+        tiny and retention keeps them in the index), so liveness
+        filtering over the retained window never loses a kill."""
+        out: list[dict[str, Any]] = []
+        for m in self._index().values():
+            for mk in m.get("markers", ()):
+                if pos_hi is None or mk["stream_pos"] < pos_hi:
+                    out.append(dict(mk))
+        out.sort(key=lambda r: r["stream_pos"])
+        return out
+
+    def prune(self, upto_lsn: int) -> dict[str, Any]:
+        """Retention GC (≙ the reference's ledger TTL + ack'd stream
+        consumption): delete the data files of epochs whose EVERY event
+        is at or below ``upto_lsn``. The index entry stays — minus the
+        file — flagged ``pruned`` with its pos/lsn ranges and markers, so
+        later reads below the horizon fail loud instead of silently
+        missing events, and marker history stays available for free.
+
+        Callers pick the horizon: a lagged tailer prunes at the
+        finalized watermark minus its redelivery margin; a direct-ingest
+        deployment prunes below its reorg window."""
+        idx = self._index()
+        pruned: list[int] = []
+        for k, m in idx.items():
+            if m.get("pruned") or m["lsn_max"] > upto_lsn:
+                continue
+            fp = os.path.join(self.path, m["file"])
+            if os.path.exists(fp):
+                import shutil
+
+                (shutil.rmtree if os.path.isdir(fp) else os.remove)(fp)
+            m.pop("file", None)
+            m.pop("schema", None)
+            m["pruned"] = True
+            pruned.append(int(k))
+        if pruned:
+            self._write_index(idx)
+        return {"pruned_epochs": sorted(pruned), "upto_lsn": upto_lsn}
+
+    def read_slice(
+        self,
+        pos_lo: int,
+        pos_hi: int,
+        min_lsn_exclusive: int | None = None,
+    ) -> DataFrame | None:
+        """Events with pos_lo < stream_pos < pos_hi, pruned by epoch range
+        (and, with ``min_lsn_exclusive``, by epoch lsn range — see
+        ``slice_metas``).
 
         Epochs written under different (evolved) schemas are read with
         their own schema and conformed to the merged one."""
-        idx = self._index()
-        metas = [
-            m for m in idx.values() if m["pos_max"] > pos_lo and m["pos_min"] < pos_hi
-        ]
+        metas = self.slice_metas(pos_lo, pos_hi, min_lsn_exclusive)
         if not metas:
             return None
         merged = self._schema_of(metas[0])

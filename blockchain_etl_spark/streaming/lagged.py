@@ -42,6 +42,8 @@ class LaggedTailer:
         store: EpochStore,
         pending_path: str,
         lag: int,
+        prune: bool = True,
+        retain_lsn_margin: int = 0,
     ):
         from blockchain_etl_spark.cdc.schema import TARGET_SCHEMA
         from blockchain_etl_spark.tables.snapshot import SnapshotTable
@@ -50,6 +52,14 @@ class LaggedTailer:
         self.engine = engine
         self.store = store
         self.lag = lag
+        # retention: after finalizing through lsn F, epochs wholly at or
+        # below F - retain_lsn_margin are GC'd (≙ the reference's ledger
+        # TTL, load.py:45, + ack'd stream consumption). The margin is the
+        # redelivery horizon — keep it ≥ the deepest redelivery replay
+        # you expect; reorgs never need pruned epochs (by the lag
+        # contract they stay inside the lag window).
+        self.prune = prune
+        self.retain_lsn_margin = retain_lsn_margin
         self.pending = SnapshotTable(spark, pending_path)
         if not self.pending.exists():
             # pending overlay carries op so deletes mask finalized rows
@@ -69,16 +79,26 @@ class LaggedTailer:
         prev_final = self.engine.table.manifest().watermark["lsn"]
         new_final = max(head - self.lag, prev_final)
 
-        sl = self.store.read_slice(-1, stats["pos_max"] + 1)
-        # ALL retained markers: a marker above the final window still
-        # kills events inside it (the reorg happened while those lsns
-        # were within the lag — that is exactly why they waited)
-        markers = [
-            r.asDict()
-            for r in sl.filter(F.col("op") == "R")
-            .select("stream_pos", "lsn", "rollback_to_lsn")
-            .collect()
-        ]
+        # Bounded slice: only epochs holding events ABOVE the finalized
+        # watermark are opened — per-epoch cost is O(lag window), not
+        # O(total history) (the epoch-level lsn_max filter runs on the
+        # index, no file is listed or opened for finalized epochs). The
+        # downstream lsn predicates are unchanged; this is pure pruning.
+        metas = self.store.slice_metas(
+            -1, stats["pos_max"] + 1, min_lsn_exclusive=prev_final
+        )
+        sl = self.store.read_slice(
+            -1, stats["pos_max"] + 1, min_lsn_exclusive=prev_final
+        )
+        if sl is None:
+            sl = self.store.read_epoch(epoch_id).limit(0)
+        # ALL markers ever landed, straight from the index (zero data
+        # files opened; they survive pruning): a marker above the final
+        # window still kills events inside it (the reorg happened while
+        # those lsns were within the lag — that is exactly why they
+        # waited), and an old marker can never kill a newer event
+        # (liveness only looks backwards in stream_pos).
+        markers = self.store.index_markers(pos_hi=stats["pos_max"] + 1)
         data = sl.filter(F.col("op") != "R")
 
         # --- finalize the slice that cleared the lag -----------------------
@@ -109,11 +129,18 @@ class LaggedTailer:
             "op",
         )
         self.pending.overwrite(overlay, lineage={"epoch_id": epoch_id, "final_lsn": new_final})
+
+        # --- retention: GC epochs that cleared the lag + margin -----------
+        pruned = None
+        if self.prune:
+            pruned = self.store.prune(new_final - self.retain_lsn_margin)
         return {
             "epoch_id": epoch_id,
             "head_lsn": head,
             "final_lsn": new_final,
             "finalized": finalized_metrics,
+            "epoch_files_read": len(metas),
+            "pruned_epochs": (pruned or {}).get("pruned_epochs", []),
         }
 
     # ------------------------------------------------------------------
