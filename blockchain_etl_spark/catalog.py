@@ -1690,6 +1690,173 @@ SELECT block_number, transaction_hash, transaction_index, token_address,
 
 
 
+def _synth_nop_logs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events → deterministic marketplace + ERC721-leg logs: each trade
+    event (event_id % 3 ∈ {0: opensea, 1: looksrare}) emits the
+    platform's order event AND the NFT Transfer of the same tx;
+    % 3 == 2 rows are unrelated-topic noise the extractor must skip."""
+    from blockchain_etl_spark.operators import orderbook as OB
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    eid = F.col("event_id").cast("string")
+    vi = F.floor(F.col("value") * 100).cast("long")
+    fee = F.floor(vi / 40).cast("long")
+    tid = F.col("event_id") % 997
+    cid = F.col("event_id") % 4
+    whex = lambda v: F.lpad(F.lower(F.hex(v)), 64, "0")  # noqa: E731
+    # a synthetic "address" is 8 zero nibbles + a 32-char md5 (40 hex
+    # chars total); its topic word is the 64-char left-zero-padded form
+    w40 = lambda tag: F.concat(  # indexed-address topic word
+        F.lit("0x" + "0" * 32), F.md5(F.concat(F.lit(tag), eid))
+    )
+    c40 = F.when(cid == 0, F.lit("0" * 40)).otherwise(
+        F.concat(F.lit("0" * 8), F.md5(F.concat(F.lit("c"), cid.cast("string"))))
+    )
+    junk = lambda tag: F.lpad(F.md5(F.concat(F.lit(tag), eid)), 64, "0")  # noqa: E731
+    kind = F.col("event_id") % 3
+    base = e.select("event_id", "value", kind.alias("kind"))
+
+    trade = base.filter(F.col("kind") < 2).select(
+        "event_id",
+        F.when(
+            F.col("kind") == 0,
+            F.concat(F.lit("0x"), F.substring(F.md5(F.lit("ex-opensea")), 1, 40)),
+        )
+        .otherwise(
+            F.concat(F.lit("0x"), F.substring(F.md5(F.lit("ex-looksrare")), 1, 40))
+        )
+        .alias("address"),
+        F.when(
+            F.col("kind") == 0,
+            F.array(F.lit(OB.ORDERS_MATCHED_TOPIC), w40("m"), w40("t")),
+        )
+        .otherwise(F.array(F.lit(OB.TAKER_BID_TOPIC), w40("t"), w40("m")))
+        .alias("topics"),
+        # opensea data: [buy_hash, sell_hash, price, currency, fee]
+        # looksrare data: [order_hash, nonce, currency, price, fee]
+        F.when(
+            F.col("kind") == 0,
+            F.concat(F.lit("0x"), junk("b"), junk("s"), whex(vi), F.concat(F.lit("0" * 24), c40), whex(fee)),
+        )
+        .otherwise(
+            F.concat(F.lit("0x"), junk("b"), junk("s"), F.concat(F.lit("0" * 24), c40), whex(vi), whex(fee)),
+        )
+        .alias("data"),
+    )
+    nft_leg = base.filter(F.col("kind") < 2).select(
+        "event_id",
+        F.concat(
+            F.lit("0x"),
+            F.substring(F.md5(F.concat(F.lit("n"), (F.col("event_id") % 50).cast("string"))), 1, 40),
+        ).alias("address"),
+        F.array(F.lit(EXT.TRANSFER_EVENT_TOPIC), w40("m"), w40("t"), whex(tid)).alias(
+            "topics"
+        ),
+        F.lit("0x").alias("data"),
+    )
+    noise = base.filter(F.col("kind") == 2).select(
+        "event_id",
+        F.concat(F.lit("0x"), F.substring(F.md5(F.concat(F.lit("a"), eid)), 1, 40)).alias(
+            "address"
+        ),
+        F.array(F.concat(F.lit("0x"), F.md5(F.concat(F.lit("o"), eid)))).alias("topics"),
+        F.concat(F.lit("0x"), whex(vi)).alias("data"),
+    )
+    return trade.unionByName(nft_leg).unionByName(noise)
+
+
+def nft_orderbook(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """≙ EthNftOrderbookAdapter end-to-end
+    (eth_nft_orderbook_adapter.py:36-200): platform-registry trade
+    extraction from logs, joined to the ERC721 transfers and
+    transactions of the same tx, priced through broadcast decimals
+    (≙ TokenService) and (currency, day) price (≙ PriceService) dims.
+    The cid=3 currency is deliberately absent from the price dim —
+    those trades carry NULL usd legs, the reference's service-miss
+    path (_get_token_price → None)."""
+    from blockchain_etl_spark.operators import orderbook as OB
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    logs = _synth_nop_logs(spark, sf_dir)
+    orders = OB.extract_orderbooks(logs)
+    transfers = EXT.extract_erc721_transfers(logs)
+    txs = e.select(
+        "event_id",
+        F.floor(F.col("event_id") / 10).cast("long").alias("blknum"),
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+    )
+    cur_of = lambda cid: F.when(  # noqa: E731
+        cid == 0, F.lit(EXT.ZERO_ADDR)
+    ).otherwise(
+        F.concat(
+            F.lit("0x" + "0" * 8), F.md5(F.concat(F.lit("c"), cid.cast("string")))
+        )
+    )
+    dec_dim = spark.range(4).select(
+        cur_of(F.col("id")).alias("currency"),
+        (6 + (F.col("id") % 2) * 2).cast("int").alias("decimals"),
+    )
+    days = e.select(F.date_format("ts", "yyyy-MM-dd").alias("day")).distinct()
+    price_dim = days.crossJoin(
+        spark.range(3).select(F.col("id").alias("cid"))
+    ).select(
+        cur_of(F.col("cid")).alias("currency"),
+        "day",
+        (
+            (F.col("cid") + 1) * 1.5
+            + F.substring("day", 9, 2).cast("int") * 0.01
+        ).alias("price"),
+    )
+    return OB.nft_orderbooks(orders, transfers, txs, dec_dim, price_dim)
+
+
+_NFT_ORDERBOOK_SQL = f"""
+WITH ev AS (
+  SELECT event_id AS eid, floor(value * 100)::BIGINT AS vi,
+         strftime(ts, '%Y-%m-%d') AS day
+  FROM events
+),
+base AS (
+  SELECT eid, vi, day, eid % 3 AS kind, (eid % 4)::INT AS cid,
+         vi // 40 AS fee, eid % 997 AS tid,
+         repeat('0', 8) || md5('m' || eid::VARCHAR) AS m40,
+         repeat('0', 8) || md5('t' || eid::VARCHAR) AS t40,
+         CASE WHEN eid % 4 = 0 THEN repeat('0', 40)
+              ELSE repeat('0', 8) || md5('c' || (eid % 4)::VARCHAR) END AS c40
+  FROM ev
+),
+trades AS (
+  SELECT eid AS event_id,
+         CASE WHEN kind = 0 THEN 'opensea' ELSE 'looksrare' END AS platform,
+         CASE WHEN kind = 0 THEN '0x' || substr(md5('ex-opensea'), 1, 40)
+              ELSE '0x' || substr(md5('ex-looksrare'), 1, 40)
+         END AS exchange_address,
+         '0x' || m40 AS maker, '0x' || t40 AS taker,
+         '0x' || substr(md5('n' || (eid % 50)::VARCHAR), 1, 40) AS token_address,
+         tid AS token_id, '0x' || m40 AS from_address, '0x' || t40 AS to_address,
+         '0x' || c40 AS currency, vi AS value, fee AS fee_value,
+         eid // 10 AS blknum, day, cid
+  FROM base WHERE kind IN (0, 1)
+),
+decimals AS (
+  SELECT i AS cid, (6 + (i % 2) * 2)::INT AS decimals FROM range(4) t(i)
+),
+prices AS (
+  SELECT d.day, i AS cid,
+         (i + 1) * 1.5 + substr(d.day, 9, 2)::INT * 0.01 AS price
+  FROM (SELECT DISTINCT day FROM ev) d CROSS JOIN range(3) t(i)
+)
+SELECT t.event_id, t.platform, t.exchange_address, t.maker, t.taker,
+       t.token_address, t.token_id, t.from_address, t.to_address,
+       t.currency, t.value, t.fee_value, t.blknum, t.day,
+       t.value / power(10, dd.decimals) * p.price AS value_usd,
+       t.fee_value / power(10, dd.decimals) * p.price AS fee_value_usd
+FROM trades t
+LEFT JOIN decimals dd ON dd.cid = t.cid
+LEFT JOIN prices p ON p.cid = t.cid AND p.day = t.day
+"""
+
+
 def utxo_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UTXO input enrichment ≙ the reference's UPDATE..FROM self-join
     (/root/reference/bitcoinetl/streaming/enrich.py:16-34): each input
@@ -2726,6 +2893,7 @@ QUERIES: dict[str, callable] = {
     "erc1155_batch_decode": erc1155_batch_decode,
     "erc721_transfer_extract": erc721_transfer_extract,
     "cryptopunk_transfer_extract": cryptopunk_transfer_extract,
+    "nft_orderbook": nft_orderbook,
     "utxo_enrich": utxo_enrich,
     "utxo_block_scan": utxo_block_scan,
     "call_tree_flatten": call_tree_flatten,
@@ -2999,6 +3167,7 @@ def oracle_sqls() -> dict[str, str]:
         "erc1155_batch_decode": _ERC1155_SQL,
         "erc721_transfer_extract": _ERC721_SQL,
         "cryptopunk_transfer_extract": _CRYPTOPUNK_SQL,
+        "nft_orderbook": _NFT_ORDERBOOK_SQL,
         "utxo_enrich": _UTXO_ENRICH_SQL,
         "utxo_block_scan": _UTXO_BLOCK_SCAN_SQL,
         "call_tree_flatten": _CALL_TREE_SQL,
