@@ -1857,6 +1857,139 @@ LEFT JOIN prices p ON p.cid = t.cid AND p.day = t.day
 """
 
 
+def balance_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """≙ the composed balance pipeline (eth_balance_adapter.py:339-524 +
+    eth_block_reward_service.py): send/recv trace legs (one agg each,
+    min_by/max_by first-last), fee aggregation, era-schedule block +
+    uncle rewards, full-outer merged per address with zero-fill and the
+    net value column — the pieces running_balance /
+    full_outer_sendrecv / holder_detail_agg prove separately, composed
+    into ONE lazy plan the way the reference's adapter composes them
+    per block batch."""
+    from blockchain_etl_spark.operators import balances as BAL
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    eid = F.col("event_id")
+    uid = F.col("user_id")
+    vi = F.floor(F.col("value") * 100).cast("long")
+    addr_u = lambda expr: F.concat(  # noqa: E731
+        F.lit("0x"), F.md5(F.concat(F.lit("u"), expr.cast("string")))
+    )
+    traces = e.select(
+        F.md5(F.concat(F.lit("x"), eid.cast("string"))).alias("txhash"),
+        F.floor(eid / 10).cast("long").alias("blknum"),
+        (eid % 10).alias("txpos"),
+        addr_u(uid % 40).alias("from_address"),
+        addr_u((uid + eid) % 40).alias("to_address"),
+        vi.alias("value"),
+        F.col("ts").alias("_st"),
+    )
+    fees = e.select(
+        addr_u(uid % 40).alias("from_address"),
+        F.floor(vi / 20).cast("long").alias("fee_value"),
+    )
+    blk = F.col("blknum")
+    mnr = lambda expr: F.concat(  # noqa: E731
+        F.lit("0x"), F.md5(F.concat(F.lit("mnr"), expr.cast("string")))
+    )
+    blocks = (
+        e.select(F.floor(eid / 10).cast("long").alias("blknum"))
+        .distinct()
+        .select(
+            "blknum",
+            mnr(blk % 10).alias("miner"),
+            F.when(blk % 7 == 3, F.lit(1)).otherwise(F.lit(0)).alias("n_uncles"),
+            (blk % 3 + 1).alias("uncle_delta"),
+            mnr((blk + 1) % 10).alias("uncle_miner"),
+        )
+    )
+    return BAL.export_balances(traces, fees, blocks)
+
+
+_BALANCE_PIPELINE_SQL = """
+WITH ev AS (
+  SELECT event_id AS eid, user_id AS uid, floor(value * 100)::BIGINT AS vi, ts
+  FROM events
+),
+traces AS (
+  SELECT md5('x' || eid::VARCHAR) AS txhash,
+         eid // 10 AS blknum, eid % 10 AS txpos,
+         '0x' || md5('u' || (uid % 40)::VARCHAR) AS from_address,
+         '0x' || md5('u' || ((uid + eid) % 40)::VARCHAR) AS to_address,
+         vi AS value, ts AS _st, eid
+  FROM ev
+),
+outg AS (
+  SELECT from_address AS address, sum(value)::BIGINT AS out_value,
+         count(DISTINCT txhash) AS out_txs, count(DISTINCT blknum) AS out_blocks,
+         count(*) AS out_xfers,
+         arg_min(blknum, eid) AS out_1th_blknum,
+         strftime(arg_min(_st, eid), '%Y-%m-%d') AS out_1th_st,
+         arg_max(blknum, eid) AS out_nth_blknum,
+         strftime(arg_max(_st, eid), '%Y-%m-%d') AS out_nth_st
+  FROM traces GROUP BY 1
+),
+ving AS (
+  SELECT to_address AS address, sum(value)::BIGINT AS vin_value,
+         count(DISTINCT txhash) AS vin_txs, count(DISTINCT blknum) AS vin_blocks,
+         count(*) AS vin_xfers,
+         arg_min(blknum, eid) AS vin_1th_blknum,
+         strftime(arg_min(_st, eid), '%Y-%m-%d') AS vin_1th_st,
+         arg_max(blknum, eid) AS vin_nth_blknum,
+         strftime(arg_max(_st, eid), '%Y-%m-%d') AS vin_nth_st
+  FROM traces GROUP BY 1
+),
+fees AS (
+  SELECT '0x' || md5('u' || (uid % 40)::VARCHAR) AS address,
+         sum(vi // 20)::BIGINT AS fee_value
+  FROM ev GROUP BY 1
+),
+blk AS (
+  SELECT blknum,
+         '0x' || md5('mnr' || (blknum % 10)::VARCHAR) AS miner,
+         CASE WHEN blknum % 7 = 3 THEN 1 ELSE 0 END AS n_uncles,
+         blknum % 3 + 1 AS uncle_delta,
+         '0x' || md5('mnr' || ((blknum + 1) % 10)::VARCHAR) AS uncle_miner,
+         CASE WHEN blknum < 100 THEN 6400
+              WHEN blknum < 250 THEN 3200 ELSE 1600 END AS static
+  FROM (SELECT DISTINCT eid // 10 AS blknum FROM ev)
+),
+cnb_rows AS (
+  SELECT miner AS address, blknum,
+         static + (static // 32) * n_uncles AS reward
+  FROM blk
+  UNION ALL
+  SELECT uncle_miner, blknum, ((8 - uncle_delta) * static) // 8
+  FROM blk WHERE n_uncles > 0
+),
+cnb AS (
+  SELECT address, sum(reward)::BIGINT AS cnb_value,
+         count(DISTINCT blknum) AS cnb_blocks
+  FROM cnb_rows GROUP BY 1
+)
+SELECT coalesce(o.address, v.address, f.address, c.address) AS address,
+       coalesce(out_value, 0)::BIGINT AS out_value,
+       coalesce(out_txs, 0)::BIGINT AS out_txs,
+       coalesce(out_blocks, 0)::BIGINT AS out_blocks,
+       coalesce(out_xfers, 0)::BIGINT AS out_xfers,
+       out_1th_blknum, out_1th_st, out_nth_blknum, out_nth_st,
+       coalesce(vin_value, 0)::BIGINT AS vin_value,
+       coalesce(vin_txs, 0)::BIGINT AS vin_txs,
+       coalesce(vin_blocks, 0)::BIGINT AS vin_blocks,
+       coalesce(vin_xfers, 0)::BIGINT AS vin_xfers,
+       vin_1th_blknum, vin_1th_st, vin_nth_blknum, vin_nth_st,
+       coalesce(fee_value, 0)::BIGINT AS fee_value,
+       coalesce(cnb_value, 0)::BIGINT AS cnb_value,
+       coalesce(cnb_blocks, 0)::BIGINT AS cnb_blocks,
+       (coalesce(vin_value, 0) + coalesce(cnb_value, 0)
+        - coalesce(out_value, 0) - coalesce(fee_value, 0))::BIGINT AS value
+FROM outg o
+FULL JOIN ving v ON v.address = o.address
+FULL JOIN fees f ON f.address = coalesce(o.address, v.address)
+FULL JOIN cnb c ON c.address = coalesce(o.address, v.address, f.address)
+"""
+
+
 def utxo_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UTXO input enrichment ≙ the reference's UPDATE..FROM self-join
     (/root/reference/bitcoinetl/streaming/enrich.py:16-34): each input
@@ -2894,6 +3027,7 @@ QUERIES: dict[str, callable] = {
     "erc721_transfer_extract": erc721_transfer_extract,
     "cryptopunk_transfer_extract": cryptopunk_transfer_extract,
     "nft_orderbook": nft_orderbook,
+    "balance_pipeline": balance_pipeline,
     "utxo_enrich": utxo_enrich,
     "utxo_block_scan": utxo_block_scan,
     "call_tree_flatten": call_tree_flatten,
@@ -3168,6 +3302,7 @@ def oracle_sqls() -> dict[str, str]:
         "erc721_transfer_extract": _ERC721_SQL,
         "cryptopunk_transfer_extract": _CRYPTOPUNK_SQL,
         "nft_orderbook": _NFT_ORDERBOOK_SQL,
+        "balance_pipeline": _BALANCE_PIPELINE_SQL,
         "utxo_enrich": _UTXO_ENRICH_SQL,
         "utxo_block_scan": _UTXO_BLOCK_SCAN_SQL,
         "call_tree_flatten": _CALL_TREE_SQL,
