@@ -1990,6 +1990,86 @@ FULL JOIN cnb c ON c.address = coalesce(o.address, v.address, f.address)
 """
 
 
+def bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real subword tokenization (VERDICT r4 #7): greedy BPE encode over
+    the fixed public merge table (functions/bpe.py) — distinct words
+    encoded once through an Arrow UDF, joined back, reassembled in word
+    order into the input_hint shape. The DuckDB twin replays the SAME
+    greedy algorithm as a recursive CTE over the same merge ranks, so
+    the parity check proves the encoder itself, not just plumbing."""
+    from blockchain_etl_spark.functions import bpe as BPE
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.format_string("doc-%06d", F.col("doc_id")).alias("doc_id"),
+        "source",
+        "text",
+    )
+    enc = BPE.bpe_encode_docs(d, carry=["source"])
+    return enc.select(
+        "doc_id",
+        F.concat_ws(",", F.col("tokens").cast("array<string>")).alias("tokens_csv"),
+        "n_tok",
+        "source",
+    )
+
+
+def _bpe_sql() -> str:
+    from blockchain_etl_spark.functions.bpe import MERGES
+
+    pairs = "[" + ", ".join(f"'{a}|{b}'" for a, b in MERGES) + "]"
+    results = "[" + ", ".join(f"'{a}{b}'" for a, b in MERGES) + "]"
+    return f"""
+WITH RECURSIVE
+d AS (
+  SELECT 'doc-' || lpad(doc_id::VARCHAR, 6, '0') AS doc_id, source,
+         regexp_extract_all(text, '[a-z]+') AS wl
+  FROM documents
+),
+dw AS (
+  SELECT doc_id, source, unnest(wl) AS word, generate_subscripts(wl, 1) AS pos
+  FROM d
+),
+words AS (SELECT DISTINCT word FROM dw),
+init AS (SELECT word, string_split(word, '') AS syms FROM words),
+enc AS (
+  SELECT word, syms, 0 AS it FROM init
+  UNION ALL
+  SELECT word,
+         list_slice(syms, 1, pos - 1)
+           || [syms[pos] || syms[pos + 1]]
+           || list_slice(syms, pos + 2, len(syms)),
+         it + 1
+  FROM (
+    SELECT word, syms, it,
+           CASE WHEN list_aggregate(rnks, 'min') IS NULL THEN NULL
+                ELSE list_position(rnks, list_aggregate(rnks, 'min')) END AS pos
+    FROM (
+      SELECT word, syms, it,
+             list_transform(range(1, len(syms)),
+               i -> nullif(list_position({pairs},
+                                         syms[i] || '|' || syms[i + 1]), 0)) AS rnks
+      FROM enc
+    )
+  )
+  WHERE pos IS NOT NULL AND it < 40
+),
+final AS (SELECT word, arg_max(syms, it) AS syms FROM enc GROUP BY word),
+wtok AS (
+  SELECT word,
+         list_transform(syms, s ->
+           CASE WHEN length(s) = 1 THEN strpos('abcdefghijklmnopqrstuvwxyz', s) - 1
+                ELSE 25 + list_position({results}, s) END) AS ids
+  FROM final
+)
+SELECT doc_id,
+       array_to_string(flatten(list(ids ORDER BY pos)), ',') AS tokens_csv,
+       len(flatten(list(ids ORDER BY pos)))::INT AS n_tok,
+       source
+FROM dw JOIN wtok USING (word)
+GROUP BY doc_id, source
+"""
+
+
 def utxo_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UTXO input enrichment ≙ the reference's UPDATE..FROM self-join
     (/root/reference/bitcoinetl/streaming/enrich.py:16-34): each input
@@ -3028,6 +3108,7 @@ QUERIES: dict[str, callable] = {
     "cryptopunk_transfer_extract": cryptopunk_transfer_extract,
     "nft_orderbook": nft_orderbook,
     "balance_pipeline": balance_pipeline,
+    "bpe_encode": bpe_encode,
     "utxo_enrich": utxo_enrich,
     "utxo_block_scan": utxo_block_scan,
     "call_tree_flatten": call_tree_flatten,
@@ -3303,6 +3384,7 @@ def oracle_sqls() -> dict[str, str]:
         "cryptopunk_transfer_extract": _CRYPTOPUNK_SQL,
         "nft_orderbook": _NFT_ORDERBOOK_SQL,
         "balance_pipeline": _BALANCE_PIPELINE_SQL,
+        "bpe_encode": _bpe_sql(),
         "utxo_enrich": _UTXO_ENRICH_SQL,
         "utxo_block_scan": _UTXO_BLOCK_SCAN_SQL,
         "call_tree_flatten": _CALL_TREE_SQL,
