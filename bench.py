@@ -433,25 +433,88 @@ def main():
     # 2-5x run-to-run, which made r1->r2 "regressions" undiagnosable and
     # the flagship's claimed-vs-driver-measured times irreconcilable
     # (cold first query pays JVM/codegen/page-cache warmup).
-    q_repeats = int(os.environ.get("BENCH_QUERY_REPEATS", "3"))
+    # Adaptive warm window (VERDICT r4 #5: the driver's r4 flagship warm
+    # samples were still monotonically DECREASING when sampling stopped,
+    # so the 3-sample median overstated steady state by >2x): keep
+    # sampling until the last 3 warm samples agree within 20% spread,
+    # capped at BENCH_QUERY_REPEATS (default 7). queries_min is reported
+    # alongside the median — on a noisy-neighbor VM the minimum is the
+    # least-interfered sample and the right cross-round comparator.
+    q_repeats = int(os.environ.get("BENCH_QUERY_REPEATS", "7"))
+    q_min_warm = 3
     queries: dict[str, float] = {}
+    queries_min: dict[str, float] = {}
     queries_cold: dict[str, float] = {}
     query_samples: dict[str, list[float]] = {}
     try:
         for name in HEADLINE_QUERIES:
             fn = catalog.QUERIES[name]
-            times = []
-            for i in range(q_repeats + 1):
+            t0 = time.monotonic()
+            fn(spark, SF_DIR).count()
+            cold = round(time.monotonic() - t0, 3)
+            warm: list[float] = []
+            while len(warm) < max(q_repeats, q_min_warm):
                 t0 = time.monotonic()
                 fn(spark, SF_DIR).count()
-                times.append(round(time.monotonic() - t0, 3))
-            queries_cold[name] = times[0]
-            warm = sorted(times[1:])
-            queries[name] = warm[len(warm) // 2]
-            query_samples[name] = times
+                warm.append(round(time.monotonic() - t0, 3))
+                if len(warm) >= q_min_warm:
+                    last3 = warm[-3:]
+                    if max(last3) - min(last3) < 0.20 * min(last3):
+                        break
+            queries_cold[name] = cold
+            s = sorted(warm)
+            queries[name] = s[len(s) // 2]
+            queries_min[name] = s[0]
+            query_samples[name] = [cold, *warm]
+        # --- steady-state entity-pipeline hop (VERDICT r4 #8): the
+        # entity_pipeline QUERY builds 4 tables through 8 commits, so its
+        # wall time reads as table-creation cost. This measures the
+        # steady-state unit a deployment actually repeats: ONE upstream
+        # commit applied to an EXISTING 4-table DAG plus the cascade hops
+        # that propagate it (per-hop work is O(changes + touched groups)).
+        import shutil as _shutil
+        import tempfile as _tempfile
+
+        from blockchain_etl_spark.catalog import _changelog_valid
+        from blockchain_etl_spark.cdc.apply import CdcEngine as _Eng
+        from blockchain_etl_spark.cdc.schema import TARGET_SCHEMA as _TS
+        from blockchain_etl_spark.streaming.pipeline import EntityPipeline as _EP
+        from blockchain_etl_spark.tables.snapshot import SnapshotTable as _ST
+
+        from pyspark.sql import functions as F
+
+        pwork = _tempfile.mkdtemp(prefix="bench-pipe-", dir=_tmpfs_local_dir() or None)
+        try:
+            ev, mid = _changelog_valid(spark, SF_DIR)
+            ev = ev.persist()
+            ev.count()
+            ptab = _ST.create(
+                spark, os.path.join(pwork, "docs"), _TS, key="doc_id", n_buckets=16
+            )
+            peng = _Eng(spark, ptab, mode="cow", collect_metrics=False)
+            pipe = _EP(spark, ptab, pwork, ["source_stats", "long_docs"], n_buckets=8)
+            # build the DAG (untimed): first commit + converging hops
+            peng.apply_epoch(ev.filter(F.col("lsn") <= mid), epoch_id=1)
+            pipe.run_once()
+            # timed steady state: one incremental commit + one hop round
+            t0 = time.monotonic()
+            peng.apply_epoch(ev.filter(F.col("lsn") > mid), epoch_id=2)
+            t_apply = round(time.monotonic() - t0, 3)
+            t0 = time.monotonic()
+            pipe.run_once()
+            t_hop = round(time.monotonic() - t0, 3)
+            ev.unpersist()
+            out["pipeline_incremental"] = {
+                "apply_sec": t_apply,
+                "hop_sec": t_hop,
+                "n_tables": 4,
+            }
+        finally:
+            _shutil.rmtree(pwork, ignore_errors=True)
     finally:
         spark.stop()
-    out["queries"] = queries  # warm medians
+    out["queries"] = queries  # warm medians (stabilized window)
+    out["queries_min"] = queries_min
     out["queries_cold"] = queries_cold
     out["query_samples"] = query_samples  # [cold, warm...] per query
 
@@ -475,7 +538,10 @@ def main():
         "cpus": out["cpus"],
         "events_per_sec": out["events_per_sec"],
         "queries": queries,
+        "queries_min": queries_min,
     }
+    if "pipeline_incremental" in out:
+        headline["pipeline_incremental"] = out["pipeline_incremental"]
     if "scaling" in out:
         s = out["scaling"]
         headline["scaling"] = {
