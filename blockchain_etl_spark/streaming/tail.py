@@ -34,10 +34,25 @@ _EPOCH_RE = re.compile(r"epoch-(\d+)\.parquet$")
 
 
 class ChangeLogTailer:
-    def __init__(self, spark: SparkSession, landing_dir: str, engine: "CdcEngine"):
+    def __init__(
+        self,
+        spark: SparkSession,
+        landing_dir: str,
+        engine: "CdcEngine",
+        retain_lsn_margin: int | None = None,
+    ):
         self.spark = spark
         self.landing_dir = landing_dir
         self.engine = engine
+        # change-log retention for direct ingest (≙ the reference's
+        # ledger TTL, blockchainetl/cli/load.py:45): after each batch,
+        # epochs wholly below watermark − margin are GC'd from the
+        # store. The margin is the reorg + redelivery horizon — keep it
+        # ≥ the deepest rollback the chain contract allows (≙ the
+        # 80-block watermark); reorg replay below the horizon then
+        # fails loud in EpochStore.slice_metas instead of silently
+        # missing events. None = retain forever (the r4 behavior).
+        self.retain_lsn_margin = retain_lsn_margin
 
     def pending_epochs(self) -> list[int]:
         applied = set(self.engine.table.manifest().applied_epochs)
@@ -60,6 +75,15 @@ class ChangeLogTailer:
             metrics = self.engine.apply_epoch(df, eid)
             if metrics is not None:
                 out.append(metrics)
+        if (
+            out
+            and self.retain_lsn_margin is not None
+            and self.engine.epoch_store is not None
+        ):
+            wm = self.engine.table.manifest().watermark
+            pruned = self.engine.epoch_store.prune(wm["lsn"] - self.retain_lsn_margin)
+            if pruned["pruned_epochs"]:
+                out[-1]["store_pruned_epochs"] = pruned["pruned_epochs"]
         return out
 
 

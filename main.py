@@ -57,6 +57,12 @@ def main(argv=None):
     sp.add_argument("--lag", type=int, default=0,
                     help="confirmation lag: hold head LSNs in a pending "
                          "overlay at <table>_pending (≙ --lag 80)")
+    sp.add_argument("--retain-lsn-margin", type=int, default=None,
+                    help="change-log retention: GC store epochs wholly "
+                         "below watermark minus this margin (set >= the "
+                         "reorg + redelivery horizon; default: retain "
+                         "forever in direct mode, prune at the finalized "
+                         "watermark in lag mode)")
 
     sp = sub.add_parser("stream")
     sp.add_argument("--landing", required=True)
@@ -177,7 +183,8 @@ def main(argv=None):
                 from blockchain_etl_spark.streaming.lagged import LaggedTailer
 
                 lt = LaggedTailer(spark, engine, store,
-                                  args.table.rstrip("/") + "_pending", lag=args.lag)
+                                  args.table.rstrip("/") + "_pending", lag=args.lag,
+                                  retain_lsn_margin=args.retain_lsn_margin or 0)
                 results = []
                 for eid in ChangeLogTailer(spark, args.landing, engine).pending_epochs():
                     df = spark.read.schema(EVENT_SCHEMA).parquet(
@@ -186,7 +193,10 @@ def main(argv=None):
                     results.append(lt.process_epoch(df, eid))
                 print(json.dumps({"processed": results}, default=str))
             else:
-                metrics = ChangeLogTailer(spark, args.landing, engine).run_once()
+                metrics = ChangeLogTailer(
+                    spark, args.landing, engine,
+                    retain_lsn_margin=args.retain_lsn_margin,
+                ).run_once()
                 print(json.dumps({"applied_epochs": [m["epoch_id"] for m in metrics],
                                   "metrics": metrics}, default=str))
         else:

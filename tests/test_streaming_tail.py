@@ -152,3 +152,46 @@ def test_rebatched_straddling_batch_filters_applied_prefix(spark, tmp_path):
     # finish epoch 2 normally; state equals the oracle over the flat stream
     handle(events_to_df(spark, epochs[2]), 3)
     assert _state(table) == _expected(epochs)
+
+
+def test_direct_tailer_retention_prunes_and_replay_survives(spark, tmp_path):
+    """Direct-ingest retention (round 5): with retain_lsn_margin set, the
+    tailer GC's store epochs wholly below watermark - margin after each
+    batch; reorg replay inside the margin still works (final state ==
+    oracle), and reads below the horizon fail loud."""
+    import pytest
+
+    epochs = generate_changelog(
+        seed=41, n_epochs=10, p_reorg_epoch=0.4, reorg_max_depth=6
+    )
+    flat = [e for ep in epochs for e in ep]
+    assert any(e["op"] == "R" for e in flat)
+    landing = _landing(spark, tmp_path, epochs)
+    table = SnapshotTable.create(spark, str(tmp_path / "t"), TARGET_SCHEMA, n_buckets=8)
+    store = EpochStore(spark, str(tmp_path / "store"))
+    engine = CdcEngine(spark, table, epoch_store=store)
+    # margin comfortably above the generator's reorg depth
+    tailer = ChangeLogTailer(spark, landing, engine, retain_lsn_margin=15)
+    metrics = tailer.run_once()
+    assert len(metrics) == 10
+
+    # retention actually fired: some epochs gone from the live set
+    live = store.epoch_ids()
+    all_ids = store.epoch_ids(include_pruned=True)
+    assert set(live) < set(all_ids), "no epochs were pruned over 10 epochs"
+
+    # final state still equals the oracle (reorgs replayed correctly
+    # from the retained window)
+    got = {
+        r["doc_id"]: (tuple(r["tokens"]), r["lsn"], r["seq"])
+        for r in read_state(table).collect()
+    }
+    exp = {
+        k: (tuple(v["tokens"]), v["lsn"], v["seq"])
+        for k, v in oracle_replay(flat).items()
+    }
+    assert got == exp
+
+    # a read below the horizon is refused, not silently empty
+    with pytest.raises(RuntimeError, match="pruned below the retention"):
+        store.read_slice(-1, 1 << 62)
