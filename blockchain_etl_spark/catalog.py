@@ -2070,6 +2070,89 @@ GROUP BY doc_id, source
 """
 
 
+def holder_policy_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-driven column merge policies (≙ the token_holders upsert
+    hooks, postgres_hooks.py:43-96: counters += , first_* keep
+    existing, last_* take incoming): a policy table ingests holder
+    delta events over two MOR epochs with a compaction in between —
+    ``add`` columns accumulate across batches and through the fold,
+    ``first``/``last`` keep the earliest/newest non-null, tombstoned
+    keys hide until re-inserted. The oracle recomputes the same folds
+    as grouped aggregates over the flat event stream."""
+    import pyspark.sql.types as T
+
+    from blockchain_etl_spark.cdc.apply import CdcEngine, read_state
+    from blockchain_etl_spark.tables.snapshot import SnapshotTable
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    eid = F.col("event_id")
+    vi = F.floor(F.col("value") * 100).cast("long")
+    op = F.when(eid % 37 == 5, F.lit("D")).otherwise(F.lit("I"))
+    non_d = op != "D"
+    ev = e.select(
+        eid.cast("long").alias("stream_pos"),
+        eid.cast("long").alias("lsn"),
+        F.lit(0).cast("int").alias("seq"),
+        op.alias("op"),
+        F.lit(None).cast("long").alias("rollback_to_lsn"),
+        F.concat(F.lit("h-"), (F.col("user_id") % 50).cast("string")).alias("doc_id"),
+        F.when(non_d, F.lit(1)).cast("long").alias("n_xfers"),
+        F.when(non_d, vi).alias("amount"),
+        F.when(non_d, F.floor(eid / 10)).cast("long").alias("first_blknum"),
+        F.when(non_d, vi).alias("last_value"),
+    )
+    mid = e.agg(F.max("event_id")).first()[0] // 2
+    schema = T.StructType([
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("n_xfers", T.LongType()),
+        T.StructField("amount", T.LongType()),
+        T.StructField("first_blknum", T.LongType()),
+        T.StructField("last_value", T.LongType()),
+        T.StructField("lsn", T.LongType()),
+        T.StructField("seq", T.IntegerType()),
+        T.StructField("updated_epoch", T.LongType()),
+        T.StructField("deleted", T.BooleanType()),
+    ])
+    path = _pid_scoped_gate_dir("holder-policy-gate")
+    table = SnapshotTable.create(
+        spark, path, schema, key="doc_id", n_buckets=8,
+        policies={
+            "n_xfers": "add", "amount": "add",
+            "first_blknum": "first", "last_value": "last",
+        },
+    )
+    eng = CdcEngine(spark, table, mode="mor", collect_metrics=False)
+    eng.apply_epoch(ev.filter(F.col("lsn") <= mid), epoch_id=1)
+    table.compact()  # fold must survive base+delta recombination
+    eng.apply_epoch(ev.filter(F.col("lsn") > mid), epoch_id=2)
+    return read_state(table).select(
+        "doc_id", "n_xfers", "amount", "first_blknum", "last_value"
+    )
+
+
+_HOLDER_POLICY_SQL = """
+WITH ev AS (
+  SELECT event_id AS eid,
+         'h-' || (user_id % 50)::VARCHAR AS doc_id,
+         CASE WHEN event_id % 37 = 5 THEN 'D' ELSE 'I' END AS op,
+         floor(value * 100)::BIGINT AS vi,
+         event_id // 10 AS blk
+  FROM events
+),
+agg AS (
+  SELECT doc_id,
+         sum(CASE WHEN op <> 'D' THEN 1 END)::BIGINT AS n_xfers,
+         sum(CASE WHEN op <> 'D' THEN vi END)::BIGINT AS amount,
+         arg_min(blk, eid) FILTER (WHERE op <> 'D') AS first_blknum,
+         arg_max(vi, eid) FILTER (WHERE op <> 'D') AS last_value,
+         arg_max(op, eid) AS last_op
+  FROM ev GROUP BY doc_id
+)
+SELECT doc_id, n_xfers, amount, first_blknum, last_value
+FROM agg WHERE last_op <> 'D'
+"""
+
+
 def utxo_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UTXO input enrichment ≙ the reference's UPDATE..FROM self-join
     (/root/reference/bitcoinetl/streaming/enrich.py:16-34): each input
@@ -3077,6 +3160,7 @@ QUERIES: dict[str, callable] = {
     "nft_orderbook": nft_orderbook,
     "balance_pipeline": balance_pipeline,
     "bpe_encode": bpe_encode,
+    "holder_policy_table": holder_policy_table,
     "pii_redact": pii_redact,
     # returning from the r4 tail (driver-green r3, judge-local r4)
     "holder_detail_agg": relational.holder_detail_agg,
@@ -3112,7 +3196,6 @@ QUERIES: dict[str, callable] = {
     "ann_lsh_topk": similarity.ann_lsh_topk,
     "ann_ivf_topk": similarity.ann_ivf_topk,
     "binary_features": multimodal.binary_features,
-    "frame_sample": multimodal.frame_sample,
     "kmeans_refine": similarity.kmeans_refine,
     "dedup_components": dedup_components,
     "tfidf_terms": tfidf_terms,
@@ -3152,6 +3235,7 @@ QUERIES: dict[str, callable] = {
     "repetition_ratio": repetition_ratio,
     "corpus_prepare": corpus_prepare,
     "srp_bucket_histogram": similarity.srp_bucket_histogram,
+    "frame_sample": multimodal.frame_sample,
     "resize_bytes": multimodal.resize_bytes,
 }
 
@@ -3388,6 +3472,7 @@ def oracle_sqls() -> dict[str, str]:
         "nft_orderbook": _NFT_ORDERBOOK_SQL,
         "balance_pipeline": _BALANCE_PIPELINE_SQL,
         "bpe_encode": _bpe_sql(),
+        "holder_policy_table": _HOLDER_POLICY_SQL,
         "utxo_enrich": _UTXO_ENRICH_SQL,
         "utxo_block_scan": _UTXO_BLOCK_SCAN_SQL,
         "call_tree_flatten": _CALL_TREE_SQL,

@@ -161,6 +161,51 @@ def _liveness_filter(df: DataFrame, markers: list[dict[str, Any]]) -> DataFrame:
     return df.filter(min_rb.isNull() | (F.col("lsn") <= min_rb))
 
 
+def dedup_policy_fold(
+    events: DataFrame, policies: dict[str, str]
+) -> DataFrame:
+    """In-batch fold for POLICY tables (≙ postgres_hooks column
+    policies): one row per doc_id where ``add`` columns sum across the
+    batch's events, ``first``/``last`` take the earliest/newest non-null
+    by stream order, and everything else (op, lsn, seq, plain payload)
+    comes from the last event. The same associative folds the MOR
+    resolver applies across deltas — so in-batch and cross-epoch
+    resolution compose to the same state regardless of batching.
+
+    Delete contract for policy tables: a tombstone hides the key but
+    CARRIES the accumulated columns; a later re-insert resumes the
+    totals (reference counters are lifetime totals — token_holder
+    turnover counters never reset, postgres_hooks.py:12-40)."""
+    pol = {c: p for c, p in policies.items() if c in events.columns}
+    payload = [c for c in events.columns if c not in _EVENT_META]
+    plain = [c for c in payload if c not in pol]
+    carry = ["lsn", "seq", "op", *plain]
+    dtypes = {f.name: f.dataType for f in events.schema.fields}
+    sp = F.col("stream_pos")
+    aggs = [
+        F.max(F.struct(sp, *[F.col(c) for c in carry])).alias("_w"),
+        F.max(sp).alias("_sp"),
+    ]
+    for c, p in pol.items():
+        if p == "add":
+            aggs.append(F.sum(c).cast(dtypes[c]).alias(c))
+        elif p == "first":
+            aggs.append(
+                F.min(F.when(F.col(c).isNotNull(), F.struct(sp, F.col(c))))[c].alias(c)
+            )
+        else:
+            aggs.append(
+                F.max(F.when(F.col(c).isNotNull(), F.struct(sp, F.col(c))))[c].alias(c)
+            )
+    g = events.groupBy("doc_id").agg(*aggs)
+    return g.select(
+        "doc_id",
+        *[F.col(f"_w.{c}").alias(c) for c in carry],
+        *[F.col(c) for c in pol],
+        F.col("_sp").alias("stream_pos"),
+    )
+
+
 def dedup_last_writer(events: DataFrame, payload_cols: list[str] | None = None) -> DataFrame:
     """One row per doc_id: the event with max stream_pos.
 
@@ -412,8 +457,11 @@ class CdcEngine:
             )
         valid = batch_events.filter(self._valid(batch_events))
 
-        # --- last-writer per key, then merge ------------------------------
-        ups = dedup_last_writer(valid)
+        # --- last-writer (or policy fold) per key, then merge -------------
+        pol = {
+            c: p for c, p in (m.policies or {}).items() if c in valid.columns
+        }
+        ups = dedup_policy_fold(valid, pol) if pol else dedup_last_writer(valid)
         new_wm = {"lsn": pre["ls"]["lsn"], "seq": pre["ls"]["seq"], "pos": pre["pos"]}
         # optimistic-concurrency retry: a concurrent writer winning our
         # version is NOT an error for the epoch — re-check the ledger
@@ -623,16 +671,36 @@ class CdcEngine:
             .otherwise(F.lit("insert"))
         )
         takes_s = tag.isin("insert", "update", "delete", "tombstone")
+        pol = {c: p for c, p in (m.policies or {}).items() if c in payload_cols}
+
+        def _pay(c):
+            # column merge policies (≙ postgres_hooks): add accumulates,
+            # first keeps the earliest non-null, last takes the newest
+            # non-null. A tombstone CARRIES policy columns (lifetime
+            # totals survive delete→reinsert — same contract as the MOR
+            # fold); plain columns keep last-writer-row semantics.
+            p = pol.get(c)
+            s_, t_ = F.col(f"s.{c}"), F.col(f"t.{c}")
+            if p is None:
+                return (
+                    F.when(tag.isin("insert", "update"), s_)
+                    .when(tag.isin("delete", "tombstone"), F.lit(None).cast(ptypes[c]))
+                    .otherwise(t_)
+                    .alias(c)
+                )
+            if p == "add":
+                zero = F.lit(0).cast(ptypes[c])
+                e = (F.coalesce(t_, zero) + F.coalesce(s_, zero)).cast(ptypes[c])
+            elif p == "first":
+                e = F.coalesce(t_, s_)
+            else:  # last non-null
+                e = F.coalesce(s_, t_)
+            return F.when(takes_s, e).otherwise(t_).alias(c)
+
         tagged = j.select(
             F.coalesce(F.col("s.doc_id"), F.col("t.doc_id")).alias("doc_id"),
             tag.alias("_tag"),
-            *[
-                F.when(tag.isin("insert", "update"), F.col(f"s.{c}"))
-                .when(tag.isin("delete", "tombstone"), F.lit(None).cast(ptypes[c]))
-                .otherwise(F.col(f"t.{c}"))
-                .alias(c)
-                for c in payload_cols
-            ],
+            *[_pay(c) for c in payload_cols],
             F.when(takes_s, F.col("s.lsn")).otherwise(F.col("t.lsn")).alias("lsn"),
             F.when(takes_s, F.col("s.seq")).otherwise(F.col("t.seq")).alias("seq"),
             F.when(takes_s, F.lit(epoch_id))

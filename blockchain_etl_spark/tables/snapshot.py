@@ -118,6 +118,12 @@ class Manifest:
     applied_epochs: list[int] = field(default_factory=list)
     parent: int | None = None
     lineage: dict[str, Any] = field(default_factory=dict)
+    # column merge policies (≙ the reference's per-table upsert hooks,
+    # ethereumetl/streaming/postgres_hooks.py:43-150): col → "add"
+    # (counters accumulate), "first" (keep earliest non-null), "last"
+    # (take newest non-null). Absent columns keep plain last-writer-row
+    # semantics. Part of the table's identity — persisted per manifest.
+    policies: dict[str, str] = field(default_factory=dict)
 
     def schema(self) -> T.StructType:
         return T.StructType.fromJson(json.loads(self.schemas[str(self.schema_version)]))
@@ -144,7 +150,17 @@ class SnapshotTable:
         schema: T.StructType,
         key: str = "doc_id",
         n_buckets: int = 32,
+        policies: dict[str, str] | None = None,
     ) -> "SnapshotTable":
+        if policies:
+            fields = {f.name for f in schema.fields}
+            bad = {
+                c: p
+                for c, p in policies.items()
+                if c not in fields or p not in ("add", "first", "last")
+            }
+            if bad:
+                raise ValueError(f"invalid merge policies: {bad}")
         os.makedirs(os.path.join(path, "data"), exist_ok=True)
         os.makedirs(os.path.join(path, "manifests"), exist_ok=True)
         t = cls(spark, path)
@@ -154,6 +170,7 @@ class SnapshotTable:
             n_buckets=n_buckets,
             schema_version=0,
             schemas={"0": json.dumps(schema.jsonValue())},
+            policies=dict(policies or {}),
         )
         try:
             t._write_manifest(m)
@@ -178,6 +195,7 @@ class SnapshotTable:
             if (
                 ex.key != key
                 or ex.n_buckets != n_buckets
+                or ex.policies != dict(policies or {})
                 or ex.schemas[str(ex.schema_version)]
                 != json.dumps(schema.jsonValue())
             ):
@@ -391,7 +409,12 @@ class SnapshotTable:
                 if not (f.get("stats") or {}).get("key")
                 or not (f["stats"]["key"][1] < lo or f["stats"]["key"][0] > hi)
             ]
-        if min_lsn_exclusive is not None:
+        if min_lsn_exclusive is not None and not m.policies:
+            # winner-safe ONLY for last-writer tables: a policy table's
+            # fold (e.g. an "add" running total) depends on EVERY delta
+            # row of the key, so file-level lsn pruning would corrupt the
+            # resolution — skip it there (the caller's row-level lsn
+            # filter on the RESOLVED rows remains correct).
             files = [
                 f
                 for f in files
@@ -441,17 +464,62 @@ class SnapshotTable:
         """Collapse base+delta rows to the newest row per key, ordered by
         the table's order columns (lsn, seq) — ties broken by
         updated_epoch (newer commit wins; identical-content redeliveries
-        make ties value-identical)."""
+        make ties value-identical).
+
+        With column merge POLICIES (≙ postgres_hooks upsert policies),
+        policy columns fold associatively instead of taking the winner
+        row's value: ``add`` sums every delta, ``first``/``last`` take
+        the earliest/newest NON-NULL value by commit order. All folds
+        are ordinary aggregates — map-side combined, one shuffle, and
+        compaction (which writes the folded row back as a base) stays
+        correct because the folds are associative."""
         order_cols = [c for c in ("lsn", "seq", "updated_epoch") if c in df.columns]
-        other = [c for c in df.columns if c != m.key and c not in order_cols]
-        w = F.max(
-            F.struct(*[F.col(c) for c in order_cols], *[F.col(c) for c in other])
-        ).alias("w")
-        g = df.groupBy(m.key).agg(w)
-        return g.select(
-            m.key,
-            *[F.col(f"w.{c}").alias(c) for c in df.columns if c != m.key],
-        ).select(df.columns)
+        pol = {c: p for c, p in (m.policies or {}).items() if c in df.columns}
+        if not pol:
+            other = [c for c in df.columns if c != m.key and c not in order_cols]
+            w = F.max(
+                F.struct(*[F.col(c) for c in order_cols], *[F.col(c) for c in other])
+            ).alias("w")
+            g = df.groupBy(m.key).agg(w)
+            return g.select(
+                m.key,
+                *[F.col(f"w.{c}").alias(c) for c in df.columns if c != m.key],
+            ).select(df.columns)
+        dtypes = {f.name: f.dataType for f in df.schema.fields}
+        order = [F.col(c) for c in order_cols]
+        plain = [
+            c
+            for c in df.columns
+            if c != m.key and c not in order_cols and c not in pol
+        ]
+        aggs = [
+            F.max(F.struct(*order, *[F.col(c) for c in plain])).alias("_w")
+        ]
+        for c, p in pol.items():
+            if p == "add":
+                aggs.append(F.sum(c).cast(dtypes[c]).alias(c))
+            elif p == "first":
+                aggs.append(
+                    F.min(F.when(F.col(c).isNotNull(), F.struct(*order, F.col(c))))[
+                        c
+                    ].alias(c)
+                )
+            else:  # last non-null by order
+                aggs.append(
+                    F.max(F.when(F.col(c).isNotNull(), F.struct(*order, F.col(c))))[
+                        c
+                    ].alias(c)
+                )
+        g = df.groupBy(m.key).agg(*aggs)
+        sel = [F.col(m.key)]
+        for c in df.columns:
+            if c == m.key:
+                continue
+            if c in pol:
+                sel.append(F.col(c))
+            else:
+                sel.append(F.col(f"_w.{c}").alias(c))
+        return g.select(*sel).select(df.columns)
 
     def delta_file_counts(self, version: int | None = None) -> dict[int, int]:
         """bucket -> number of delta files (compaction signal)."""
@@ -517,6 +585,7 @@ class SnapshotTable:
             applied_epochs=m.applied_epochs,
             parent=m.version,
             lineage=lineage or {},
+            policies=m.policies,
         )
         self._write_manifest(new)
         return new.version
@@ -570,6 +639,7 @@ class SnapshotTable:
             ),
             parent=m.version,
             lineage=lineage or {},
+            policies=m.policies,
         )
         self._write_manifest(new)
         return new.version
@@ -614,6 +684,7 @@ class SnapshotTable:
             ),
             parent=m.version,
             lineage=lineage or {},
+            policies=m.policies,
         )
         self._write_manifest(new)
         return new.version
@@ -645,6 +716,7 @@ class SnapshotTable:
             applied_epochs=m.applied_epochs,
             parent=m.version,
             lineage={"compaction": {"buckets": targets}},
+            policies=m.policies,
         )
         self._write_manifest(new)
         return new.version
@@ -678,6 +750,7 @@ class SnapshotTable:
             applied_epochs=m.applied_epochs,
             parent=m.version,
             lineage={"rebucket": {"from": m.n_buckets, "to": n_buckets}},
+            policies=m.policies,
         )
         self._write_manifest(new)
         return new.version
@@ -726,6 +799,7 @@ class SnapshotTable:
             applied_epochs=m.applied_epochs,
             parent=None,
             lineage={"cloned_from": self.path, "source_version": m.version},
+            policies=m.policies,
         )
         t._write_manifest(new)
         uid_tmp = os.path.join(dst_path, "manifests", f"TABLE_ID.tmp-{uuid.uuid4().hex}")
@@ -756,6 +830,7 @@ class SnapshotTable:
             applied_epochs=old.applied_epochs,
             parent=cur.version,
             lineage={**(lineage or {}), "rollback_of": cur.version, "rollback_to": version},
+            policies=old.policies,
         )
         self._write_manifest(new)
         return new.version
