@@ -2666,6 +2666,42 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MIX_WEIGHTS = {"src0": 0.5, "src1": 0.25, "src2": 0.125, "src3": 0.125}
+
+
+def domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus mixture sampling: realize target domain shares at the
+    largest achievable sample size (binding source = least data per
+    unit weight; everything else down-samples to match). Deterministic
+    hash-threshold membership — rerun-stable, zero data-path shuffle;
+    the per-source counts are one bounded-dim aggregation. See
+    operators/sampling.py:mixture_rates."""
+    from blockchain_etl_spark.operators.sampling import mixture_sample
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return mixture_sample(d, _MIX_WEIGHTS).select("doc_id", "source")
+
+
+def _mixture_sql() -> str:
+    vals = ", ".join(f"('{s}', {w})" for s, w in sorted(_MIX_WEIGHTS.items()))
+    return f"""
+WITH w(source, wt) AS (VALUES {vals}),
+counts AS (
+  SELECT source, count(*)::DOUBLE AS n FROM documents
+  WHERE source IN (SELECT source FROM w) GROUP BY source
+),
+nmax AS (SELECT min(c.n / w.wt) AS nm FROM counts c JOIN w USING (source)),
+rates AS (
+  SELECT c.source,
+         floor(least(1.0, (w.wt * nmax.nm) / c.n) * 10000)::BIGINT AS t
+  FROM counts c JOIN w USING (source) CROSS JOIN nmax
+)
+SELECT d.doc_id, d.source
+FROM documents d JOIN rates r ON r.source = d.source
+WHERE ('0x' || substr(md5('mix' || d.doc_id::VARCHAR), 1, 8))::BIGINT % 10000 < r.t
+"""
+
+
 def _sample_sql() -> str:
     whens = "\n         ".join(
         f"WHEN '{s}' THEN {int(r * 10000)}" for s, r in sorted(_SAMPLE_RATES.items())
@@ -3190,7 +3226,6 @@ QUERIES: dict[str, callable] = {
     # one driver-green round so far (first seen r4)
     "entity_pipeline": entity_pipeline,
     "entity_chunks": entity_chunks,
-    "entity_history": entity_history,
     "embedding_near_dup": similarity.embedding_near_dup,
     "brute_topk": similarity.brute_topk,
     "ann_lsh_topk": similarity.ann_lsh_topk,
@@ -3204,6 +3239,7 @@ QUERIES: dict[str, callable] = {
     "unigram_logprob": unigram_logprob,
     "dedup_keeplist": dedup_keeplist,
     "stratified_sample": stratified_sample,
+    "domain_mixture": domain_mixture,
     "corpus_splits": corpus_splits,
     "windowed_stream_counts": windowed_stream_counts,
     "stream_dedup": stream_dedup,
@@ -3235,6 +3271,7 @@ QUERIES: dict[str, callable] = {
     "repetition_ratio": repetition_ratio,
     "corpus_prepare": corpus_prepare,
     "srp_bucket_histogram": similarity.srp_bucket_histogram,
+    "entity_history": entity_history,
     "frame_sample": multimodal.frame_sample,
     "resize_bytes": multimodal.resize_bytes,
 }
@@ -3462,6 +3499,7 @@ def oracle_sqls() -> dict[str, str]:
         "dedup_keeplist": _dedup_keeplist_sql(),
         "pii_redact": _PII_REDACT_SQL,
         "stratified_sample": _sample_sql(),
+        "domain_mixture": _mixture_sql(),
         "corpus_splits": _corpus_splits_sql(),
         "explode_tokens": _EXPLODE_TOKENS_SQL,
         "decimal_vsum": _DECIMAL_VSUM_SQL,

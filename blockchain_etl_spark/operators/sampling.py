@@ -88,3 +88,56 @@ def assign_splits(
         lo = hi
     expr = F.lit(names[-1]) if expr is None else expr.otherwise(names[-1])
     return df.withColumn("split", expr)
+
+
+def mixture_rates(
+    counts: dict[str, int], weights: dict[str, float]
+) -> dict[str, float]:
+    """Per-source keep rates realizing a target mixture at the LARGEST
+    achievable sample size (the standard corpus-mixing problem: hit
+    domain shares w_s without up-sampling): the binding source is the
+    one with the least data relative to its weight — N = min_s(n_s/w_s)
+    — and every source keeps rate_s = w_s·N / n_s ≤ 1."""
+    for s, w in weights.items():
+        if w < 0:
+            raise ValueError(f"negative weight for {s}")
+    total_w = sum(weights.values())
+    if total_w <= 0:
+        raise ValueError("weights must sum to a positive value")
+    norm = {s: w / total_w for s, w in weights.items()}
+    n_max = min(
+        counts[s] / w for s, w in norm.items() if w > 0 and s in counts
+    )
+    return {
+        s: min(1.0, (w * n_max) / counts[s])
+        for s, w in norm.items()
+        if s in counts and w > 0
+    }
+
+
+def mixture_sample(
+    df: DataFrame,
+    weights: dict[str, float],
+    key_col: str = "doc_id",
+    source_col: str = "source",
+    salt: str = "mix",
+) -> DataFrame:
+    """Deterministic domain-mixture sampling: keep each source at the
+    rate that realizes the target shares (``mixture_rates``) with the
+    same hash-threshold Bernoulli as :func:`stratified_sample` — rerun-
+    stable, zero-shuffle on the data path. The per-source counts are
+    ONE aggregation collecting #sources rows (a bounded dim, never the
+    data); the rates compile to a literal CASE."""
+    counts = {
+        r[source_col]: r["n"]
+        for r in df.groupBy(source_col).agg(F.count(F.lit(1)).alias("n")).collect()
+        if r[source_col] in weights
+    }
+    rates = mixture_rates(counts, weights)
+    expr = None
+    for s, rate in sorted(rates.items()):
+        t = F.lit(int(rate * _MOD))
+        cond = F.col(source_col) == s
+        expr = F.when(cond, t) if expr is None else expr.when(cond, t)
+    thresh = expr.otherwise(F.lit(0)) if expr is not None else F.lit(0)
+    return df.filter(sample_hash(key_col, salt=salt) < thresh)

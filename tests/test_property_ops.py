@@ -109,3 +109,26 @@ def test_pack_sequences_matches_sequential_fold(spark, case):
         for r in pack_sequences(df, budget=budget, n_parts=n_parts).collect()
     }
     assert got == _pack_oracle(rows, budget)
+
+
+def test_mixture_rates_properties():
+    """mixture_rates: realized shares match target weights at the max
+    achievable N; binding source keeps rate 1.0; rates never exceed 1."""
+    from blockchain_etl_spark.operators.sampling import mixture_rates
+
+    counts = {"a": 1000, "b": 400, "c": 50}
+    w = {"a": 0.5, "b": 0.25, "c": 0.25}
+    rates = mixture_rates(counts, w)
+    assert rates["c"] == 1.0  # binding: least data per unit weight
+    # expected sample sizes proportional to weights: N = 50/0.25 = 200
+    exp = {"a": 100, "b": 50, "c": 50}
+    got = {s: rates[s] * counts[s] for s in rates}
+    for s in exp:
+        assert abs(got[s] - exp[s]) < 1e-6
+    assert all(0 < r <= 1.0 for r in rates.values())
+    import pytest
+
+    with pytest.raises(ValueError):
+        mixture_rates(counts, {"a": -1})
+    with pytest.raises(ValueError):
+        mixture_rates(counts, {"a": 0.0})
