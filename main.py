@@ -47,6 +47,10 @@ def main(argv=None):
     sp = sub.add_parser("init")
     sp.add_argument("--table", required=True)
     sp.add_argument("--buckets", type=int, default=64)
+    sp.add_argument("--policies", default=None,
+                    help='column merge policies as JSON, e.g. '
+                         '\'{"n_xfers": "add", "first_seen": "first"}\' '
+                         '(add | first | last; default last-writer rows)')
 
     sp = sub.add_parser("tail")
     sp.add_argument("--landing", required=True)
@@ -167,8 +171,12 @@ def main(argv=None):
     spark = _spark(args)
 
     if args.cmd == "init":
-        SnapshotTable.create(spark, args.table, TARGET_SCHEMA, n_buckets=args.buckets)
-        print(json.dumps({"created": args.table, "buckets": args.buckets}))
+        pol = json.loads(args.policies) if args.policies else None
+        SnapshotTable.create(
+            spark, args.table, TARGET_SCHEMA, n_buckets=args.buckets, policies=pol
+        )
+        print(json.dumps({"created": args.table, "buckets": args.buckets,
+                          "policies": pol or {}}))
         return 0
 
     if args.cmd in ("tail", "stream"):
