@@ -2051,7 +2051,7 @@ enc AS (
       FROM enc
     )
   )
-  WHERE pos IS NOT NULL AND it < 40
+  WHERE pos IS NOT NULL AND it < length(word)
 ),
 final AS (SELECT word, arg_max(syms, it) AS syms FROM enc GROUP BY word),
 wtok AS (

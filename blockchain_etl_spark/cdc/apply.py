@@ -181,6 +181,22 @@ def dedup_policy_fold(
     plain = [c for c in payload if c not in pol]
     carry = ["lsn", "seq", "op", *plain]
     dtypes = {f.name: f.dataType for f in events.schema.fields}
+    # collapse exact in-batch redeliveries first: the same (doc_id, lsn,
+    # seq) delivered twice is the at-least-once replay case (value-
+    # identical by the stream contract) — folding both would double-
+    # count the 'add' columns, where the last-writer path is naturally
+    # idempotent. max(stream_pos) picks one row deterministically.
+    ev_cols = [c for c in events.columns if c not in ("doc_id", "lsn", "seq", "stream_pos")]
+    u = events.groupBy("doc_id", "lsn", "seq").agg(
+        F.max(F.struct(F.col("stream_pos"), *[F.col(c) for c in ev_cols])).alias("_u")
+    )
+    events = u.select(
+        "doc_id",
+        "lsn",
+        "seq",
+        F.col("_u.stream_pos").alias("stream_pos"),
+        *[F.col(f"_u.{c}").alias(c) for c in ev_cols],
+    )
     sp = F.col("stream_pos")
     aggs = [
         F.max(F.struct(sp, *[F.col(c) for c in carry])).alias("_w"),
@@ -461,7 +477,23 @@ class CdcEngine:
         pol = {
             c: p for c, p in (m.policies or {}).items() if c in valid.columns
         }
-        ups = dedup_policy_fold(valid, pol) if pol else dedup_last_writer(valid)
+        if pol:
+            # at-least-once redelivery guard for policy tables: rows at
+            # or below the COMMITTED watermark are replays of already-
+            # accumulated events — the last-writer path absorbs them
+            # idempotently, but an 'add' fold would double-count. The
+            # manifest is re-read so a reorg rollback above lowered the
+            # bound before replayed events stream back in.
+            cw = self.table.manifest().watermark
+            valid = valid.filter(
+                F.struct(F.col("lsn"), F.col("seq"))
+                > F.struct(
+                    F.lit(cw["lsn"]).cast("long"), F.lit(cw["seq"]).cast("int")
+                )
+            )
+            ups = dedup_policy_fold(valid, pol)
+        else:
+            ups = dedup_last_writer(valid)
         new_wm = {"lsn": pre["ls"]["lsn"], "seq": pre["ls"]["seq"], "pos": pre["pos"]}
         # optimistic-concurrency retry: a concurrent writer winning our
         # version is NOT an error for the epoch — re-check the ledger

@@ -39,22 +39,32 @@ def reconcile(
 
     m = table.manifest()
     applied = set(m.applied_epochs)
-    landed = set(store.epoch_ids()) if store is not None else set()
+    # include PRUNED epochs in the landed set: a landed-but-never-applied
+    # epoch that retention already GC'd is unrecoverable data loss — the
+    # one condition this audit exists to surface; excluding pruned ids
+    # would report "clean" exactly when the gap became unrepairable.
+    landed = set(store.epoch_ids(include_pruned=True)) if store is not None else set()
+    live = set(store.epoch_ids()) if store is not None else set()
 
     # --- ledger gaps: landed but never applied -----------------------------
     gaps = sorted(landed - applied)
     report["unapplied_epochs"] = gaps
-    if autofix and gaps:
-        for eid in gaps:
+    report["unapplied_pruned_epochs"] = sorted(set(gaps) - live)  # lost
+    repairable = [e for e in gaps if e in live]
+    if autofix and repairable:
+        for eid in repairable:
             engine.apply_epoch(store.read_epoch(eid), eid)
-        report["reapplied"] = gaps
+        report["reapplied"] = repairable
         m = table.manifest()
 
     # --- missing LSNs in the retained log ----------------------------------
     if expected_lsn_range is not None and store is not None:
         lo, hi = expected_lsn_range
         seen = None
-        sl = store.read_slice(-1, 1 << 62)
+        # offline audit over the RETAINED window (skip_pruned: epochs
+        # below the retention horizon are gone by design — their absence
+        # is not an error here; the pruned-gap check above covers loss)
+        sl = store.read_slice(-1, 1 << 62, skip_pruned=True)
         if sl is not None:
             seen = sl.select("lsn").distinct()
         expected = spark.range(lo, hi + 1).select(F.col("id").alias("lsn"))
@@ -75,7 +85,9 @@ def reconcile(
 
     # --- watermark consistency ----------------------------------------------
     report["watermark"] = m.watermark
-    report["consistent"] = dupes == 0 and (
-        not report.get("unapplied_epochs") or bool(report.get("reapplied"))
+    report["consistent"] = (
+        dupes == 0
+        and not report.get("unapplied_pruned_epochs")
+        and (not report.get("unapplied_epochs") or bool(report.get("reapplied")))
     )
     return report

@@ -52,13 +52,16 @@ class BucketDiff(InputPartition):
     v1: int = 0
     key: str = "doc_id"
     schema_json: str = ""
+    policies_json: str = "{}"
 
 
-def _load_resolved(files: list[str], schema, key: str):
-    """Read a bucket's base+delta files and collapse to last-writer rows
-    per key — the pandas twin of SnapshotTable._resolve_last_writer
-    ((lsn, seq, updated_epoch) max; ties are value-identical by the
-    engine's redelivery contract, so winner choice is immaterial)."""
+def _load_resolved(files: list[str], schema, key: str, policies: dict | None = None):
+    """Read a bucket's base+delta files and collapse to one row per key
+    — the pandas twin of SnapshotTable._resolve_last_writer: last-writer
+    by (lsn, seq, updated_epoch) max (ties are value-identical by the
+    engine's redelivery contract), with column merge POLICIES folded the
+    same way the Spark resolver folds them (add = sum of every delta,
+    first/last = earliest/newest non-null by commit order)."""
     import pandas as pd
     import pyarrow.parquet as pq
 
@@ -75,18 +78,34 @@ def _load_resolved(files: list[str], schema, key: str):
     # the Spark resolver's struct-max where null sorts smallest — pandas'
     # default (NaN last) would let a null updated_epoch WIN and diverge
     # from SnapshotTable._resolve_last_writer on mixed-null ties.
-    df = df.sort_values(order, kind="stable", na_position="first").drop_duplicates(
-        key, keep="last"
-    )
-    return df
+    df = df.sort_values(order, kind="stable", na_position="first")
+    winner = df.drop_duplicates(key, keep="last")
+    pol = {c: p for c, p in (policies or {}).items() if c in df.columns}
+    if not pol:
+        return winner
+    winner = winner.set_index(key)
+    g = df.groupby(key, sort=False)
+    for c, p in pol.items():
+        if p == "add":
+            winner[c] = g[c].sum(min_count=1)
+        elif p == "first":
+            winner[c] = g[c].agg(
+                lambda s: s.dropna().iloc[0] if s.dropna().size else None
+            )
+        else:  # last non-null by commit order (df is order-sorted)
+            winner[c] = g[c].agg(
+                lambda s: s.dropna().iloc[-1] if s.dropna().size else None
+            )
+    return winner.reset_index()
 
 
 def _diff_rows(part: BucketDiff):
     schema = T.StructType.fromJson(json.loads(part.schema_json))
+    pol = json.loads(part.policies_json or "{}")
     cols = [f.name for f in schema.fields]
     payload = [c for c in cols if c != part.key and c != "updated_epoch"]
-    a = _load_resolved(part.a_files, schema, part.key).set_index(part.key, drop=False)
-    b = _load_resolved(part.b_files, schema, part.key).set_index(part.key, drop=False)
+    a = _load_resolved(part.a_files, schema, part.key, pol).set_index(part.key, drop=False)
+    b = _load_resolved(part.b_files, schema, part.key, pol).set_index(part.key, drop=False)
 
     def norm(v):
         # arrays → tuples so equality is by value; NaN/None unified
@@ -167,6 +186,7 @@ class TableChangesStreamReader(DataSourceStreamReader):
             return [BucketDiff(v0=v0, v1=v0, schema_json=self._schema_json(v0))]
         m0, m1 = self._manifest(v0), self._manifest(v1)
         sj = self._schema_json(v1)  # range-END schema; older files conform
+        pj = json.dumps(m1.get("policies") or {})
         key = m1["key"]
         by_bucket: dict[int, tuple[list, list]] = {}
         if m0["n_buckets"] != m1["n_buckets"]:
@@ -174,7 +194,7 @@ class TableChangesStreamReader(DataSourceStreamReader):
             # one partition holds everything (rare, layout-change only)
             a = [os.path.join(self.path, f["path"]) for f in m0["files"]]
             b = [os.path.join(self.path, f["path"]) for f in m1["files"]]
-            return [BucketDiff(a, b, v0, v1, key, sj)]
+            return [BucketDiff(a, b, v0, v1, key, sj, pj)]
         for f in m0["files"]:
             by_bucket.setdefault(f["bucket"], ([], []))[0].append(f["path"])
         for f in m1["files"]:
@@ -187,10 +207,10 @@ class TableChangesStreamReader(DataSourceStreamReader):
                 BucketDiff(
                     [os.path.join(self.path, p) for p in af],
                     [os.path.join(self.path, p) for p in bf],
-                    v0, v1, key, sj,
+                    v0, v1, key, sj, pj,
                 )
             )
-        return parts or [BucketDiff(v0=v0, v1=v1, key=key, schema_json=sj)]
+        return parts or [BucketDiff(v0=v0, v1=v1, key=key, schema_json=sj, policies_json=pj)]
 
     def _schema_json(self, v: int) -> str:
         m = self._manifest(v)

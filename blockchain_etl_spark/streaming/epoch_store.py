@@ -132,22 +132,30 @@ class EpochStore:
         pos_lo: int,
         pos_hi: int,
         min_lsn_exclusive: int | None = None,
+        skip_pruned: bool = False,
     ) -> list[dict[str, Any]]:
         """Index entries of LIVE epochs overlapping the slice. With
         ``min_lsn_exclusive``, epochs whose every event is at or below
         the bound are skipped without opening a file — the lag-window
-        read opens O(lag / epoch span) files, not O(history).
+        read opens O(lag / epoch span) files, not O(history). Empty
+        epochs (no events, null ranges) never match.
 
         A PRUNED epoch that would have matched both filters means the
-        caller's read reaches below the retention horizon — that is a
-        fail-loud error, never a silent gap in the replay."""
+        caller's read reaches below the retention horizon — fail-loud
+        by default, never a silent gap in the replay. Callers that
+        deliberately operate on the retained window only (offline
+        reconcile) pass ``skip_pruned=True``."""
         out: list[dict[str, Any]] = []
         for k, m in self._index().items():
+            if m["pos_max"] is None:  # empty epoch: nothing to read
+                continue
             if not (m["pos_max"] > pos_lo and m["pos_min"] < pos_hi):
                 continue
             if min_lsn_exclusive is not None and m["lsn_max"] <= min_lsn_exclusive:
                 continue
             if m.get("pruned"):
+                if skip_pruned:
+                    continue
                 raise RuntimeError(
                     f"epoch {k} (pos {m['pos_min']}..{m['pos_max']}, "
                     f"lsn {m['lsn_min']}..{m['lsn_max']}) was pruned below the "
@@ -183,7 +191,11 @@ class EpochStore:
         idx = self._index()
         pruned: list[int] = []
         for k, m in idx.items():
-            if m.get("pruned") or m["lsn_max"] > upto_lsn:
+            # empty epochs (lsn_max None) carry no replayable events —
+            # always prunable; a None comparison would otherwise crash
+            if m.get("pruned") or (
+                m["lsn_max"] is not None and m["lsn_max"] > upto_lsn
+            ):
                 continue
             fp = os.path.join(self.path, m["file"])
             if os.path.exists(fp):
@@ -203,14 +215,19 @@ class EpochStore:
         pos_lo: int,
         pos_hi: int,
         min_lsn_exclusive: int | None = None,
+        skip_pruned: bool = False,
+        metas: list[dict[str, Any]] | None = None,
     ) -> DataFrame | None:
         """Events with pos_lo < stream_pos < pos_hi, pruned by epoch range
         (and, with ``min_lsn_exclusive``, by epoch lsn range — see
-        ``slice_metas``).
+        ``slice_metas``). Callers that already ran ``slice_metas`` with
+        the same bounds pass the result via ``metas`` to skip a second
+        index scan.
 
         Epochs written under different (evolved) schemas are read with
         their own schema and conformed to the merged one."""
-        metas = self.slice_metas(pos_lo, pos_hi, min_lsn_exclusive)
+        if metas is None:
+            metas = self.slice_metas(pos_lo, pos_hi, min_lsn_exclusive, skip_pruned)
         if not metas:
             return None
         merged = self._schema_of(metas[0])

@@ -72,6 +72,15 @@ class LaggedTailer:
 
     # ------------------------------------------------------------------
     def process_epoch(self, events_df: DataFrame, epoch_id: int) -> dict[str, Any]:
+        # exactly-once for the LAG path: lagged epochs don't necessarily
+        # enter the finalized table's ledger (an epoch wholly inside the
+        # lag window finalizes nothing), so the pending overlay's commit
+        # lineage carries the processed-epoch cursor — re-running an old
+        # epoch would both crash on its pruned store file and overwrite
+        # the overlay with a stale slice.
+        done = self.pending.manifest().lineage.get("epoch_id", -1)
+        if epoch_id <= done:
+            return {"epoch_id": epoch_id, "skipped": "already processed"}
         stats = self.store.epoch_stats(epoch_id)
         if stats is None:
             stats = self.store.write_epoch(epoch_id, events_df)
@@ -88,10 +97,10 @@ class LaggedTailer:
             -1, stats["pos_max"] + 1, min_lsn_exclusive=prev_final
         )
         sl = self.store.read_slice(
-            -1, stats["pos_max"] + 1, min_lsn_exclusive=prev_final
+            -1, stats["pos_max"] + 1, min_lsn_exclusive=prev_final, metas=metas
         )
         if sl is None:
-            sl = self.store.read_epoch(epoch_id).limit(0)
+            sl = events_df.limit(0)  # schema only — never re-opens a file
         # ALL markers ever landed, straight from the index (zero data
         # files opened; they survive pruning): a marker above the final
         # window still kills events inside it (the reorg happened while
@@ -131,9 +140,17 @@ class LaggedTailer:
         self.pending.overwrite(overlay, lineage={"epoch_id": epoch_id, "final_lsn": new_final})
 
         # --- retention: GC epochs that cleared the lag + margin -----------
+        # Horizon clamps to the COMMITTED watermark, not new_final: if
+        # the finalize commit landed a watermark below new_final (every
+        # window event killed by a marker), the next read slices from
+        # that lower watermark — pruning past it would make the read hit
+        # a pruned epoch and wedge the tailer.
         pruned = None
         if self.prune:
-            pruned = self.store.prune(new_final - self.retain_lsn_margin)
+            committed = self.engine.table.manifest().watermark["lsn"]
+            pruned = self.store.prune(
+                min(new_final, committed) - self.retain_lsn_margin
+            )
         return {
             "epoch_id": epoch_id,
             "head_lsn": head,

@@ -1120,6 +1120,16 @@ class SnapshotTable:
         a mostly-clean 10^10-row table reads candidate buckets only, not
         the table."""
         m = self.manifest()
+        if m.policies:
+            # a policy table's tombstone IS state: it carries the
+            # accumulated columns that a later re-insert resumes from
+            # (lifetime-totals contract). Dropping it would silently
+            # reset the totals — refuse instead.
+            raise ValueError(
+                f"{self.path} declares column merge policies "
+                f"{m.policies}; tombstones carry accumulated totals and "
+                f"must not be vacuumed"
+            )
         if "deleted" not in [f.name for f in m.schema().fields]:
             return self.current_version()
         cand = self.vacuum_candidate_buckets(older_than_lsn)

@@ -77,3 +77,24 @@ def test_encode_docs_matches_per_word_python(spark):
     exp2 = B.encode_word_ids("agg") + B.encode_word_ids("spark")
     assert out[1] == (len(exp1), exp1)
     assert out[2] == (len(exp2), exp2)
+
+
+def test_cte_twin_unbounded_word_length():
+    """The DuckDB recursive-CTE twin must match the Python encoder for
+    words LONGER than any fixed iteration budget (the cap is now
+    length(word), which bounds merges at len-1)."""
+    import duckdb
+
+    from blockchain_etl_spark.catalog import _bpe_sql
+
+    word = "scan" * 15  # 60 chars, 45 merge steps to full fold
+    sql = _bpe_sql()
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT 1 AS doc_id, '{word}' AS text, "
+        f"'s' AS source"
+    )
+    got = con.sql(sql).fetchall()
+    exp_ids = B.encode_word_ids(word)
+    assert got[0][1] == ",".join(str(i) for i in exp_ids)
+    assert got[0][2] == len(exp_ids)

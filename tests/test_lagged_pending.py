@@ -118,3 +118,34 @@ def test_lagged_epoch_reads_bounded_and_store_pruned(spark, tmp_path):
 
     with pytest.raises(RuntimeError, match="pruned below the retention"):
         store.read_slice(-1, 1 << 62)
+
+
+def test_process_epoch_rerun_is_skipped_and_crash_safe(spark, tmp_path):
+    """CLI re-listing of lag-window epochs (they never enter the
+    finalized ledger) must not reprocess them: a rerun of an already-
+    processed epoch is a no-op skip — even after retention pruned its
+    store file — and the overlay is not overwritten with a stale slice."""
+    lag = 15
+    epochs = generate_changelog(seed=53, n_epochs=8, p_reorg_epoch=0.3,
+                                reorg_max_depth=10)
+    flat = [e for ep in epochs for e in ep]
+    table = SnapshotTable.create(spark, str(tmp_path / "fin"), TARGET_SCHEMA, n_buckets=8)
+    store = EpochStore(spark, str(tmp_path / "store"))
+    engine = CdcEngine(spark, table, epoch_store=store)
+    tailer = LaggedTailer(spark, engine, store, str(tmp_path / "pending"), lag=lag)
+    for i, ep in enumerate(epochs):
+        tailer.process_epoch(events_to_df(spark, ep), i)
+    before = _d(tailer.latest_view().select("doc_id", "tokens", "n_tok", "lsn", "seq"))
+
+    # rerun epoch 0 (pruned by now) and epoch 3: both skipped, no crash
+    out0 = tailer.process_epoch(events_to_df(spark, epochs[0]), 0)
+    out3 = tailer.process_epoch(events_to_df(spark, epochs[3]), 3)
+    assert out0.get("skipped") and out3.get("skipped")
+    after = _d(tailer.latest_view().select("doc_id", "tokens", "n_tok", "lsn", "seq"))
+    assert after == before
+    # and the oracle still holds
+    exp = {
+        k: (tuple(v["tokens"]), v["n_tok"], v["lsn"], v["seq"])
+        for k, v in oracle_replay(flat).items()
+    }
+    assert after == exp

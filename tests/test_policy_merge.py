@@ -125,3 +125,86 @@ def test_policy_is_part_of_create_identity(spark, tmp_path):
         SnapshotTable.create(
             spark, str(tmp_path / "bad2"), SCHEMA, policies={"n_xfers": "sum"}
         )
+
+
+def test_policy_redelivery_counts_once(spark, tmp_path):
+    """At-least-once delivery must not inflate 'add' columns: the same
+    (lsn, seq) event replayed in a LATER epoch is dropped by the
+    committed-watermark guard, and an exact duplicate INSIDE a batch
+    collapses by (doc_id, lsn, seq) — in both modes."""
+    for mode in ("mor", "cow"):
+        t = SnapshotTable.create(
+            spark, str(tmp_path / f"r-{mode}"), SCHEMA, n_buckets=4,
+            policies=POLICIES,
+        )
+        eng = CdcEngine(spark, t, mode=mode, collect_metrics=False)
+        e0 = [
+            (0, 10, 0, "I", None, "a", 1, 100, 5),
+            (1, 10, 0, "I", None, "a", 1, 100, 5),  # in-batch duplicate
+            (2, 12, 0, "U", None, "a", 2, None, 7),
+        ]
+        eng.apply_epoch(_ev(spark, e0), 0)
+        # epoch 1 redelivers the lsn-12 event (new stream_pos, same
+        # lsn/seq) alongside one genuinely new event
+        e1 = [
+            (3, 12, 0, "U", None, "a", 2, None, 7),  # replay — must drop
+            (4, 13, 0, "U", None, "a", 4, None, 9),
+        ]
+        eng.apply_epoch(_ev(spark, e1), 1)
+        got = _state(t)
+        assert got == {"a": (7, 100, 9)}, (mode, got)
+
+
+def test_vacuum_refuses_policy_tables(spark, tmp_path):
+    t = SnapshotTable.create(
+        spark, str(tmp_path / "t"), SCHEMA, n_buckets=4, policies=POLICIES
+    )
+    with pytest.raises(ValueError, match="merge policies"):
+        t.vacuum_tombstones(10)
+
+
+def test_cdf_source_folds_policies(spark, tmp_path):
+    """The streaming table_changes source's pandas resolver must apply
+    the same policy folds as the Spark resolver — its diff rows equal
+    the batch read_changes on a policy MOR table."""
+    from blockchain_etl_spark.sources.table_changes_source import (
+        TableChangesDataSource,
+    )
+
+    t = SnapshotTable.create(
+        spark, str(tmp_path / "t"), SCHEMA, n_buckets=4, policies=POLICIES
+    )
+    eng = CdcEngine(spark, t, mode="mor", collect_metrics=False)
+    for i, rows in enumerate(_epochs()):
+        eng.apply_epoch(_ev(spark, rows), i)
+    v0, v1 = 1, t.current_version()  # span the delta-accumulating commits
+
+    batch = {
+        (r["_change_type"], r["doc_id"]): (
+            r["n_xfers"], r["first_blknum"], r["last_value"]
+        )
+        for r in t.read_changes(v0, v1).collect()
+    }
+    spark.dataSource.register(TableChangesDataSource)
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    (
+        spark.readStream.format("table_changes")
+        .option("path", str(tmp_path / "t"))
+        .option("start_version", v0)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    stream = {
+        (r["_change_type"], r["doc_id"]): (
+            r["n_xfers"], r["first_blknum"], r["last_value"]
+        )
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    assert stream == batch
+    assert batch  # non-degenerate

@@ -46,3 +46,28 @@ def test_reconcile_reports_missing_lsns(spark, tmp_path):
     max_lsn = max(e["lsn"] for ep in epochs for e in ep)
     rep = reconcile(eng, expected_lsn_range=(0, max_lsn + 5))
     assert rep["missing_lsns"] == [max_lsn + i for i in range(1, 6)]
+
+
+def test_reconcile_on_pruned_store_reports_loss_not_crash(spark, tmp_path):
+    """Retention GC must not break the audit: reconcile over a pruned
+    store completes, skips pruned epochs in the missing-LSN scan, and
+    surfaces a landed-but-never-applied epoch that was pruned as
+    unrecoverable loss instead of reporting clean."""
+    from blockchain_etl_spark.cdc.generator import events_to_df, generate_changelog
+    from blockchain_etl_spark.cdc.reconcile import reconcile
+
+    epochs = generate_changelog(seed=61, n_epochs=5, p_reorg_epoch=0.0)
+    table = SnapshotTable.create(spark, str(tmp_path / "t"), TARGET_SCHEMA, n_buckets=8)
+    store = EpochStore(spark, str(tmp_path / "store"))
+    eng = CdcEngine(spark, table, epoch_store=store)
+    for i, ep in enumerate(epochs):
+        store.write_epoch(i, events_to_df(spark, ep))
+        if i != 1:  # epoch 1 lands but is never applied (crash window)
+            eng.apply_epoch(store.read_epoch(i), i)
+    # retention prunes everything below the watermark — including the
+    # never-applied epoch 1 (prune only checks lsn ranges)
+    store.prune(table.manifest().watermark["lsn"])
+    rep = reconcile(eng, expected_lsn_range=(0, 3), autofix=True)
+    assert 1 in rep["unapplied_epochs"]
+    assert rep["unapplied_pruned_epochs"] == [1]
+    assert rep["consistent"] is False  # the loss is surfaced

@@ -195,3 +195,18 @@ def test_direct_tailer_retention_prunes_and_replay_survives(spark, tmp_path):
     # a read below the horizon is refused, not silently empty
     with pytest.raises(RuntimeError, match="pruned below the retention"):
         store.read_slice(-1, 1 << 62)
+
+
+def test_empty_epoch_survives_retention(spark, tmp_path):
+    """An empty landed epoch (null lsn/pos ranges in the index) must not
+    crash prune() or slice reads — it is prunable and unreadable."""
+    from blockchain_etl_spark.cdc.schema import EVENT_SCHEMA
+
+    store = EpochStore(spark, str(tmp_path / "store"))
+    store.write_epoch(0, spark.createDataFrame([], EVENT_SCHEMA))
+    ev = generate_changelog(seed=7, n_epochs=1, p_reorg_epoch=0.0)[0]
+    store.write_epoch(1, events_to_df(spark, ev))
+    assert store.read_slice(-1, 1 << 62).count() == len(ev)
+    out = store.prune(upto_lsn=-1)  # nothing below -1 except the empty epoch
+    assert out["pruned_epochs"] == [0]
+    assert store.epoch_ids() == [1]
