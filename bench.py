@@ -77,6 +77,13 @@ HEADLINE_QUERIES = [
     "kmeans_refine",
     "dedup_components",
     "tfidf_terms",
+    # round 5 — first recorded numbers in the round-5 reference run
+    # (BENCH/BASELINE.md) and the driver's BENCH_r05
+    "nft_orderbook",
+    "balance_pipeline",
+    "bpe_encode",
+    "holder_policy_table",
+    "domain_mixture",
 ]
 
 
