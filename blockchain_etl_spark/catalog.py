@@ -2153,6 +2153,134 @@ FROM agg WHERE last_op <> 'D'
 """
 
 
+def nft_tokenid_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """≙ EthNftTokenidAdapter (eth_nft_tokenid_adapter.py:188-313 +
+    postgres_hooks.py:12-40): per (token_address, token_id) turnover /
+    minted / burned counters with first-transfer (mint) and
+    last-transfer context — the reference computes the batch aggregate
+    in pandas and relies on per-column upsert hooks to accumulate
+    across batches; here the SAME accumulation is the table's declared
+    column merge policies, applied through the engine over two MOR
+    epochs. The oracle recomputes the lifetime stats as one grouped
+    aggregate over the flat transfer stream."""
+    import pyspark.sql.types as T
+
+    from blockchain_etl_spark.cdc.apply import CdcEngine, read_state
+    from blockchain_etl_spark.tables.snapshot import SnapshotTable
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    eid = F.col("event_id")
+    vi = F.floor(F.col("value") * 100).cast("long")
+    blk = F.floor(eid / 10).cast("long")
+    is_mint = eid % 5 == 0
+    is_burn = eid % 11 == 3
+    waddr = lambda tag, expr: F.concat(  # noqa: E731
+        F.lit("0x"), F.md5(F.concat(F.lit(tag), expr.cast("string")))
+    )
+    frm = F.when(is_mint, F.lit(EXT.ZERO_ADDR)).otherwise(
+        waddr("w", F.col("user_id") % 30)
+    )
+    to = F.when(is_burn, F.lit(EXT.ZERO_ADDR)).otherwise(
+        waddr("w", (F.col("user_id") + eid) % 30)
+    )
+    ev = e.select(
+        eid.cast("long").alias("stream_pos"),
+        eid.cast("long").alias("lsn"),
+        F.lit(0).cast("int").alias("seq"),
+        F.lit("I").alias("op"),
+        F.lit(None).cast("long").alias("rollback_to_lsn"),
+        F.concat(
+            waddr("n", eid % 20), F.lit("#"), (eid % 31).cast("string")
+        ).alias("doc_id"),
+        F.lit(1).cast("long").alias("turnover"),
+        F.when(is_mint, F.lit(1)).cast("long").alias("minted_count"),
+        F.when(is_mint, vi).alias("minted_value"),
+        F.when(is_burn, F.lit(1)).cast("long").alias("burned_count"),
+        F.when(is_burn, vi).alias("burned_value"),
+        blk.alias("minted_blknum"),
+        F.when(is_mint, to).otherwise(frm).alias("mint_address"),
+        blk.alias("xfered_blknum"),
+        to.alias("last_owner"),
+    )
+    mid = e.agg(F.max("event_id")).first()[0] // 2
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType()),
+            T.StructField("turnover", T.LongType()),
+            T.StructField("minted_count", T.LongType()),
+            T.StructField("minted_value", T.LongType()),
+            T.StructField("burned_count", T.LongType()),
+            T.StructField("burned_value", T.LongType()),
+            T.StructField("minted_blknum", T.LongType()),
+            T.StructField("mint_address", T.StringType()),
+            T.StructField("xfered_blknum", T.LongType()),
+            T.StructField("last_owner", T.StringType()),
+            T.StructField("lsn", T.LongType()),
+            T.StructField("seq", T.IntegerType()),
+            T.StructField("updated_epoch", T.LongType()),
+            T.StructField("deleted", T.BooleanType()),
+        ]
+    )
+    path = _pid_scoped_gate_dir("nft-tokenid-gate")
+    table = SnapshotTable.create(
+        spark, path, schema, key="doc_id", n_buckets=8,
+        policies={
+            "turnover": "add", "minted_count": "add", "minted_value": "add",
+            "burned_count": "add", "burned_value": "add",
+            "minted_blknum": "first", "mint_address": "first",
+            "xfered_blknum": "last", "last_owner": "last",
+        },
+    )
+    eng = CdcEngine(spark, table, mode="mor", collect_metrics=False)
+    eng.apply_epoch(ev.filter(F.col("lsn") <= mid), epoch_id=1)
+    eng.apply_epoch(ev.filter(F.col("lsn") > mid), epoch_id=2)
+    return read_state(table).select(
+        "doc_id",
+        "turnover",
+        F.coalesce("minted_count", F.lit(0)).alias("minted_count"),
+        F.coalesce("minted_value", F.lit(0)).alias("minted_value"),
+        F.coalesce("burned_count", F.lit(0)).alias("burned_count"),
+        F.coalesce("burned_value", F.lit(0)).alias("burned_value"),
+        "minted_blknum",
+        "mint_address",
+        "xfered_blknum",
+        "last_owner",
+    )
+
+
+_NFT_TOKENID_SQL = """
+WITH ev AS (
+  SELECT event_id AS eid, user_id AS uid,
+         floor(value * 100)::BIGINT AS vi,
+         event_id // 10 AS blk,
+         event_id % 5 = 0 AS is_mint,
+         event_id % 11 = 3 AS is_burn
+  FROM events
+),
+x AS (
+  SELECT eid, vi, blk, is_mint, is_burn,
+         '0x' || md5('n' || (eid % 20)::VARCHAR) || '#' || (eid % 31)::VARCHAR
+           AS doc_id,
+         CASE WHEN is_mint THEN '0x0000000000000000000000000000000000000000'
+              ELSE '0x' || md5('w' || (uid % 30)::VARCHAR) END AS frm,
+         CASE WHEN is_burn THEN '0x0000000000000000000000000000000000000000'
+              ELSE '0x' || md5('w' || ((uid + eid) % 30)::VARCHAR) END AS tto
+  FROM ev
+)
+SELECT doc_id,
+       count(*)::BIGINT AS turnover,
+       coalesce(sum(CASE WHEN is_mint THEN 1 END), 0)::BIGINT AS minted_count,
+       coalesce(sum(CASE WHEN is_mint THEN vi END), 0)::BIGINT AS minted_value,
+       coalesce(sum(CASE WHEN is_burn THEN 1 END), 0)::BIGINT AS burned_count,
+       coalesce(sum(CASE WHEN is_burn THEN vi END), 0)::BIGINT AS burned_value,
+       arg_min(blk, eid) AS minted_blknum,
+       arg_min(CASE WHEN is_mint THEN tto ELSE frm END, eid) AS mint_address,
+       arg_max(blk, eid) AS xfered_blknum,
+       arg_max(tto, eid) AS last_owner
+FROM x GROUP BY doc_id
+"""
+
+
 def utxo_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UTXO input enrichment ≙ the reference's UPDATE..FROM self-join
     (/root/reference/bitcoinetl/streaming/enrich.py:16-34): each input
@@ -3197,6 +3325,7 @@ QUERIES: dict[str, callable] = {
     "balance_pipeline": balance_pipeline,
     "bpe_encode": bpe_encode,
     "holder_policy_table": holder_policy_table,
+    "nft_tokenid_stats": nft_tokenid_stats,
     "pii_redact": pii_redact,
     # returning from the r4 tail (driver-green r3, judge-local r4)
     "holder_detail_agg": relational.holder_detail_agg,
@@ -3238,7 +3367,6 @@ QUERIES: dict[str, callable] = {
     "length_quantiles": length_quantiles,
     "unigram_logprob": unigram_logprob,
     "dedup_keeplist": dedup_keeplist,
-    "stratified_sample": stratified_sample,
     "domain_mixture": domain_mixture,
     "corpus_splits": corpus_splits,
     "windowed_stream_counts": windowed_stream_counts,
@@ -3271,6 +3399,7 @@ QUERIES: dict[str, callable] = {
     "repetition_ratio": repetition_ratio,
     "corpus_prepare": corpus_prepare,
     "srp_bucket_histogram": similarity.srp_bucket_histogram,
+    "stratified_sample": stratified_sample,
     "entity_history": entity_history,
     "frame_sample": multimodal.frame_sample,
     "resize_bytes": multimodal.resize_bytes,
@@ -3511,6 +3640,7 @@ def oracle_sqls() -> dict[str, str]:
         "balance_pipeline": _BALANCE_PIPELINE_SQL,
         "bpe_encode": _bpe_sql(),
         "holder_policy_table": _HOLDER_POLICY_SQL,
+        "nft_tokenid_stats": _NFT_TOKENID_SQL,
         "utxo_enrich": _UTXO_ENRICH_SQL,
         "utxo_block_scan": _UTXO_BLOCK_SCAN_SQL,
         "call_tree_flatten": _CALL_TREE_SQL,
