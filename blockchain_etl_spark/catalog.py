@@ -1697,7 +1697,13 @@ def _synth_nop_logs(spark: SparkSession, sf_dir: str) -> DataFrame:
     % 3 == 2 rows are unrelated-topic noise the extractor must skip."""
     from blockchain_etl_spark.operators import orderbook as OB
 
-    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # the test tables arrive as ONE small parquet file → a 1-partition
+    # scan would serialize the md5-heavy synthetic derivation (and every
+    # branch of the union below) onto one core; at production scale the
+    # log scan is wide by nature, so spread the synthetic one too
+    e = spark.read.parquet(f"{sf_dir}/events.parquet").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     eid = F.col("event_id").cast("string")
     vi = F.floor(F.col("value") * 100).cast("long")
     fee = F.floor(vi / 40).cast("long")

@@ -94,6 +94,33 @@ def split_to_words(data: Column | str) -> Column:
     )
 
 
+def data_word(data: Column | str, i) -> Column:
+    """The ``i``-th (0-based) 32-byte word of hex log ``data`` — pure
+    ``substring`` arithmetic, NO array materialization.
+
+    Why this exists next to :func:`split_to_words`: the array version
+    is built with ``transform``, a higher-order function — HOFs run
+    INTERPRETED (outside whole-stage codegen) and are re-evaluated for
+    every reference, so a filter + N-column decode re-derives the whole
+    word array ~N times per row (measured 3-4× wall on the erc721
+    extractor at bench scale). Fixed word positions (every ABI decode in
+    the extractors) need only this codegen'd accessor; keep
+    ``split_to_words`` for genuinely variable-length consumers (erc1155
+    batch arrays). ``i`` may be an int or a Column."""
+    c = F.col(data) if isinstance(data, str) else data
+    h = F.when(c.startswith("0x"), c.substr(F.lit(3), F.length(c))).otherwise(c)
+    idx = F.lit(i) if isinstance(i, int) else i
+    return F.substring(h, (idx * 64 + 1).cast("int"), 64)
+
+
+def n_data_words(data: Column | str) -> Column:
+    """Word count of hex log ``data`` (NULL when not 64-aligned —
+    matching ``split_to_words``' weird-data rejection), codegen'd."""
+    c = F.col(data) if isinstance(data, str) else data
+    h = F.when(c.startswith("0x"), c.substr(F.lit(3), F.length(c))).otherwise(c)
+    return F.when(F.length(h) % 64 == 0, (F.length(h) / 64).cast("int"))
+
+
 def wei2eth(wei: Column | str) -> Column:
     """≙ rule UDF ``wei2eth`` (/root/reference/blockchainetl/alert/rule_udf.py:7-20)."""
     c = F.col(wei) if isinstance(wei, str) else wei

@@ -32,7 +32,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from blockchain_etl_spark.functions.ids import normalized_address, split_to_words
+from blockchain_etl_spark.functions.ids import normalized_address
 from blockchain_etl_spark.operators.extractors import hex_word_to_long, word_to_addr
 
 # Public marketplace event signatures (chain constants):
@@ -93,14 +93,17 @@ def extract_orderbooks(
 
     Returns (event_id, platform, exchange_address, maker, taker,
     value, currency, fee_value)."""
+    from blockchain_etl_spark.functions.ids import data_word
+
     keep = set(platforms or PLATFORM_SPECS)
     topics_wanted = [
         s["topic"] for p, s in PLATFORM_SPECS.items() if p in keep
     ]
-    d = split_to_words("data")
     base = logs.filter(F.size("topics") >= 3).filter(
         F.get("topics", 0).isin(topics_wanted)
     )
+    # fixed word positions → codegen'd substring access (data_word), no
+    # higher-order array materialization on the hot decode path
     return base.select(
         "event_id",
         _per_platform(lambda name, s: F.lit(name)).alias("platform"),
@@ -111,15 +114,15 @@ def extract_orderbooks(
         _per_platform(
             lambda _, s: word_to_addr(F.get("topics", s["taker_topic"]))
         ).alias("taker"),
-        _per_platform(lambda _, s: hex_word_to_long(F.get(d, s["price_word"]))).alias(
-            "value"
-        ),
-        _per_platform(lambda _, s: word_to_addr(F.get(d, s["currency_word"]))).alias(
-            "currency"
-        ),
-        _per_platform(lambda _, s: hex_word_to_long(F.get(d, s["fee_word"]))).alias(
-            "fee_value"
-        ),
+        _per_platform(
+            lambda _, s: hex_word_to_long(data_word("data", s["price_word"]))
+        ).alias("value"),
+        _per_platform(
+            lambda _, s: word_to_addr(data_word("data", s["currency_word"]))
+        ).alias("currency"),
+        _per_platform(
+            lambda _, s: hex_word_to_long(data_word("data", s["fee_word"]))
+        ).alias("fee_value"),
     )
 
 
