@@ -342,8 +342,9 @@ def decode_cryptopunk_logs(logs: DataFrame) -> DataFrame:
 
     Input logs carry (address, topics, data, block_number,
     transaction_hash, transaction_index, log_index)."""
+    from blockchain_etl_spark.functions.ids import data_word, n_data_words
+
     addr = normalized_address("address")
-    w = F.concat(F.col("topics"), split_to_words("data"))
     t0 = F.get("topics", 0)
     base = (
         logs.filter(F.size("topics") >= 1)
@@ -351,13 +352,24 @@ def decode_cryptopunk_logs(logs: DataFrame) -> DataFrame:
         .select(
             addr.alias("token_address"),
             t0.alias("topics_0"),
-            w.alias("w"),
+            "topics",
+            "data",
+            (F.size("topics") + n_data_words("data")).alias("_nw"),
             "block_number",
             "transaction_hash",
             "transaction_index",
             "log_index",
         )
     )
+    # combined topics++data word as scalar substring arithmetic — the
+    # per-topic dynamic indexes stay inside whole-stage codegen (see
+    # data_word for why the array form is 3-10x slower)
+    nt = F.size("topics")
+
+    def word(idx):
+        return F.when(idx < nt, F.get("topics", idx)).otherwise(
+            data_word("data", idx - nt)
+        )
     req = (
         F.when(F.col("topics_0") == PUNK_TRANSFER_EVENT_TOPIC, 4)
         .when(F.col("topics_0") == PUNK_BOUGHT_EVENT_TOPIC, 5)
@@ -380,14 +392,14 @@ def decode_cryptopunk_logs(logs: DataFrame) -> DataFrame:
         .when(F.col("topics_0") == PUNK_BOUGHT_EVENT_TOPIC, 1)
         .when(F.col("topics_0") == ASSIGN_EVENT_TOPIC, 2)
     )
-    return base.filter(req.isNotNull() & (F.size("w") == req)).select(
+    return base.filter(req.isNotNull() & (F.col("_nw") == req)).select(
         "topics_0",
         "token_address",
         F.when(F.col("topics_0") == ASSIGN_EVENT_TOPIC, F.lit(ZERO_ADDR))
-        .otherwise(word_to_addr(F.element_at("w", from_idx + 1)))
+        .otherwise(word_to_addr(word(from_idx)))
         .alias("from_address"),
-        word_to_addr(F.element_at("w", to_idx + 1)).alias("to_address"),
-        hex_word_to_long(F.element_at("w", id_idx + 1)).alias("token_id"),
+        word_to_addr(word(to_idx)).alias("to_address"),
+        hex_word_to_long(word(id_idx)).alias("token_id"),
         "block_number",
         "transaction_hash",
         "transaction_index",
