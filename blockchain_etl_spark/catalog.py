@@ -15,7 +15,13 @@ from pyspark.sql import functions as F
 from blockchain_etl_spark.cdc.replay import replay_final_state
 from blockchain_etl_spark.cdc.schema import EVENT_SCHEMA
 from blockchain_etl_spark.functions import text as X
-from blockchain_etl_spark.operators import dedup, multimodal, relational, similarity
+from blockchain_etl_spark.operators import (
+    dedup,
+    multimodal,
+    ordering,
+    relational,
+    similarity,
+)
 
 # --------------------------------------------------------------------------
 # Derived change-log: a deterministic CDC event stream computed FROM the
@@ -2847,6 +2853,112 @@ WHERE ('0x' || substr(md5('samp' || doc_id::VARCHAR), 1, 8))::BIGINT % 10000
 """
 
 
+_SESSION_GAP_US = 8 * 3600 * 1_000_000  # 8 h — ~median inter-event gap
+
+
+def global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global corpus shuffle: every document gets a
+    0-based position in a reproducible uniform permutation
+    (md5-salted key), computed with the two-phase global rank — no
+    single-task ORDER BY window anywhere (see operators/ordering.py).
+    Downstream shard assignment is then pure arithmetic on ``pos``."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    return ordering.global_shuffle(d).select("doc_id", "pos")
+
+
+_GLOBAL_SHUFFLE_SQL = """
+SELECT doc_id,
+       (row_number() OVER (ORDER BY md5('gshuf' || doc_id::VARCHAR), doc_id)
+        - 1)::BIGINT AS pos
+FROM documents
+"""
+
+
+def curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum schedule: stage = document-length difficulty bucket,
+    global position = (stage asc, deterministic shuffle within stage).
+    The stage expression is a codegen'd CASE; the position is the same
+    two-phase rank as global_shuffle — parallelism independent of stage
+    cardinality (a per-stage window would funnel each stage through one
+    task)."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "n_chars"
+    )
+    stage = (
+        F.when(F.col("n_chars") < 200, 0)
+        .when(F.col("n_chars") < 400, 1)
+        .otherwise(2)
+    )
+    return ordering.curriculum_order(d, stage).select("doc_id", "stage", "pos")
+
+
+_CURRICULUM_SQL = """
+WITH s AS (
+  SELECT doc_id,
+         CASE WHEN n_chars < 200 THEN 0
+              WHEN n_chars < 400 THEN 1 ELSE 2 END AS stage
+  FROM documents
+)
+SELECT doc_id, stage::INT AS stage,
+       (row_number() OVER (ORDER BY stage, md5('curr' || doc_id::VARCHAR),
+                           doc_id) - 1)::BIGINT AS pos
+FROM s
+"""
+
+
+def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization over the event stream: a new session
+    starts when a user's inter-event gap exceeds the threshold; one
+    output row per session with integer-exact bounds (no float columns
+    — value-hash-stable). One shuffle on user_id; the lag flag and the
+    running session counter share a single window spec, so Catalyst
+    plans ONE Window node. Hot-key caveat: a pathological single user
+    serializes through one task — the gap chain is inherently
+    sequential per user (the general salting kit in operators/skew.py
+    does not apply); real deployments shard by (user, day) first."""
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # the parquet column is TIMESTAMP_NTZ; the session timezone is
+    # pinned to UTC (session.py), so the LTZ cast is value-faithful and
+    # unix_micros matches DuckDB's epoch_us on the naive timestamp
+    us = F.unix_micros(F.col("ts").cast("timestamp_ltz"))
+    gap = us - F.lag(us).over(w)
+    new_sess = F.when(gap.isNull() | (gap > _SESSION_GAP_US), 1).otherwise(0)
+    sess = e.withColumn(
+        "session_seq", F.sum(new_sess).over(w).cast("long")
+    )
+    return sess.groupBy("user_id", "session_seq").agg(
+        F.count("*").alias("n_events"),
+        F.min("event_id").alias("first_event"),
+        F.max("event_id").alias("last_event"),
+        (F.max(us) - F.min(us)).alias("dur_us"),
+    )
+
+
+_SESSIONIZE_SQL = f"""
+WITH o AS (
+  SELECT user_id, event_id, ts,
+         epoch_us(ts) - lag(epoch_us(ts))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+  FROM events
+),
+s AS (
+  SELECT user_id, event_id, ts,
+         sum(CASE WHEN gap IS NULL OR gap > {_SESSION_GAP_US}
+             THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING)::BIGINT AS session_seq
+  FROM o
+)
+SELECT user_id, session_seq, count(*)::BIGINT AS n_events,
+       min(event_id) AS first_event, max(event_id) AS last_event,
+       (max(epoch_us(ts)) - min(epoch_us(ts)))::BIGINT AS dur_us
+FROM s GROUP BY user_id, session_seq
+"""
+
+
 _KMEANS_SQL = f"""
 WITH e AS (
   SELECT vec_id,
@@ -3333,6 +3445,10 @@ QUERIES: dict[str, callable] = {
     "holder_policy_table": holder_policy_table,
     "nft_tokenid_stats": nft_tokenid_stats,
     "pii_redact": pii_redact,
+    "lsh_index_probe": dedup.lsh_index_probe,
+    "global_shuffle": global_shuffle,
+    "curriculum_order": curriculum_order,
+    "sessionize": sessionize,
     # returning from the r4 tail (driver-green r3, judge-local r4)
     "holder_detail_agg": relational.holder_detail_agg,
     "asof_lookup": relational.asof_lookup,
@@ -3635,6 +3751,10 @@ def oracle_sqls() -> dict[str, str]:
         "pii_redact": _PII_REDACT_SQL,
         "stratified_sample": _sample_sql(),
         "domain_mixture": _mixture_sql(),
+        "lsh_index_probe": _lsh_probe_sql(),
+        "global_shuffle": _GLOBAL_SHUFFLE_SQL,
+        "curriculum_order": _CURRICULUM_SQL,
+        "sessionize": _SESSIONIZE_SQL,
         "corpus_splits": _corpus_splits_sql(),
         "explode_tokens": _EXPLODE_TOKENS_SQL,
         "decimal_vsum": _DECIMAL_VSUM_SQL,
@@ -3839,6 +3959,21 @@ def _minhash_sql(num_hashes: int = 8, bands: int = 4, sample_mod: int = 5) -> st
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared_bands
         FROM banded a JOIN banded b
           ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    """
+
+
+def _lsh_probe_sql(
+    num_hashes: int = 8, bands: int = 4, sample_mod: int = 3, batch_mod: int = 10
+) -> str:
+    bm = sample_mod * batch_mod
+    return f"""
+        WITH {_minhash_banded_cte(num_hashes, bands, sample_mod)}
+        SELECT a.doc_id AS new_doc, b.doc_id AS dup_doc,
+               count(*) AS n_shared_bands
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.bucket = b.bucket
+        WHERE a.doc_id % {bm} = 0 AND b.doc_id % {bm} <> 0
         GROUP BY a.doc_id, b.doc_id
     """
 

@@ -116,6 +116,51 @@ def minhash_lsh_pairs(
     )
 
 
+def lsh_index_probe(
+    spark: SparkSession,
+    sf_dir: str,
+    num_hashes: int = 8,
+    bands: int = 4,
+    sample_mod: int = 3,
+    batch_mod: int = 10,
+) -> DataFrame:
+    """Ingest-time near-dup check: an incoming micro-batch probed
+    against the EXISTING corpus's LSH band index — the asymmetric
+    shape a CDC pipeline runs per epoch (new docs vs everything already
+    ingested), as opposed to :func:`minhash_lsh_pairs`' batch
+    self-join. Output: (new_doc, dup_doc, n_shared_bands) candidates.
+
+    Scale story: the index side is a persisted (band, bucket, doc_id)
+    table maintained incrementally by the entity pipeline (the
+    ``band_index`` derivation in streaming/pipeline.py — same band
+    function, parent-scoped reconciliation on doc updates), bucketed on
+    (band, bucket); the probe side is one micro-batch, so it is
+    BROADCAST — the corpus-side table is scanned without a shuffle and
+    never all-pairs-joined. Here both sides derive from the documents
+    table with a deterministic hash split (batch ≈ 1/batch_mod of the
+    sampled corpus) so the DuckDB twin can replay it exactly."""
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") % sample_mod == 0)
+    banded = minhash_banded(
+        d.select("doc_id", X.shingles("text", k=1).alias("shingles")),
+        num_hashes,
+        bands,
+    )
+    # batch = every batch_mod'th sampled doc (doc_id % sample_mod == 0
+    # already holds, so this is exactly 1/batch_mod of the sample)
+    is_batch = F.col("doc_id") % (sample_mod * batch_mod) == 0
+    index = banded.filter(~is_batch).select(
+        F.col("doc_id").alias("dup_doc"), "band", "bucket"
+    )
+    probe = banded.filter(is_batch).select(
+        F.col("doc_id").alias("new_doc"), "band", "bucket"
+    )
+    return (
+        index.join(F.broadcast(probe), ["band", "bucket"])
+        .groupBy("new_doc", "dup_doc")
+        .agg(F.count("*").alias("n_shared_bands"))
+    )
+
+
 def simhash32_df(docs: DataFrame) -> DataFrame:
     """docs(doc_id, text) → (doc_id, simhash:long) 32-bit SimHash.
 
