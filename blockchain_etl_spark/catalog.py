@@ -3182,6 +3182,70 @@ FROM c
 """
 
 
+def entity_band_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ingest-time dedup index as a DERIVED ENTITY: an LSH band
+    table (doc → 4 band rows, keyed ``{doc}#b{band}``) maintained off
+    the root CDC table through cascade hops — doc updates re-derive
+    only that doc's bands, deletes drop them (parent-scoped
+    reconciliation, streaming/pipeline.py band_index_events). Two
+    commits, hop after each; the oracle recomputes the bands from
+    relational last-writer state — equality proves the incremental
+    index converges to a batch rebuild, so lsh_index_probe can trust
+    it without ever rebuilding."""
+    pipe = _pipeline_gate(spark, sf_dir, "entity-band-index-gate", ["band_index"])
+    return pipe.state("band_index").select(
+        F.col("doc_id").alias("band_key"), "parent_id", "band", "bucket"
+    )
+
+
+def _entity_band_index_sql(num_hashes: int = 8, bands: int = 4) -> str:
+    from blockchain_etl_spark.functions.text import _MH_MOD, minhash_coeffs
+
+    rows = num_hashes // bands
+    coeffs = minhash_coeffs(num_hashes)
+    mins = ",\n         ".join(
+        f"min(({a} * h + {b}) % {_MH_MOD}) AS m{s}"
+        for s, (a, b) in enumerate(coeffs)
+    )
+    band_rows = "\n  UNION ALL ".join(
+        "SELECT doc_id, {bnd} AS band, md5({expr}) AS bucket FROM sig".format(
+            bnd=bnd,
+            expr=" || '|' || ".join(
+                f"m{bnd * rows + r}::VARCHAR" for r in range(rows)
+            ),
+        )
+        for bnd in range(bands)
+    )
+    return f"""
+WITH {_CHANGELOG_CTE},
+ev AS (
+  SELECT * FROM changelog
+  WHERE op IN ('I','U','D')
+    AND (op = 'D' OR (tokens IS NOT NULL AND n_tok = len(tokens)))
+),
+fin AS (
+  SELECT * FROM (
+    SELECT e.*, row_number() OVER (PARTITION BY doc_id ORDER BY stream_pos DESC) AS rn
+    FROM ev e) WHERE rn = 1 AND op <> 'D'
+),
+w AS (
+  SELECT doc_id, ('0x' || substr(md5(tok::VARCHAR), 1, 15))::BIGINT % {_MH_MOD} AS h
+  FROM (SELECT doc_id, unnest(tokens) AS tok FROM fin)
+),
+sig AS (
+  SELECT doc_id,
+         {mins}
+  FROM w GROUP BY doc_id
+),
+banded AS (
+  {band_rows}
+)
+SELECT doc_id || '#b' || band AS band_key, doc_id AS parent_id,
+       band::INT AS band, bucket
+FROM banded
+"""
+
+
 def entity_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Append-only history entity next to the latest-state root table
     (≙ HISTORY_BALANCE vs LATEST_BALANCE, entity_type.py:24-31): two
@@ -3446,6 +3510,7 @@ QUERIES: dict[str, callable] = {
     "nft_tokenid_stats": nft_tokenid_stats,
     "pii_redact": pii_redact,
     "lsh_index_probe": dedup.lsh_index_probe,
+    "entity_band_index": entity_band_index,
     "global_shuffle": global_shuffle,
     "curriculum_order": curriculum_order,
     "sessionize": sessionize,
@@ -3752,6 +3817,7 @@ def oracle_sqls() -> dict[str, str]:
         "stratified_sample": _sample_sql(),
         "domain_mixture": _mixture_sql(),
         "lsh_index_probe": _lsh_probe_sql(),
+        "entity_band_index": _entity_band_index_sql(),
         "global_shuffle": _GLOBAL_SHUFFLE_SQL,
         "curriculum_order": _CURRICULUM_SQL,
         "sessionize": _SESSIONIZE_SQL,

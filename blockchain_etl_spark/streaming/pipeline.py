@@ -187,46 +187,50 @@ def _chunk_rows(state: DataFrame) -> DataFrame:
     )
 
 
-def doc_chunks_events(
-    changes: DataFrame, src: SnapshotTable, v0: int, v1: int
+def _one_to_n_events(
+    changes: DataFrame,
+    src: SnapshotTable,
+    v0: int,
+    v1: int,
+    rows_fn: Callable[[DataFrame], DataFrame],
+    payload: list[tuple[str, str]],
+    src_columns: list[str],
 ) -> DataFrame:
-    """1:N explode with parent-scoped reconciliation — the fourth
-    derivation shape (block→transactions / doc→context-window-chunks):
-    each upstream row fans into a variable number of derived rows, and
-    an UPDATE can shrink the fan-out, so the hop must emit deletes for
-    chunks that no longer exist.
+    """Shared scaffold for the 1:N explode shape with parent-scoped
+    reconciliation: ``rows_fn`` maps an upstream state slice
+    (doc_id + ``src_columns``) to derived rows (key, parent_id,
+    *payload); each upstream row fans into a variable number of derived
+    rows, and an UPDATE can shrink the fan-out, so the hop must emit
+    deletes for derived keys that no longer exist.
 
-    Self-contained via time travel, no destination read: old chunk keys
-    come from the v0 snapshot of the affected parents, new chunks from
-    the v1 snapshot — deletes = old \\ new keys, upserts = all new
-    (value changes ride the upsert; unchanged chunks are re-upserted
+    Self-contained via time travel, no destination read: old keys come
+    from the v0 snapshot of the affected parents, new rows from the v1
+    snapshot — deletes = old \\ new keys, upserts = all new (value
+    changes ride the upsert; unchanged rows are re-upserted
     idempotently, bounded by the affected parents' fan-out). Work is
-    O(changed parents × chunks/parent), never O(table)."""
+    O(changed parents × fan-out/parent), never O(table)."""
     affected = (
         changes.select(F.col("doc_id").alias("pid"))
         .filter(F.col("pid").isNotNull())
         .distinct()
     )
 
-    def chunks_at(version):
-        st = read_state(src, version=version, columns=["tokens"])
-        return _chunk_rows(st.join(affected, st["doc_id"] == affected["pid"], "left_semi"))
+    def rows_at(version):
+        st = read_state(src, version=version, columns=src_columns)
+        return rows_fn(st.join(affected, st["doc_id"] == affected["pid"], "left_semi"))
 
-    new = chunks_at(v1)
-    old_keys = chunks_at(v0).select("key")
+    names = [n for n, _ in payload]
+    new = rows_at(v1)
+    old_keys = rows_at(v0).select("key")
     gone = old_keys.join(new.select("key"), "key", "left_anti")
     ups = new.select(
-        F.col("key").alias("doc_id"),
-        F.lit("U").alias("op"),
-        "parent_id", "chunk_id", "chunk_tokens", "n_chunk_tok",
+        F.col("key").alias("doc_id"), F.lit("U").alias("op"), "parent_id", *names
     )
     dels = gone.select(
         F.col("key").alias("doc_id"),
         F.lit("D").alias("op"),
         F.lit(None).cast("string").alias("parent_id"),
-        F.lit(None).cast("int").alias("chunk_id"),
-        F.lit(None).cast("array<int>").alias("chunk_tokens"),
-        F.lit(None).cast("int").alias("n_chunk_tok"),
+        *[F.lit(None).cast(t).alias(n) for n, t in payload],
     )
     lsn = F.lit(v1).cast("long")
     return ups.unionByName(dels).select(
@@ -235,9 +239,71 @@ def doc_chunks_events(
         F.lit(0).alias("seq"),
         "op",
         "doc_id",
-        "parent_id", "chunk_id", "chunk_tokens", "n_chunk_tok",
+        "parent_id",
+        *names,
         F.lit(None).cast("long").alias("rollback_to_lsn"),
         F.lit(f"cascade-v{v0}-{v1}").alias("epoch_hash"),
+    )
+
+
+def doc_chunks_events(
+    changes: DataFrame, src: SnapshotTable, v0: int, v1: int
+) -> DataFrame:
+    """1:N explode with parent-scoped reconciliation — the fourth
+    derivation shape (block→transactions / doc→context-window-chunks);
+    see :func:`_one_to_n_events` for the reconciliation contract."""
+    return _one_to_n_events(
+        changes, src, v0, v1, _chunk_rows,
+        payload=[
+            ("chunk_id", "int"),
+            ("chunk_tokens", "array<int>"),
+            ("n_chunk_tok", "int"),
+        ],
+        src_columns=["tokens"],
+    )
+
+
+MH_NUM_HASHES = 8
+MH_BANDS = 4
+
+
+def _band_rows(state: DataFrame) -> DataFrame:
+    """(doc_id, tokens) → one row per LSH band, keyed
+    ``{doc_id}#b{band}`` — the corpus near-dup index maintained NEXT TO
+    the corpus itself (probe side: operators/dedup.py
+    lsh_index_probe). Shingles are the token ids themselves (k=1 over
+    the token set); minhash/banding is the same single-base-hash plan
+    as the batch operator, so index rows equal a batch recompute."""
+    from blockchain_etl_spark.operators.dedup import minhash_banded
+
+    b = minhash_banded(
+        state.select(
+            "doc_id",
+            F.transform("tokens", lambda t: t.cast("string")).alias("shingles"),
+        ),
+        MH_NUM_HASHES,
+        MH_BANDS,
+    )
+    return b.select(
+        F.concat(F.col("doc_id"), F.lit("#b"), F.col("band")).alias("key"),
+        F.col("doc_id").alias("parent_id"),
+        "band",
+        "bucket",
+    )
+
+
+def band_index_events(
+    changes: DataFrame, src: SnapshotTable, v0: int, v1: int
+) -> DataFrame:
+    """Incremental LSH band index (doc → MH_BANDS rows): doc updates
+    re-derive that doc's band rows only (bucket changes ride the
+    upsert), deletes drop them — the ingest-time dedup index stays
+    consistent with the corpus under the full CDC contract without any
+    batch rebuild."""
+    return _one_to_n_events(
+        changes, src, v0, v1, _band_rows,
+        payload=[("band", "int"), ("bucket", "string")],
+        src_columns=["tokens"],
     )
 
 
@@ -339,6 +405,18 @@ REGISTRY: dict[str, EntityDef] = {
                     T.StructField("n_tok", T.IntegerType(), True),
                     T.StructField("entity_source", T.StringType(), True),
                     T.StructField("observed_version", T.IntegerType(), True),
+                ]
+            ),
+        ),
+        EntityDef(
+            "band_index",
+            ROOT,
+            band_index_events,
+            target_schema(
+                [
+                    T.StructField("parent_id", T.StringType(), True),
+                    T.StructField("band", T.IntegerType(), True),
+                    T.StructField("bucket", T.StringType(), True),
                 ]
             ),
         ),

@@ -287,3 +287,64 @@ def test_doc_history_is_append_only_across_reorgs(spark, tmp_path):
     }
     # idempotent when caught up
     assert all(m is None for m in pipe.run_once().values())
+
+
+def test_band_index_tracks_updates_and_deletes(spark, tmp_path):
+    """The incremental LSH band index stays equal to a batch recompute
+    of the live corpus: updates re-derive only that doc's band rows
+    (bucket values change in place), deletes drop them."""
+    from blockchain_etl_spark.streaming.pipeline import MH_BANDS, _band_rows
+
+    root = SnapshotTable.create(
+        spark, str(tmp_path / "docs"), TARGET_SCHEMA, n_buckets=4
+    )
+    eng = CdcEngine(spark, root, collect_metrics=False)
+    pipe = EntityPipeline(spark, root, str(tmp_path), ["band_index"])
+
+    eng.apply_epoch(events_to_df(spark, [
+        dict(stream_pos=1, lsn=1, seq=0, op="I", doc_id="x",
+             tokens=[5, 9, 9, 130], n_tok=4, source="s",
+             rollback_to_lsn=None, epoch_hash="e1"),
+        dict(stream_pos=2, lsn=1, seq=1, op="I", doc_id="y", tokens=[1, 2],
+             n_tok=2, source="s", rollback_to_lsn=None, epoch_hash="e2"),
+    ]), epoch_id=0)
+    pipe.run_once()
+
+    def bands():
+        return {
+            r["doc_id"]: (r["parent_id"], r["band"], r["bucket"])
+            for r in pipe.state("band_index").collect()
+        }
+
+    got = bands()
+    assert set(got) == {f"{d}#b{b}" for d in "xy" for b in range(MH_BANDS)}
+
+    def batch(doc_tokens):
+        df = spark.createDataFrame(
+            list(doc_tokens.items()), "doc_id string, tokens array<int>"
+        )
+        return {
+            r["key"]: (r["parent_id"], r["band"], r["bucket"])
+            for r in _band_rows(df).collect()
+        }
+
+    assert got == batch({"x": [5, 9, 9, 130], "y": [1, 2]})
+
+    # update x's tokens → its 4 band rows re-derive; y's are untouched
+    eng.apply_epoch(events_to_df(spark, [
+        dict(stream_pos=10, lsn=5, seq=0, op="U", doc_id="x", tokens=[7, 8],
+             n_tok=2, source="s", rollback_to_lsn=None, epoch_hash="e3"),
+    ]), epoch_id=1)
+    pipe.run_once()
+    got = bands()
+    assert got == batch({"x": [7, 8], "y": [1, 2]})
+
+    # the index answers the probe join: x and a new identical doc share
+    # all bands through a plain (band, bucket) equi-join
+    eng.apply_epoch(events_to_df(spark, [
+        dict(stream_pos=20, lsn=9, seq=0, op="D", doc_id="y", tokens=None,
+             n_tok=None, source=None, rollback_to_lsn=None, epoch_hash="e4"),
+    ]), epoch_id=2)
+    pipe.run_once()
+    assert set(bands()) == {f"x#b{b}" for b in range(MH_BANDS)}
+    assert all(m is None for m in pipe.run_once().values())
