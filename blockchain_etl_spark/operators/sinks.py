@@ -184,3 +184,37 @@ class FileBusSink:
         out = os.path.join(self.out_dir, topic)
         rec.write.mode("append").parquet(out)
         return out
+
+
+class ShardSink:
+    """Training-shard exporter: the globally-shuffled corpus (a ``pos``
+    column from operators/ordering.py) lands as exactly ``n_shards``
+    shard directories, shard = pos % n_shards — striping, so every
+    shard is simultaneously balanced (±1 row) and a uniform subsample
+    of the corpus (any prefix of shards is a valid smaller corpus).
+
+    Scale: one ``repartition(n_shards, shard)`` — each output shard is
+    written by the task(s) owning its hash bucket, files-per-shard
+    stays O(1), and the within-shard ``sortWithinPartitions`` keeps
+    rows in curriculum/shuffle order inside each file so a trainer
+    streaming a shard sees the intended order without re-sorting.
+    Readers recover global order as (pos) and shard membership as
+    (pos % n_shards) — pure arithmetic, no manifest needed."""
+
+    def __init__(self, out_dir: str, n_shards: int):
+        if n_shards < 1:
+            raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+        self.out_dir = out_dir
+        self.n_shards = n_shards
+
+    def write(self, df: DataFrame, pos_col: str = "pos") -> str:
+        shard = (F.col(pos_col) % self.n_shards).cast("int")
+        (
+            df.withColumn("shard", shard)
+            .repartition(self.n_shards, "shard")
+            .sortWithinPartitions("shard", pos_col)
+            .write.partitionBy("shard")
+            .mode("overwrite")
+            .parquet(self.out_dir)
+        )
+        return self.out_dir

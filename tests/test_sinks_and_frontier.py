@@ -118,3 +118,33 @@ def test_jsonl_and_pubsub_record_contract(spark, tmp_path):
     assert {r["topic"] for r in rec} == {"projects/p/topics/blocks"}
     with _pytest.raises(NotImplementedError):
         ps.write(df, "blocks")
+
+
+def test_shard_sink_stripes_balances_and_orders(spark, tmp_path):
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from blockchain_etl_spark.operators.ordering import global_shuffle
+    from blockchain_etl_spark.operators.sinks import ShardSink
+
+    docs = spark.range(0, 203).select(F.col("id").alias("doc_id"))
+    shuffled = global_shuffle(docs, n_parts=4)
+    out = ShardSink(str(tmp_path / "shards"), n_shards=4).write(shuffled)
+
+    seen = {}
+    for s in range(4):
+        files = glob.glob(os.path.join(out, f"shard={s}", "*.parquet"))
+        assert files  # every shard materialized
+        rows = []
+        for f in files:
+            t = pq.read_table(f).to_pydict()
+            # within-file curriculum/shuffle order is preserved
+            assert t["pos"] == sorted(t["pos"])
+            rows += list(zip(t["doc_id"], t["pos"]))
+        assert all(p % 4 == s for _, p in rows)  # striping
+        seen[s] = rows
+    counts = sorted(len(v) for v in seen.values())
+    assert counts[-1] - counts[0] <= 1  # balanced ±1
+    allpos = sorted(p for v in seen.values() for _, p in v)
+    assert allpos == list(range(203))  # union is the full permutation
