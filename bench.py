@@ -84,6 +84,10 @@ HEADLINE_QUERIES = [
     "bpe_encode",
     "holder_policy_table",
     "domain_mixture",
+    # round 5, late additions (ordering / sessionization / dedup probe)
+    "global_shuffle",
+    "sessionize",
+    "lsh_index_probe",
 ]
 
 

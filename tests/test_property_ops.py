@@ -132,3 +132,33 @@ def test_mixture_rates_properties():
         mixture_rates(counts, {"a": -1})
     with pytest.raises(ValueError):
         mixture_rates(counts, {"a": 0.0})
+
+
+@st.composite
+def rank_cases(draw):
+    n = draw(st.integers(min_value=0, max_value=120))
+    # coarse keys force duplicate-key ordering through the tiebreak
+    keys = [draw(st.integers(0, 5)) for _ in range(n)]
+    n_parts = draw(st.integers(min_value=1, max_value=9))
+    return keys, n_parts
+
+
+@given(case=rank_cases())
+@settings(**_SETTINGS)
+def test_global_order_rank_matches_sequential_sort(spark, case):
+    """The two-phase global rank equals a plain python sort at any range
+    parallelism, including duplicate keys, empty input, and n_parts
+    larger than the row count."""
+    from blockchain_etl_spark.operators.ordering import global_order_rank
+
+    keys, n_parts = case
+    rows = [(i, k) for i, k in enumerate(keys)]
+    df = spark.createDataFrame(rows, "id long, k long") if rows else (
+        spark.range(0).selectExpr("id", "id AS k")
+    )
+    got = {
+        r["id"]: r["pos"]
+        for r in global_order_rank(df, ["k", "id"], n_parts=n_parts).collect()
+    }
+    want = {i: p for p, (k, i) in enumerate(sorted((k, i) for i, k in rows))}
+    assert got == want
