@@ -530,14 +530,32 @@ class SnapshotTable:
         return out
 
     # ----------------------------------------------------------------- write
-    def _write_data(self, df: DataFrame, n_buckets: int, key: str) -> list[dict[str, Any]]:
-        """Write rows partitioned by bucket; return file entries."""
+    def _write_data(
+        self,
+        df: DataFrame,
+        n_buckets: int,
+        key: str,
+        sort_cols: list[str] | None = None,
+    ) -> list[dict[str, Any]]:
+        """Write rows partitioned by bucket; return file entries.
+
+        ``sort_cols`` clusters rows inside each bucket file (an in-task
+        sort, no extra shuffle). Row order is semantically free — every
+        reader resolves by (lsn, seq) — but a key-sorted bucket file
+        gives each parquet ROW GROUP a tight key range, so the min/max
+        pushdown in point lookups and key-ranged reads skips all but
+        ~one row group per multi-GB bucket file instead of scanning
+        them all (the per-FILE zone map can't help there: one base file
+        per bucket spans the bucket's whole key range by definition)."""
         commit_dir = f"commit-{uuid.uuid4().hex}"
         out = os.path.join(self.path, "data", commit_dir)
+        w = df.withColumn(_BUCKET_COL, bucket_expr(key, n_buckets)).repartition(
+            _BUCKET_COL
+        )
+        if sort_cols:
+            w = w.sortWithinPartitions(_BUCKET_COL, *sort_cols)
         (
-            df.withColumn(_BUCKET_COL, bucket_expr(key, n_buckets))
-            .repartition(_BUCKET_COL)
-            .write.partitionBy(_BUCKET_COL)
+            w.write.partitionBy(_BUCKET_COL)
             .mode("overwrite")
             .parquet(out)
         )
@@ -689,17 +707,30 @@ class SnapshotTable:
         self._write_manifest(new)
         return new.version
 
-    def compact(self, buckets: list[int] | None = None) -> int:
+    def compact(
+        self, buckets: list[int] | None = None, cluster: bool = False
+    ) -> int:
         """Fold delta files into base files for the given buckets (default:
         every bucket that has deltas). Tombstone rows are preserved — they
-        keep guarding against stale replays until vacuumed."""
+        keep guarding against stale replays until vacuumed.
+
+        ``cluster=True`` additionally sorts each rewritten bucket by
+        (key, lsn, seq) — Iceberg's sort-order rewrite: free at compact
+        time (in-task sort of data already being rewritten), and point
+        lookups / key-ranged maintenance then prune ROW GROUPS inside
+        the bucket file via parquet min/max instead of scanning it."""
         m = self.manifest()
         with_deltas = sorted(self.delta_file_counts())
         targets = with_deltas if buckets is None else [b for b in buckets if b in set(with_deltas)]
         if not targets:
             return m.version
         resolved = self.read(buckets=targets, resolve=True)
-        entries = self._write_data(resolved, m.n_buckets, m.key)
+        entries = self._write_data(
+            resolved,
+            m.n_buckets,
+            m.key,
+            sort_cols=[m.key, "lsn", "seq"] if cluster else None,
+        )
         tset = set(targets)
         for e in entries:
             e["schema_version"] = m.schema_version

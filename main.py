@@ -99,6 +99,10 @@ def main(argv=None):
 
     sp = sub.add_parser("compact")
     sp.add_argument("--table", required=True)
+    sp.add_argument("--cluster", action="store_true",
+                    help="sort rewritten buckets by (key, lsn, seq) so "
+                         "row-group min/max pruning works inside bucket "
+                         "files (Iceberg sort-order rewrite)")
 
     sp = sub.add_parser("lookup", help="single-key point read: bucket + "
                         "key-zone-map file pruning + row-group pushdown")
@@ -290,7 +294,7 @@ def main(argv=None):
 
     table = SnapshotTable(spark, args.table)
     if args.cmd == "compact":
-        v = table.compact()
+        v = table.compact(cluster=args.cluster)
         print(json.dumps({"version": v}))
     elif args.cmd == "lookup":
         from blockchain_etl_spark.cdc.apply import point_lookup

@@ -546,3 +546,64 @@ def test_create_conflict_heal_checks_shape(spark, tmp_path):
     # different key → refused
     with pytest.raises(FileExistsError):
         SnapshotTable.create(spark, path, TARGET_SCHEMA, key="source", n_buckets=8)
+
+
+def test_clustered_compaction_sorts_buckets_and_preserves_state(spark, tmp_path):
+    """compact(cluster=True) must be a pure physical rewrite: resolved
+    state identical, tombstones preserved, and every rewritten base
+    file internally sorted by key so parquet row-group min/max pruning
+    works inside bucket files."""
+    import pyarrow.parquet as pq
+
+    from blockchain_etl_spark.cdc.apply import CdcEngine, point_lookup, read_state
+    from blockchain_etl_spark.cdc.generator import events_to_df
+
+    t = SnapshotTable.create(
+        spark, str(tmp_path / "t"), TARGET_SCHEMA, key="doc_id", n_buckets=4
+    )
+    eng = CdcEngine(spark, t, collect_metrics=False)
+    docs = [f"doc-{i:03d}" for i in range(60)]
+    eng.apply_epoch(events_to_df(spark, [
+        dict(stream_pos=i, lsn=1, seq=i, op="I", doc_id=d, tokens=[i],
+             n_tok=1, source="s", rollback_to_lsn=None, epoch_hash=f"h{i}")
+        for i, d in enumerate(docs)
+    ]), epoch_id=0)
+    eng.apply_epoch(events_to_df(spark, [
+        dict(stream_pos=100 + i, lsn=2, seq=i, op="U" if i % 3 else "D",
+             doc_id=d, tokens=[9, i] if i % 3 else None,
+             n_tok=2 if i % 3 else None, source="s" if i % 3 else None,
+             rollback_to_lsn=None, epoch_hash=f"g{i}")
+        for i, d in enumerate(docs[:30])
+    ]), epoch_id=1)
+
+    before = {
+        r["doc_id"]: (list(r["tokens"]), r["lsn"], r["seq"])
+        for r in read_state(t).collect()
+    }
+    v = t.compact(cluster=True)
+    assert t.current_version() == v
+    after = {
+        r["doc_id"]: (list(r["tokens"]), r["lsn"], r["seq"])
+        for r in read_state(t).collect()
+    }
+    assert after == before
+
+    # every rewritten base file is key-sorted internally
+    m = t.manifest()
+    n_checked = 0
+    for e in m.files:
+        if e.get("kind") != "base":
+            continue
+        col = pq.read_table(
+            os.path.join(t.path, e["path"]), columns=["doc_id"]
+        )["doc_id"].to_pylist()
+        assert col == sorted(col), e["path"]
+        n_checked += 1
+    assert n_checked >= 1
+
+    # tombstones survived the rewrite (deletes keep guarding replays)
+    resolved = t.read(resolve=True)
+    assert resolved.filter(F.col("deleted")).count() == 10
+    # point lookups still hit
+    assert point_lookup(t, "doc-013").first()["tokens"] == [9, 13]
+    assert point_lookup(t, "doc-000").first() is None
