@@ -267,6 +267,7 @@ class CdcEngine:
         collect_metrics: bool = True,
         mode: str = "mor",
         compact_delta_threshold: int = 16,
+        compact_cluster: bool = False,
         dlq_path: str | None = None,
         valid_expr=None,
     ):
@@ -276,6 +277,10 @@ class CdcEngine:
         self.collect_metrics = collect_metrics
         self.mode = mode
         self.compact_delta_threshold = compact_delta_threshold
+        # cluster=True makes every auto-compaction a sort-order rewrite
+        # (bucket sorted by key,lsn,seq) — same write volume, and point
+        # lookups then prune parquet row groups via min/max stats.
+        self.compact_cluster = compact_cluster
         # dead-letter queue for rejected events (≙ skip-and-save,
         # blockchainetl/streaming/streamer_jsonl_skiper.py + env.py:43-45)
         self.dlq_path = dlq_path
@@ -643,7 +648,7 @@ class CdcEngine:
         )
         if over:
             try:
-                self.table.compact(buckets=over)
+                self.table.compact(buckets=over, cluster=self.compact_cluster)
                 metrics["compacted"] = True
                 metrics["compacted_buckets"] = over
             except CommitConflictError:

@@ -67,6 +67,10 @@ def main(argv=None):
                          "reorg + redelivery horizon; default: retain "
                          "forever in direct mode, prune at the finalized "
                          "watermark in lag mode)")
+    sp.add_argument("--compact-cluster", action="store_true",
+                    help="make every auto-compaction a sort-order rewrite "
+                         "(bucket sorted by key,lsn,seq for row-group "
+                         "pruning on point lookups)")
 
     sp = sub.add_parser("stream")
     sp.add_argument("--landing", required=True)
@@ -189,7 +193,8 @@ def main(argv=None):
             SnapshotTable.create(spark, args.table, TARGET_SCHEMA, n_buckets=args.buckets)
         store = EpochStore(spark, args.store)
         engine = CdcEngine(spark, table, epoch_store=store,
-                           mode=getattr(args, "mode", "mor"))
+                           mode=getattr(args, "mode", "mor"),
+                           compact_cluster=getattr(args, "compact_cluster", False))
         if args.cmd == "tail":
             if args.lag > 0:
                 from blockchain_etl_spark.streaming.lagged import LaggedTailer

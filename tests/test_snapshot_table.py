@@ -607,3 +607,43 @@ def test_clustered_compaction_sorts_buckets_and_preserves_state(spark, tmp_path)
     # point lookups still hit
     assert point_lookup(t, "doc-013").first()["tokens"] == [9, 13]
     assert point_lookup(t, "doc-000").first() is None
+
+
+def test_auto_compaction_clusters_when_engine_configured(spark, tmp_path):
+    """CdcEngine(compact_cluster=True): the threshold-triggered
+    auto-compaction is a sort-order rewrite — rewritten base files come
+    out key-sorted without a separate maintenance pass."""
+    import pyarrow.parquet as pq
+
+    from blockchain_etl_spark.cdc.apply import CdcEngine, read_state
+    from blockchain_etl_spark.cdc.generator import events_to_df
+
+    t = SnapshotTable.create(
+        spark, str(tmp_path / "t"), TARGET_SCHEMA, key="doc_id", n_buckets=2
+    )
+    thresh = 3
+    eng = CdcEngine(spark, t, collect_metrics=False, mode="mor",
+                    compact_delta_threshold=thresh, compact_cluster=True)
+    compacted = False
+    for i in range(1, 2 * thresh + 1):
+        # many keys per epoch so each bucket file holds >1 row (an
+        # unsorted multi-row file would fail the sortedness assert)
+        rows = [
+            dict(stream_pos=100 * i + j, lsn=i, seq=j, op="I",
+                 doc_id=f"doc-{(7 * j + i) % 40:03d}", tokens=[i, j],
+                 n_tok=2, source="s", rollback_to_lsn=None,
+                 epoch_hash=f"e{i}-{j}")
+            for j in range(20)
+        ]
+        m = eng.apply_epoch(events_to_df(spark, rows), epoch_id=i)
+        if m.get("compacted"):
+            compacted = True
+            for e in t.manifest().files:
+                if e.get("kind") != "base":
+                    continue
+                col = pq.read_table(
+                    os.path.join(t.path, e["path"]), columns=["doc_id"]
+                )["doc_id"].to_pylist()
+                assert col == sorted(col), e["path"]
+    assert compacted, "threshold never triggered"
+    assert read_state(t).count() == 40
