@@ -2937,6 +2937,59 @@ def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same gaps-and-islands semantics as ``sessionize`` but through
+    Spark's NATIVE session-window operator (``F.session_window``) in
+    batch mode — the operator the streaming twin
+    (streaming/windowed.py ``session_window_agg``) runs state-store-
+    backed. Emitting both keeps the two formulations provably aligned:
+    boundary behavior is merge-on-exact-gap (an event exactly ``gap``
+    after the previous one joins the session; a strictly larger gap
+    splits), verified here against the lag-based oracle. Bounds come
+    out as unix micros (integer-exact, hash-stable); session_end is
+    Spark's closed bound last-ts + gap."""
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ts = F.col("ts").cast("timestamp_ltz")
+    return (
+        e.groupBy(
+            F.session_window(ts, "8 hours").alias("w"), "user_id"
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("event_id").alias("first_event"),
+        )
+        .select(
+            "user_id",
+            F.unix_micros("w.start").alias("session_start_us"),
+            F.unix_micros("w.end").alias("session_end_us"),
+            "n_events",
+            "first_event",
+        )
+    )
+
+
+_SESSION_WINDOW_NATIVE_SQL = f"""
+WITH o AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us,
+         epoch_us(ts) - lag(epoch_us(ts))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+  FROM events
+),
+s AS (
+  SELECT user_id, event_id, us,
+         sum(CASE WHEN gap IS NULL OR gap > {_SESSION_GAP_US}
+             THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY us, event_id
+                 ROWS UNBOUNDED PRECEDING) AS sid
+  FROM o
+)
+SELECT user_id, min(us) AS session_start_us,
+       max(us) + {_SESSION_GAP_US} AS session_end_us,
+       count(*)::BIGINT AS n_events, min(event_id) AS first_event
+FROM s GROUP BY user_id, sid
+"""
+
+
 _SESSIONIZE_SQL = f"""
 WITH o AS (
   SELECT user_id, event_id, ts,
@@ -3514,6 +3567,7 @@ QUERIES: dict[str, callable] = {
     "global_shuffle": global_shuffle,
     "curriculum_order": curriculum_order,
     "sessionize": sessionize,
+    "session_window_native": session_window_native,
     # returning from the r4 tail (driver-green r3, judge-local r4)
     "holder_detail_agg": relational.holder_detail_agg,
     "asof_lookup": relational.asof_lookup,
@@ -3821,6 +3875,7 @@ def oracle_sqls() -> dict[str, str]:
         "global_shuffle": _GLOBAL_SHUFFLE_SQL,
         "curriculum_order": _CURRICULUM_SQL,
         "sessionize": _SESSIONIZE_SQL,
+        "session_window_native": _SESSION_WINDOW_NATIVE_SQL,
         "corpus_splits": _corpus_splits_sql(),
         "explode_tokens": _EXPLODE_TOKENS_SQL,
         "decimal_vsum": _DECIMAL_VSUM_SQL,

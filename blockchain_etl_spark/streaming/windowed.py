@@ -64,6 +64,50 @@ def windowed_event_counts(
     )
 
 
+def session_window_agg(
+    stream: DataFrame,
+    ts_col: str = "ts",
+    gap: str = "5 minutes",
+    watermark: str = "2 minutes",
+    key_col: str = "event_type",
+    value_col: str | None = "value",
+) -> DataFrame:
+    """Streaming sessionization via Spark's native session windows: a
+    key's consecutive events merge into one session while each arrives
+    within ``gap`` of the session's end; the session closes (and, in
+    append mode, emits exactly once) when the watermark passes its end.
+
+    The streaming twin of the batch ``sessionize`` catalog row (lag +
+    running-sum over a Window): same gaps-and-islands semantics, but
+    state-store-backed so it runs unbounded — state holds only OPEN
+    sessions inside the watermark horizon, independent of stream
+    length, where the batch form needs the whole history per key.
+    Session merging (a bridging late row joining two open sessions) is
+    handled by the state store's session-merge path, which the lag
+    formulation cannot express incrementally.
+
+    Output: (key, session_start, session_end, n_events[, sum_value]).
+    ``session_end`` is last-event-ts + gap (Spark's closed-session
+    bound), so duration = end - start - gap.
+    """
+    aggs = [F.count("*").alias("n_events")]
+    out_cols = [
+        key_col,
+        F.col("w.start").alias("session_start"),
+        F.col("w.end").alias("session_end"),
+        "n_events",
+    ]
+    if value_col is not None:
+        aggs.append(F.round(F.sum(value_col), 2).alias("sum_value"))
+        out_cols.append(F.col("sum_value"))
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(ts_col, gap).alias("w"), key_col)
+        .agg(*aggs)
+        .select(*out_cols)
+    )
+
+
 def dedup_within_watermark(
     stream: DataFrame,
     key_cols: list[str],
