@@ -3405,6 +3405,91 @@ GROUP BY w.doc_id
 """
 
 
+_LANGID_TOP_K = 100
+
+
+def lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-n-gram language ID (Cavnar-Trenkle profile ranking,
+    the classic pre-neural langid and still the fastText fallback):
+    train the top-K trigram profile per language on the labeled 80%
+    split (doc_id % 5 != 0), then classify each held-out doc by summed
+    rank weight (K+1-rank) of its distinct trigrams against each
+    profile; argmax with deterministic (score DESC, lang ASC)
+    tie-break. Integer scores end to end — hash-stable.
+
+    Scale: profiles are tiny (n_langs × K rows) → broadcast to the
+    doc-gram side; the gram explode is ~3 rows/char but reduces through
+    a distinct and a map-side-combined sum before anything wide; the
+    per-doc argmax window touches ≤ n_langs rows per doc. No UDF — the
+    trigram explode is transform(sequence(...)) over substring, kept
+    off the hot path (interpreted higher-order fn, acceptable in a
+    batch profile job; the streaming hot paths use scalar accessors
+    per the round-5 rule)."""
+    from pyspark.sql import Window
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.length("text") >= 3
+    )
+    tri = F.expr(
+        "transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))"
+    )
+    grams = d.select("doc_id", "lang", F.explode(tri).alias("tri"))
+    K = _LANGID_TOP_K
+    rankw = Window.partitionBy("lang").orderBy(F.desc("c"), F.asc("tri"))
+    prof = (
+        grams.filter(F.col("doc_id") % 5 != 0)
+        .groupBy("lang", "tri")
+        .agg(F.count("*").alias("c"))
+        .withColumn("rank", F.row_number().over(rankw))
+        .filter(F.col("rank") <= K)
+        .select("lang", "tri", (F.lit(K + 1) - F.col("rank")).cast("long").alias("weight"))
+    )
+    docg = (
+        grams.filter(F.col("doc_id") % 5 == 0).select("doc_id", "tri").distinct()
+    )
+    scores = (
+        docg.join(F.broadcast(prof), "tri")
+        .groupBy("doc_id", "lang")
+        .agg(F.sum("weight").alias("score"))
+    )
+    pick = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("lang"))
+    return (
+        scores.withColumn("rn", F.row_number().over(pick))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("lang").alias("pred_lang"), "score")
+    )
+
+
+_LANGID_SQL = f"""
+WITH g AS (
+  SELECT doc_id, lang,
+         unnest(list_transform(generate_series(1, length(text) - 2),
+                               i -> substr(text, i, 3))) AS tri
+  FROM documents WHERE length(text) >= 3
+),
+pc AS (
+  SELECT lang, tri, count(*) AS c FROM g
+  WHERE doc_id % 5 <> 0 GROUP BY lang, tri
+),
+prof AS (
+  SELECT lang, tri,
+         ({_LANGID_TOP_K} + 1 - row_number()
+            OVER (PARTITION BY lang ORDER BY c DESC, tri))::BIGINT AS weight
+  FROM pc
+  QUALIFY row_number() OVER (PARTITION BY lang ORDER BY c DESC, tri)
+          <= {_LANGID_TOP_K}
+),
+dg AS (SELECT DISTINCT doc_id, tri FROM g WHERE doc_id % 5 = 0),
+sc AS (
+  SELECT dg.doc_id, prof.lang, sum(prof.weight)::BIGINT AS score
+  FROM dg JOIN prof USING (tri) GROUP BY dg.doc_id, prof.lang
+)
+SELECT doc_id, lang AS pred_lang, score
+FROM sc
+QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang) = 1
+"""
+
+
 def dedup_keeplist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The deduped-corpus OUTPUT: near-dup clustering's canonical
     representatives — one doc per duplicate cluster (the min doc id,
@@ -3568,6 +3653,7 @@ QUERIES: dict[str, callable] = {
     "curriculum_order": curriculum_order,
     "sessionize": sessionize,
     "session_window_native": session_window_native,
+    "lang_id_ngram": lang_id_ngram,
     # returning from the r4 tail (driver-green r3, judge-local r4)
     "holder_detail_agg": relational.holder_detail_agg,
     "asof_lookup": relational.asof_lookup,
@@ -3876,6 +3962,7 @@ def oracle_sqls() -> dict[str, str]:
         "curriculum_order": _CURRICULUM_SQL,
         "sessionize": _SESSIONIZE_SQL,
         "session_window_native": _SESSION_WINDOW_NATIVE_SQL,
+        "lang_id_ngram": _LANGID_SQL,
         "corpus_splits": _corpus_splits_sql(),
         "explode_tokens": _EXPLODE_TOKENS_SQL,
         "decimal_vsum": _DECIMAL_VSUM_SQL,
