@@ -777,3 +777,92 @@ class CdcEngine:
         )
         tagged.unpersist()
         return metrics
+
+
+def merge_into(
+    engine: "CdcEngine",
+    source: DataFrame,
+    *,
+    delete_where=None,
+    epoch_id: int | None = None,
+) -> dict[str, Any] | None:
+    """Delta-style batch ``MERGE INTO`` facade over the CDC apply path
+    (the spark.sql equivalent of ``MERGE INTO t USING s ON t.k = s.k
+    WHEN MATCHED [AND cond] THEN DELETE WHEN MATCHED THEN UPDATE SET *
+    WHEN NOT MATCHED THEN INSERT *``; ≙ the reference's one-shot
+    Postgres upsert batches, postgres_item_exporter.py:16-169, without
+    hand-written change events).
+
+    Each source row becomes one synthetic change event at the next LSN
+    after the table's committed watermark: rows matching
+    ``delete_where`` (a boolean Column over the source) become deletes,
+    everything else upserts — insert-vs-update splits naturally inside
+    the engine (an upsert on an absent key inserts). Running through
+    ``apply_epoch`` keeps every engine guarantee: exactly-once via the
+    epoch ledger (a redelivered merge with the same ``epoch_id`` is a
+    no-op), OCC against concurrent writers, column merge policies, and
+    schema evolution — a source column the table lacks evolves the
+    schema, existing rows null-backfilled.
+
+    Like Delta, a source with duplicate keys is rejected (two rows
+    merging into the same target row is order-undefined); the check is
+    one cheap ``limit(1)`` aggregation. Scale: the merge itself is the
+    engine's COW/MOR path — bucket-pruned full-outer join or blind
+    delta append, never a driver-side loop."""
+    m = engine.table.manifest()
+    key = m.key
+    if key not in source.columns:
+        raise ValueError(f"merge_into source lacks the table key column {key!r}")
+    dup = (
+        source.groupBy(key)
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") > 1)
+        .limit(1)
+        .collect()
+    )
+    if dup:
+        raise ValueError(
+            f"merge_into source has multiple rows for key {dup[0][key]!r}; "
+            "MERGE requires at most one source row per target key"
+        )
+    wm = m.watermark
+    if epoch_id is None:
+        epoch_id = (max(m.applied_epochs) + 1) if m.applied_epochs else 0
+    lsn = int(wm["lsn"]) + 1
+    pos = int(wm["pos"]) + 1
+    op = (
+        F.when(delete_where, F.lit("D")).otherwise(F.lit("U"))
+        if delete_where is not None
+        else F.lit("U")
+    )
+    tgt = m.schema()
+    src_cols = set(source.columns)
+    payload = []
+    for fld in tgt.fields:
+        if fld.name in (key, "lsn", "seq", "updated_epoch", "deleted"):
+            continue
+        payload.append(
+            (F.col(fld.name) if fld.name in src_cols else F.lit(None)).cast(
+                fld.dataType
+            ).alias(fld.name)
+        )
+    # source-only columns ride along untouched → engine schema evolution
+    extra = [
+        c
+        for c in source.columns
+        if c not in {f.name for f in tgt.fields}
+        and c not in _EVENT_META
+        and c not in ("updated_epoch", "deleted")
+    ]
+    ev = source.select(
+        F.lit(pos).cast("long").alias("stream_pos"),
+        F.lit(lsn).cast("long").alias("lsn"),
+        F.lit(0).cast("int").alias("seq"),
+        op.alias("op"),
+        F.col(key),
+        *payload,
+        *[F.col(c) for c in extra],
+        F.lit(None).cast("long").alias("rollback_to_lsn"),
+        F.lit(f"merge-{epoch_id}").alias("epoch_hash"),
+    )
+    return engine.apply_epoch(ev, epoch_id=epoch_id, use_store_stats=False)

@@ -108,6 +108,22 @@ def main(argv=None):
                          "row-group min/max pruning works inside bucket "
                          "files (Iceberg sort-order rewrite)")
 
+    sp = sub.add_parser("merge", help="Delta-style MERGE INTO: upsert a "
+                        "parquet source into the table (one synthetic "
+                        "epoch through the exactly-once apply path)")
+    sp.add_argument("--table", required=True)
+    sp.add_argument("--source", required=True,
+                    help="parquet path: one row per key; columns matching "
+                         "the table schema upsert, unknown columns evolve "
+                         "the schema")
+    sp.add_argument("--delete-where", default=None,
+                    help="SQL boolean expr over source rows; matches "
+                         "become deletes (e.g. \"source = 'gone'\")")
+    sp.add_argument("--epoch-id", type=int, default=None,
+                    help="idempotency token: redelivering the same id is "
+                         "a no-op (default: next after the ledger max)")
+    sp.add_argument("--mode", choices=["mor", "cow"], default="cow")
+
     sp = sub.add_parser("lookup", help="single-key point read: bucket + "
                         "key-zone-map file pruning + row-group pushdown")
     sp.add_argument("--table", required=True)
@@ -295,6 +311,22 @@ def main(argv=None):
             reconcile(engine, expected_lsn_range=rng, autofix=not args.no_autofix),
             default=str,
         ))
+        return 0
+
+    if args.cmd == "merge":
+        from pyspark.sql import functions as F
+
+        from blockchain_etl_spark.cdc.apply import merge_into
+
+        table = SnapshotTable(spark, args.table)
+        eng = CdcEngine(spark, table, mode=args.mode)
+        src = spark.read.parquet(args.source)
+        dw = F.expr(args.delete_where) if args.delete_where else None
+        metrics = merge_into(eng, src, delete_where=dw, epoch_id=args.epoch_id)
+        print(json.dumps(
+            {"merged": metrics is not None, "metrics": metrics,
+             "table_version": table.current_version()},
+            default=str))
         return 0
 
     table = SnapshotTable(spark, args.table)
