@@ -88,6 +88,8 @@ HEADLINE_QUERIES = [
     "global_shuffle",
     "sessionize",
     "lsh_index_probe",
+    "session_window_native",
+    "lang_id_ngram",
 ]
 
 
