@@ -52,6 +52,9 @@ from blockchain_etl_spark.tables.snapshot import (
 # columns evolve the target schema (null backfill on old rows), widened
 # numeric types widen the target column.
 _EVENT_META = {"stream_pos", "lsn", "seq", "op", "doc_id", "rollback_to_lsn", "epoch_hash"}
+# default epoch-id band for merge_into: disjoint from tailer-assigned
+# ids so a merge never marks a future landing epoch as already-applied
+MERGE_EPOCH_BASE = 1 << 40
 # target bookkeeping columns (engine-maintained)
 _TARGET_META = ["doc_id", "lsn", "seq", "updated_epoch", "deleted"]
 
@@ -793,16 +796,28 @@ def merge_into(
     Postgres upsert batches, postgres_item_exporter.py:16-169, without
     hand-written change events).
 
-    Each source row becomes one synthetic change event at the next LSN
-    after the table's committed watermark: rows matching
-    ``delete_where`` (a boolean Column over the source) become deletes,
-    everything else upserts — insert-vs-update splits naturally inside
-    the engine (an upsert on an absent key inserts). Running through
-    ``apply_epoch`` keeps every engine guarantee: exactly-once via the
-    epoch ledger (a redelivered merge with the same ``epoch_id`` is a
-    no-op), OCC against concurrent writers, column merge policies, and
-    schema evolution — a source column the table lacks evolves the
-    schema, existing rows null-backfilled.
+    Each source row becomes one synthetic change event AT the table's
+    committed watermark LSN with a seq bump — (wm.lsn, wm.seq + 1) —
+    NOT at wm.lsn + 1: a merge must never consume a future WAL
+    position, or a dense-LSN tailer's next epoch (which IS wm.lsn + 1)
+    would be dropped as stale by the redelivery guard. Riding the
+    current lsn keeps the merge strictly newer than all committed state
+    (seq decides) while leaving every future stream position untouched;
+    on a fresh table the merge lands at (-1, 0) — "pre-stream seed"
+    rows that any later WAL (lsn >= 0) supersedes normally. Rows
+    matching ``delete_where`` (a boolean Column over the source) become
+    deletes, everything else upserts — insert-vs-update splits
+    naturally inside the engine (an upsert on an absent key inserts).
+    Running through ``apply_epoch`` keeps every engine guarantee:
+    exactly-once via the epoch ledger (a redelivered merge with the
+    same ``epoch_id`` is a no-op), OCC against concurrent writers,
+    column merge policies, and schema evolution — a source column the
+    table lacks evolves the schema, existing rows null-backfilled.
+
+    Default ``epoch_id``s live in a high band (``MERGE_EPOCH_BASE``)
+    disjoint from tailer-assigned ids, so a merge can never mark a
+    future landing epoch as already-applied; pass an explicit id to
+    control idempotency across redeliveries of the same merge job.
 
     Like Delta, a source with duplicate keys is rejected (two rows
     merging into the same target row is order-undefined); the check is
@@ -827,9 +842,12 @@ def merge_into(
         )
     wm = m.watermark
     if epoch_id is None:
-        epoch_id = (max(m.applied_epochs) + 1) if m.applied_epochs else 0
-    lsn = int(wm["lsn"]) + 1
-    pos = int(wm["pos"]) + 1
+        band = [e for e in m.applied_epochs if e >= MERGE_EPOCH_BASE]
+        epoch_id = (max(band) + 1) if band else MERGE_EPOCH_BASE
+    lsn = int(wm["lsn"])
+    # the merge consumes NO stream position either — pos rides the
+    # committed watermark unchanged (replay-slice bounds stay valid)
+    pos = int(wm["pos"])
     op = (
         F.when(delete_where, F.lit("D")).otherwise(F.lit("U"))
         if delete_where is not None
@@ -857,7 +875,7 @@ def merge_into(
     ev = source.select(
         F.lit(pos).cast("long").alias("stream_pos"),
         F.lit(lsn).cast("long").alias("lsn"),
-        F.lit(0).cast("int").alias("seq"),
+        F.lit(int(wm["seq"]) + 1).cast("int").alias("seq"),
         op.alias("op"),
         F.col(key),
         *payload,

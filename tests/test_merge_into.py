@@ -43,9 +43,39 @@ def test_merge_upsert_delete_splits_and_state(spark, tmp_path):
     got = {r["doc_id"]: (list(r["tokens"]), r["source"])
            for r in read_state(t).collect()}
     assert got == {"a": ([9, 9], "s2"), "c": ([3], "s"), "d": ([4], "s")}
-    # watermark advanced monotonically across the two merges
-    # (first merge lands at lsn 0 = initial watermark -1 + 1)
-    assert t.manifest().watermark["lsn"] == 1
+    # merges consume NO WAL position: lsn stays at the committed
+    # watermark (-1 on a fresh table), only seq advances per merge
+    wm = t.manifest().watermark
+    assert (wm["lsn"], wm["seq"]) == (-1, 1)
+
+
+def test_merge_coexists_with_dense_lsn_stream(spark, tmp_path):
+    """THE trap the lsn choice avoids: merge mid-stream, then apply the
+    next dense-LSN epoch — had the merge consumed wm.lsn + 1, that
+    epoch's rows would be silently dropped as stale redelivery."""
+    from blockchain_etl_spark.cdc.apply import MERGE_EPOCH_BASE
+    from blockchain_etl_spark.cdc.generator import events_to_df
+
+    t, eng = _mk(spark, tmp_path)
+    eng.apply_epoch(events_to_df(spark, [
+        dict(stream_pos=0, lsn=0, seq=0, op="I", doc_id="a", tokens=[1],
+             n_tok=1, source="s", rollback_to_lsn=None, epoch_hash="h0"),
+    ]), epoch_id=0)
+
+    mm = merge_into(eng, spark.createDataFrame([("fix", [42], 1, "manual")], SRC))
+    assert mm["epoch_id"] == MERGE_EPOCH_BASE  # disjoint from tailer ids
+
+    # next WAL epoch at the dense next lsn (= 1) must apply fully
+    m2 = eng.apply_epoch(events_to_df(spark, [
+        dict(stream_pos=1, lsn=1, seq=0, op="U", doc_id="a", tokens=[2],
+             n_tok=1, source="s", rollback_to_lsn=None, epoch_hash="h1"),
+        dict(stream_pos=2, lsn=1, seq=1, op="I", doc_id="b", tokens=[3],
+             n_tok=1, source="s", rollback_to_lsn=None, epoch_hash="h2"),
+    ]), epoch_id=1)
+    assert (m2["n_insert"], m2["n_update"], m2["n_stale"]) == (1, 1, 0)
+
+    got = {r["doc_id"]: list(r["tokens"]) for r in read_state(t).collect()}
+    assert got == {"a": [2], "b": [3], "fix": [42]}
 
 
 def test_merge_exactly_once_on_redelivery(spark, tmp_path):
