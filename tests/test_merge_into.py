@@ -109,6 +109,64 @@ def test_merge_schema_evolution_from_source_column(spark, tmp_path):
     assert got == {"a": None, "b": "wiki"}
 
 
+def test_merge_into_policy_table_folds(spark, tmp_path):
+    """Merging into a policy table follows the TABLE's column
+    semantics, not replace: 'add' columns accumulate across merges,
+    'first' keeps the earliest non-null — a merge is just one more
+    change-event batch to the fold."""
+    import pyspark.sql.types as T
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("n_xfers", T.LongType()),
+        T.StructField("first_blknum", T.LongType()),
+        T.StructField("lsn", T.LongType()),
+        T.StructField("seq", T.IntegerType()),
+        T.StructField("updated_epoch", T.LongType()),
+        T.StructField("deleted", T.BooleanType()),
+    ])
+    t = SnapshotTable.create(
+        spark, str(tmp_path / "tp"), schema, key="doc_id", n_buckets=2,
+        policies={"n_xfers": "add", "first_blknum": "first"},
+    )
+    eng = CdcEngine(spark, t, mode="mor")
+    psrc = "doc_id string, n_xfers long, first_blknum long"
+    merge_into(eng, spark.createDataFrame([("a", 2, 100)], psrc))
+    merge_into(eng, spark.createDataFrame([("a", 3, 999), ("b", 1, 7)], psrc))
+    got = {r["doc_id"]: (r["n_xfers"], r["first_blknum"])
+           for r in read_state(t).collect()}
+    assert got == {"a": (5, 100), "b": (1, 7)}
+
+
+def test_merge_sequence_matches_dict_oracle(spark, tmp_path):
+    """Property-style: an arbitrary deterministic sequence of merges
+    (upserts + conditional deletes, overlapping keys) equals a plain
+    dict replay of the same batches."""
+    t, eng = _mk(spark, tmp_path)
+    rng_rows = [
+        [("k%d" % (i % 7), [i], 1, "del" if (i * 3) % 11 == 0 else "s%d" % i)
+         for i in range(b * 5, b * 5 + 5)]
+        for b in range(4)
+    ]
+    oracle: dict = {}
+    for batch in rng_rows:
+        # one row per key per batch (keys within a batch are distinct
+        # because i % 7 cycles over 5 consecutive i)
+        merge_into(
+            eng,
+            spark.createDataFrame(batch, SRC),
+            delete_where=F.col("source") == "del",
+        )
+        for k, toks, n, src in batch:
+            if src == "del":
+                oracle.pop(k, None)
+            else:
+                oracle[k] = (toks, src)
+    got = {r["doc_id"]: (list(r["tokens"]), r["source"])
+           for r in read_state(t).collect()}
+    assert got == oracle
+
+
 def test_merge_into_mor_engine(spark, tmp_path):
     t, eng = _mk(spark, tmp_path, mode="mor")
     merge_into(eng, spark.createDataFrame([("a", [1], 1, "s")], SRC))
