@@ -378,6 +378,73 @@ FROM fin GROUP BY source
 """
 
 
+def incremental_agg_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differential aggregate maintenance (the Materialize/DBSP shape;
+    ≙ the reference's downstream per-source stat tables re-aggregated
+    by each consumer, blockchainetl/streaming consumer loop): a grouped
+    count/sum MV is maintained purely from the source table's CDF —
+    each change row becomes a SIGNED delta (retraction on
+    delete/update_preimage), deltas fold into a column-merge-policy
+    table through cascade hops after each of two commits. The hop cost
+    is O(changed rows), never O(source) or O(MV). The oracle recomputes
+    the same aggregate from scratch over last-writer final state —
+    parity proves insert/update/delete retraction arithmetic across
+    commits."""
+    import os
+
+    from blockchain_etl_spark.cdc.apply import CdcEngine
+    from blockchain_etl_spark.cdc.schema import TARGET_SCHEMA
+    from blockchain_etl_spark.streaming.aggregate_mv import (
+        agg_mv_transform,
+        create_agg_mv,
+        mv_state,
+    )
+    from blockchain_etl_spark.streaming.cascade import CascadeTailer
+    from blockchain_etl_spark.tables.snapshot import SnapshotTable
+
+    ev, mid = _changelog_valid(spark, sf_dir)
+    work = _pid_scoped_gate_dir("agg-mv-gate")
+    src = SnapshotTable.create(
+        spark, os.path.join(work, "src"), TARGET_SCHEMA, key="doc_id", n_buckets=16
+    )
+    eng = CdcEngine(spark, src, mode="cow", collect_metrics=False)
+    mv = create_agg_mv(
+        spark, os.path.join(work, "mv"), "source", {"total_tokens": "n_tok"},
+        n_buckets=4,
+    )
+    tailer = CascadeTailer(
+        src,
+        CdcEngine(spark, mv, collect_metrics=False),
+        os.path.join(work, "mv_cursor.json"),
+        transform=agg_mv_transform("source", {"total_tokens": "n_tok"}),
+    )
+    eng.apply_epoch(ev.filter(F.col("lsn") <= mid), epoch_id=1)
+    tailer.run_once()
+    eng.apply_epoch(ev.filter(F.col("lsn") > mid), epoch_id=2)
+    tailer.run_once()
+    return mv_state(mv, "source").select(
+        "source", F.col("n_rows").alias("n_docs"), "total_tokens"
+    )
+
+
+_AGG_MV_SQL = f"""
+WITH {_CHANGELOG_CTE},
+ev AS (
+  SELECT * FROM changelog
+  WHERE op IN ('I','U','D')
+    AND (op = 'D' OR (tokens IS NOT NULL AND n_tok = len(tokens)))
+),
+fin AS (
+  SELECT * FROM (
+    SELECT e.*, row_number() OVER (PARTITION BY doc_id ORDER BY stream_pos DESC) AS rn
+    FROM ev e) WHERE rn = 1 AND op <> 'D'
+)
+SELECT coalesce(source, '(null)') AS source,
+       count(*)::BIGINT AS n_docs, sum(n_tok)::BIGINT AS total_tokens
+FROM fin GROUP BY 1
+"""
+
+
 _TABLE_CHANGES_SQL = f"""
 WITH {_CHANGELOG_CTE},
 ev AS (
@@ -3654,6 +3721,7 @@ QUERIES: dict[str, callable] = {
     "sessionize": sessionize,
     "session_window_native": session_window_native,
     "lang_id_ngram": lang_id_ngram,
+    "incremental_agg_mv": incremental_agg_mv,
     # returning from the r4 tail (driver-green r3, judge-local r4)
     "holder_detail_agg": relational.holder_detail_agg,
     "asof_lookup": relational.asof_lookup,
@@ -3963,6 +4031,7 @@ def oracle_sqls() -> dict[str, str]:
         "sessionize": _SESSIONIZE_SQL,
         "session_window_native": _SESSION_WINDOW_NATIVE_SQL,
         "lang_id_ngram": _LANGID_SQL,
+        "incremental_agg_mv": _AGG_MV_SQL,
         "corpus_splits": _corpus_splits_sql(),
         "explode_tokens": _EXPLODE_TOKENS_SQL,
         "decimal_vsum": _DECIMAL_VSUM_SQL,
