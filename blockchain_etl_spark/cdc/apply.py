@@ -535,7 +535,19 @@ class CdcEngine:
         metrics["n_events"] = pre["n_events"]
         metrics["n_reorg"] = n_reorg
         if obs is not None:
-            metrics["n_rejected"] = obs.get["n_rejected"] or 0
+            from blockchain_etl_spark.observe import observed_get
+
+            got = observed_get(obs)
+            if got is None:
+                # every row was filtered before the first action — the
+                # observed subtree collapsed to an empty relation and
+                # the metrics row never materialized (see observe.py).
+                # Recount directly; only degenerate epochs reach this.
+                metrics["n_rejected"] = batch_events.filter(
+                    ~self._valid(batch_events)
+                ).count()
+            else:
+                metrics["n_rejected"] = got["n_rejected"] or 0
         metrics["merge_ms"] = int((time.monotonic() - t0) * 1000)
         self._log_metrics(metrics)
         return metrics
@@ -632,7 +644,13 @@ class CdcEngine:
             new_schema=merged_schema,
         )
         if obs is not None:
-            got = obs.get
+            from blockchain_etl_spark.observe import observed_get
+
+            got = observed_get(obs)
+            if got is None:
+                # empty upsert set: the write's plan collapsed before
+                # the observe node ran (see observe.py) — zero splits.
+                got = {"n_upserts": 0, "n_deletes": 0}
             metrics["n_insert"] = got["n_upserts"] or 0  # split resolved at read
             metrics["n_update"] = 0
             metrics["n_delete"] = got["n_deletes"] or 0

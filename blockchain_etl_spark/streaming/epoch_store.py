@@ -78,7 +78,15 @@ class EpochStore:
             ).alias("markers"),
         )
         observed.write.mode("overwrite").parquet(out)
-        got = obs.get
+        from blockchain_etl_spark.observe import observed_get
+
+        got = observed_get(obs)
+        if got is None:
+            # an empty epoch landing: the write plan collapsed to an
+            # empty relation and the observe node never ran (see
+            # observe.py) — the aggregate over zero rows is known.
+            got = {"pos_min": None, "pos_max": None, "lsn_min": None,
+                   "lsn_max": None, "wm_ls": None, "n": 0, "markers": []}
         stats = {
             "pos_min": got["pos_min"],
             "pos_max": got["pos_max"],

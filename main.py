@@ -168,6 +168,21 @@ def main(argv=None):
     sp.add_argument("--buckets", type=int, default=64)
     sp.add_argument("--mode", choices=["mor", "cow"], default="mor")
 
+    sp = sub.add_parser("mv", help="maintain a grouped-aggregate "
+                        "materialized view of a table from its change "
+                        "feed (differential deltas with retraction; "
+                        "creates the MV policy table on first run)")
+    sp.add_argument("--src-table", required=True)
+    sp.add_argument("--mv-table", required=True)
+    sp.add_argument("--group-col", required=True)
+    sp.add_argument("--measures", default=None,
+                    help='JSON {out_col: source_col} summed per group, '
+                         'e.g. \'{"total_tokens": "n_tok"}\'; row count '
+                         "n_rows always maintained")
+    sp.add_argument("--cursor", required=True,
+                    help="version-cursor JSON file (created on first run)")
+    sp.add_argument("--buckets", type=int, default=8)
+
     sp = sub.add_parser("changes", help="incremental change-log between two "
                         "table versions (tail this table as a source)")
     sp.add_argument("--table", required=True)
@@ -263,6 +278,28 @@ def main(argv=None):
             "materialized": pipe.order,
             "versions": {e: pipe.tables[e].current_version()
                          for e in pipe.order},
+            "metrics": metrics,
+        }, default=str))
+        return 0
+    if args.cmd == "mv":
+        from blockchain_etl_spark.streaming.aggregate_mv import (
+            agg_mv_transform, create_agg_mv, mv_state)
+        from blockchain_etl_spark.streaming.cascade import CascadeTailer
+
+        measures = json.loads(args.measures) if args.measures else {}
+        src = SnapshotTable(spark, args.src_table)
+        mv = SnapshotTable(spark, args.mv_table)
+        if not mv.exists():
+            mv = create_agg_mv(spark, args.mv_table, args.group_col,
+                               measures, n_buckets=args.buckets)
+        metrics = CascadeTailer(
+            src, CdcEngine(spark, mv), args.cursor,
+            transform=agg_mv_transform(args.group_col, measures),
+        ).run_once()
+        print(json.dumps({
+            "src_version": src.current_version(),
+            "mv_version": mv.current_version(),
+            "live_groups": mv_state(mv).count(),
             "metrics": metrics,
         }, default=str))
         return 0
