@@ -445,6 +445,60 @@ FROM fin GROUP BY 1
 """
 
 
+def incremental_distinct_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact incremental COUNT(DISTINCT) — the aggregate that does NOT
+    decompose into signed sums — maintained as a two-stage MV cascade
+    (distinct-reduce feeding a count-reduce, the differential-dataflow
+    composition; ≙ the reference's consumers re-running COUNT(DISTINCT)
+    over their whole upstream table every poll): stage 1 folds the
+    source CDF into a (group, value)-pair occurrence MV, stage 2 folds
+    THAT MV's CDF into per-group counts of live pairs. Each hop is
+    O(changed rows); neither the source nor either MV is rescanned.
+    The oracle recomputes count(distinct n_tok) from scratch over
+    last-writer final state — parity proves the liveness-transition
+    algebra (duplicate values collapse, last-holder retraction, value
+    reappearance) across two commit rounds."""
+    import os
+
+    from blockchain_etl_spark.cdc.apply import CdcEngine
+    from blockchain_etl_spark.cdc.schema import TARGET_SCHEMA
+    from blockchain_etl_spark.streaming.aggregate_mv import DistinctCountMV
+    from blockchain_etl_spark.tables.snapshot import SnapshotTable
+
+    ev, mid = _changelog_valid(spark, sf_dir)
+    work = _pid_scoped_gate_dir("distinct-mv-gate")
+    src = SnapshotTable.create(
+        spark, os.path.join(work, "src"), TARGET_SCHEMA, key="doc_id", n_buckets=16
+    )
+    eng = CdcEngine(spark, src, mode="cow", collect_metrics=False)
+    dc = DistinctCountMV(
+        spark, src, os.path.join(work, "dc"), "source", "n_tok", n_buckets=4
+    )
+    eng.apply_epoch(ev.filter(F.col("lsn") <= mid), epoch_id=1)
+    dc.run_once()
+    eng.apply_epoch(ev.filter(F.col("lsn") > mid), epoch_id=2)
+    dc.run_once()
+    return dc.state().select("source", "n_distinct")
+
+
+_DISTINCT_MV_SQL = f"""
+WITH {_CHANGELOG_CTE},
+ev AS (
+  SELECT * FROM changelog
+  WHERE op IN ('I','U','D')
+    AND (op = 'D' OR (tokens IS NOT NULL AND n_tok = len(tokens)))
+),
+fin AS (
+  SELECT * FROM (
+    SELECT e.*, row_number() OVER (PARTITION BY doc_id ORDER BY stream_pos DESC) AS rn
+    FROM ev e) WHERE rn = 1 AND op <> 'D'
+)
+SELECT coalesce(source, '(null)') AS source,
+       count(DISTINCT n_tok)::BIGINT AS n_distinct
+FROM fin GROUP BY 1
+"""
+
+
 _TABLE_CHANGES_SQL = f"""
 WITH {_CHANGELOG_CTE},
 ev AS (
@@ -3722,6 +3776,7 @@ QUERIES: dict[str, callable] = {
     "session_window_native": session_window_native,
     "lang_id_ngram": lang_id_ngram,
     "incremental_agg_mv": incremental_agg_mv,
+    "incremental_distinct_mv": incremental_distinct_mv,
     # returning from the r4 tail (driver-green r3, judge-local r4)
     "holder_detail_agg": relational.holder_detail_agg,
     "asof_lookup": relational.asof_lookup,
@@ -4032,6 +4087,7 @@ def oracle_sqls() -> dict[str, str]:
         "session_window_native": _SESSION_WINDOW_NATIVE_SQL,
         "lang_id_ngram": _LANGID_SQL,
         "incremental_agg_mv": _AGG_MV_SQL,
+        "incremental_distinct_mv": _DISTINCT_MV_SQL,
         "corpus_splits": _corpus_splits_sql(),
         "explode_tokens": _EXPLODE_TOKENS_SQL,
         "decimal_vsum": _DECIMAL_VSUM_SQL,

@@ -136,6 +136,187 @@ def create_agg_mv(
     )
 
 
+PAIR_SEP = "\x1f"
+
+
+def _pair_key(group_col: str, value_col: str):
+    """Unambiguous composite key for a (group, value) pair: the group
+    is length-prefixed, so neither side containing the separator can
+    alias another pair (``len(g) ':' g SEP v`` decodes uniquely)."""
+    g = F.coalesce(F.col(group_col).cast("string"), F.lit(NULL_GROUP))
+    return F.concat(
+        F.length(g).cast("string"), F.lit(":"), g, F.lit(PAIR_SEP),
+        F.col(value_col).cast("string"),
+    )
+
+
+def distinct_pair_transform(group_col: str, value_col: str):
+    """Stage-1 transform of the exact incremental COUNT(DISTINCT):
+    source CDF → signed occurrence deltas per (group, value) pair.
+
+    Rows with a null value are dropped first — SQL ``count(distinct
+    x)`` ignores NULLs, so a null must neither create a pair nor
+    retract one. The pair MV's ``n_rows`` is the pair's live
+    occurrence count; the group value rides along as a ``first``-fold
+    payload column so stage 2 never has to decode the composite key.
+    """
+
+    def _t(changes: DataFrame, _src, _v0: int, v1: int) -> DataFrame:
+        ch = changes.filter(F.col(value_col).isNotNull())
+        sign = F.when(
+            F.col("_change_type").isin("insert", "update_postimage"), F.lit(1)
+        ).otherwise(F.lit(-1))
+        grp = F.coalesce(F.col(group_col).cast("string"), F.lit(NULL_GROUP))
+        g = (
+            ch.groupBy(_pair_key(group_col, value_col).alias("doc_id"))
+            .agg(
+                F.sum(sign).cast("long").alias("n_rows"),
+                F.max(grp).alias("grp"),  # constant per pair key
+            )
+            .filter(F.col("n_rows") != 0)
+        )
+        return g.select(
+            F.lit(v1).cast("long").alias("stream_pos"),
+            F.lit(v1).cast("long").alias("lsn"),
+            F.lit(0).cast("int").alias("seq"),
+            F.lit("U").alias("op"),
+            F.lit(None).cast("long").alias("rollback_to_lsn"),
+            F.col("doc_id"),
+            F.col("grp"),
+            F.col("n_rows"),
+        )
+
+    return _t
+
+
+def distinct_count_transform():
+    """Stage-2 transform: pair-MV CDF → per-group distinct-count
+    deltas. A pair contributes to its group's count exactly while its
+    occurrence count is positive, so the delta is the LIVENESS
+    transition, not the occurrence arithmetic: each CDF row adds
+    ``sign * (n_rows > 0)`` — a post-image of a pair that just became
+    live is +1, the pre-image of a pair that was live is -1, and a
+    pair whose count moved 3 → 2 nets to zero. Dead pairs are never
+    physically deleted from the pair MV (the fold cannot know without
+    reading it), so only insert/update rows ever arrive; the algebra
+    still covers ``delete`` (pre-image payload) for completeness."""
+
+    def _t(changes: DataFrame, _src, _v0: int, v1: int) -> DataFrame:
+        sign = F.when(
+            F.col("_change_type").isin("insert", "update_postimage"), F.lit(1)
+        ).otherwise(F.lit(-1))
+        live = (F.col("n_rows") > 0).cast("long")
+        g = (
+            changes.groupBy(F.col("grp").alias("doc_id"))
+            .agg(F.sum(sign * live).cast("long").alias("n_rows"))
+            .filter(F.col("n_rows") != 0)
+        )
+        return g.select(
+            F.lit(v1).cast("long").alias("stream_pos"),
+            F.lit(v1).cast("long").alias("lsn"),
+            F.lit(0).cast("int").alias("seq"),
+            F.lit("U").alias("op"),
+            F.lit(None).cast("long").alias("rollback_to_lsn"),
+            F.col("doc_id"),
+            F.col("n_rows"),
+        )
+
+    return _t
+
+
+def create_pair_mv(spark: SparkSession, path: str, n_buckets: int = 8):
+    """Stage-1 table: key = composite (group, value) pair, ``n_rows``
+    an ``add`` fold (occurrence count), ``grp`` a ``first`` fold (the
+    decoded group, immutable per key)."""
+    from blockchain_etl_spark.tables.snapshot import SnapshotTable
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType()),
+            T.StructField("grp", T.StringType()),
+            T.StructField("n_rows", T.LongType()),
+            T.StructField("lsn", T.LongType()),
+            T.StructField("seq", T.IntegerType()),
+            T.StructField("updated_epoch", T.LongType()),
+            T.StructField("deleted", T.BooleanType()),
+        ]
+    )
+    return SnapshotTable.create(
+        spark, path, schema, key="doc_id", n_buckets=n_buckets,
+        policies={"n_rows": "add", "grp": "first"},
+    )
+
+
+class DistinctCountMV:
+    """Exact incremental ``COUNT(DISTINCT value) GROUP BY group`` as a
+    two-stage cascade of aggregate MVs — the differential-dataflow
+    composition (a distinct-reduce feeding a count-reduce; ≙ the
+    reference's consumers re-running ``COUNT(DISTINCT ...)`` over their
+    whole upstream Postgres table on every poll):
+
+        source CDF ──pairs──▶ MV1[(group,value) → occurrences]
+        MV1 CDF ──liveness──▶ MV2[group → n live pairs] = the answer
+
+    Each hop costs O(changed rows in the hop's version range); neither
+    the source, MV1, nor MV2 is ever rescanned. Both hops inherit every
+    engine guarantee (exactly-once ledger cursor, OCC, crash-safe
+    lineage cursor) from :class:`CascadeTailer`. Scale: stage 1
+    shuffles the hop's changes once on the pair key, stage 2 once on
+    the group — both map-side combined; MV1's cardinality is the
+    number of DISTINCT pairs (bounded by source rows), bucket-hashed.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        src_table,
+        root: str,
+        group_col: str,
+        value_col: str,
+        n_buckets: int = 8,
+    ):
+        import os
+
+        from blockchain_etl_spark.cdc.apply import CdcEngine
+        from blockchain_etl_spark.streaming.cascade import CascadeTailer
+        from blockchain_etl_spark.tables.snapshot import SnapshotTable
+
+        self.group_col = group_col
+        pairs_path = os.path.join(root, "mv_pairs")
+        mv_path = os.path.join(root, "mv_distinct")
+        self.pairs = (
+            SnapshotTable(spark, pairs_path)
+            if SnapshotTable(spark, pairs_path).exists()
+            else create_pair_mv(spark, pairs_path, n_buckets=n_buckets)
+        )
+        self.mv = (
+            SnapshotTable(spark, mv_path)
+            if SnapshotTable(spark, mv_path).exists()
+            else create_agg_mv(spark, mv_path, group_col, n_buckets=n_buckets)
+        )
+        self._hop1 = CascadeTailer(
+            src_table,
+            CdcEngine(spark, self.pairs, collect_metrics=False),
+            os.path.join(root, "pairs_cursor.json"),
+            transform=distinct_pair_transform(group_col, value_col),
+        )
+        self._hop2 = CascadeTailer(
+            self.pairs,
+            CdcEngine(spark, self.mv, collect_metrics=False),
+            os.path.join(root, "distinct_cursor.json"),
+            transform=distinct_count_transform(),
+        )
+
+    def run_once(self) -> dict:
+        return {"pairs": self._hop1.run_once(), "distinct": self._hop2.run_once()}
+
+    def state(self) -> DataFrame:
+        """group, n_distinct — groups with zero live values read absent."""
+        return mv_state(self.mv, self.group_col).withColumnRenamed(
+            "n_rows", "n_distinct"
+        )
+
+
 def mv_state(table, group_col: str | None = None) -> DataFrame:
     """The MV's live rows: groups whose lifetime count folded back to
     zero are gone from the source and read as absent here. Pass
