@@ -2286,6 +2286,85 @@ FROM agg WHERE last_op <> 'D'
 """
 
 
+def minmax_policy_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running-extremum column merge policies (``min`` / ``max``; ≙ the
+    reference's LEAST/GREATEST upsert hooks — postgres_hooks.py
+    token_holders' first/last are order-based, while price floors /
+    high-water marks need value-based extrema): a policy table ingests
+    holder deltas over two MOR epochs with a compaction in between —
+    ``min``/``max`` columns fold to the lifetime extremum over non-null
+    values, associatively (base+delta recombination and the in-batch
+    pre-fold must produce the same extremum), and tombstones carry them
+    across delete→reinsert like ``add`` totals. The oracle recomputes
+    grouped min/max over the flat event stream."""
+    import pyspark.sql.types as T
+
+    from blockchain_etl_spark.cdc.apply import CdcEngine, read_state
+    from blockchain_etl_spark.tables.snapshot import SnapshotTable
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    eid = F.col("event_id")
+    vi = F.floor(F.col("value") * 100).cast("long")
+    op = F.when(eid % 37 == 5, F.lit("D")).otherwise(F.lit("I"))
+    non_d = op != "D"
+    ev = e.select(
+        eid.cast("long").alias("stream_pos"),
+        eid.cast("long").alias("lsn"),
+        F.lit(0).cast("int").alias("seq"),
+        op.alias("op"),
+        F.lit(None).cast("long").alias("rollback_to_lsn"),
+        F.concat(F.lit("h-"), (F.col("user_id") % 50).cast("string")).alias("doc_id"),
+        F.when(non_d, F.lit(1)).cast("long").alias("n_xfers"),
+        F.when(non_d & (eid % 3 != 0), vi).alias("low_value"),  # nulls skip
+        F.when(non_d & (eid % 3 != 0), vi).alias("high_value"),
+    )
+    mid = e.agg(F.max("event_id")).first()[0] // 2
+    schema = T.StructType([
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("n_xfers", T.LongType()),
+        T.StructField("low_value", T.LongType()),
+        T.StructField("high_value", T.LongType()),
+        T.StructField("lsn", T.LongType()),
+        T.StructField("seq", T.IntegerType()),
+        T.StructField("updated_epoch", T.LongType()),
+        T.StructField("deleted", T.BooleanType()),
+    ])
+    path = _pid_scoped_gate_dir("minmax-policy-gate")
+    table = SnapshotTable.create(
+        spark, path, schema, key="doc_id", n_buckets=8,
+        policies={"n_xfers": "add", "low_value": "min", "high_value": "max"},
+    )
+    eng = CdcEngine(spark, table, mode="mor", collect_metrics=False)
+    eng.apply_epoch(ev.filter(F.col("lsn") <= mid), epoch_id=1)
+    table.compact()  # extremum must survive base+delta recombination
+    eng.apply_epoch(ev.filter(F.col("lsn") > mid), epoch_id=2)
+    return read_state(table).select(
+        "doc_id", "n_xfers", "low_value", "high_value"
+    )
+
+
+_MINMAX_POLICY_SQL = """
+WITH ev AS (
+  SELECT event_id AS eid,
+         'h-' || (user_id % 50)::VARCHAR AS doc_id,
+         CASE WHEN event_id % 37 = 5 THEN 'D' ELSE 'I' END AS op,
+         CASE WHEN event_id % 3 <> 0
+              THEN floor(value * 100)::BIGINT END AS vi
+  FROM events
+),
+agg AS (
+  SELECT doc_id,
+         sum(CASE WHEN op <> 'D' THEN 1 END)::BIGINT AS n_xfers,
+         min(vi) FILTER (WHERE op <> 'D') AS low_value,
+         max(vi) FILTER (WHERE op <> 'D') AS high_value,
+         arg_max(op, eid) AS last_op
+  FROM ev GROUP BY doc_id
+)
+SELECT doc_id, n_xfers, low_value, high_value
+FROM agg WHERE last_op <> 'D'
+"""
+
+
 def nft_tokenid_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """≙ EthNftTokenidAdapter (eth_nft_tokenid_adapter.py:188-313 +
     postgres_hooks.py:12-40): per (token_address, token_id) turnover /
@@ -3766,6 +3845,7 @@ QUERIES: dict[str, callable] = {
     "balance_pipeline": balance_pipeline,
     "bpe_encode": bpe_encode,
     "holder_policy_table": holder_policy_table,
+    "minmax_policy_table": minmax_policy_table,
     "nft_tokenid_stats": nft_tokenid_stats,
     "pii_redact": pii_redact,
     "lsh_index_probe": dedup.lsh_index_probe,
@@ -4088,6 +4168,7 @@ def oracle_sqls() -> dict[str, str]:
         "lang_id_ngram": _LANGID_SQL,
         "incremental_agg_mv": _AGG_MV_SQL,
         "incremental_distinct_mv": _DISTINCT_MV_SQL,
+        "minmax_policy_table": _MINMAX_POLICY_SQL,
         "corpus_splits": _corpus_splits_sql(),
         "explode_tokens": _EXPLODE_TOKENS_SQL,
         "decimal_vsum": _DECIMAL_VSUM_SQL,

@@ -208,6 +208,10 @@ def dedup_policy_fold(
     for c, p in pol.items():
         if p == "add":
             aggs.append(F.sum(c).cast(dtypes[c]).alias(c))
+        elif p == "min":
+            aggs.append(F.min(c).alias(c))
+        elif p == "max":
+            aggs.append(F.max(c).alias(c))
         elif p == "first":
             aggs.append(
                 F.min(F.when(F.col(c).isNotNull(), F.struct(sp, F.col(c))))[c].alias(c)
@@ -749,6 +753,10 @@ class CdcEngine:
             if p == "add":
                 zero = F.lit(0).cast(ptypes[c])
                 e = (F.coalesce(t_, zero) + F.coalesce(s_, zero)).cast(ptypes[c])
+            elif p == "min":
+                e = F.least(t_, s_)  # least/greatest skip nulls
+            elif p == "max":
+                e = F.greatest(t_, s_)
             elif p == "first":
                 e = F.coalesce(t_, s_)
             else:  # last non-null

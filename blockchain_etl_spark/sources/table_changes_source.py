@@ -88,6 +88,10 @@ def _load_resolved(files: list[str], schema, key: str, policies: dict | None = N
     for c, p in pol.items():
         if p == "add":
             winner[c] = g[c].sum(min_count=1)
+        elif p == "min":
+            winner[c] = g[c].min()
+        elif p == "max":
+            winner[c] = g[c].max()
         elif p == "first":
             winner[c] = g[c].agg(
                 lambda s: s.dropna().iloc[0] if s.dropna().size else None

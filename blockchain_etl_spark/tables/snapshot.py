@@ -120,7 +120,8 @@ class Manifest:
     lineage: dict[str, Any] = field(default_factory=dict)
     # column merge policies (≙ the reference's per-table upsert hooks,
     # ethereumetl/streaming/postgres_hooks.py:43-150): col → "add"
-    # (counters accumulate), "first" (keep earliest non-null), "last"
+    # (counters accumulate), "min"/"max" (running extremum over
+    # non-null values), "first" (keep earliest non-null), "last"
     # (take newest non-null). Absent columns keep plain last-writer-row
     # semantics. Part of the table's identity — persisted per manifest.
     policies: dict[str, str] = field(default_factory=dict)
@@ -157,7 +158,7 @@ class SnapshotTable:
             bad = {
                 c: p
                 for c, p in policies.items()
-                if c not in fields or p not in ("add", "first", "last")
+                if c not in fields or p not in ("add", "min", "max", "first", "last")
             }
             if bad:
                 raise ValueError(f"invalid merge policies: {bad}")
@@ -498,6 +499,10 @@ class SnapshotTable:
         for c, p in pol.items():
             if p == "add":
                 aggs.append(F.sum(c).cast(dtypes[c]).alias(c))
+            elif p == "min":
+                aggs.append(F.min(c).alias(c))
+            elif p == "max":
+                aggs.append(F.max(c).alias(c))
             elif p == "first":
                 aggs.append(
                     F.min(F.when(F.col(c).isNotNull(), F.struct(*order, F.col(c))))[

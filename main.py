@@ -50,7 +50,8 @@ def main(argv=None):
     sp.add_argument("--policies", default=None,
                     help='column merge policies as JSON, e.g. '
                          '\'{"n_xfers": "add", "first_seen": "first"}\' '
-                         '(add | first | last; default last-writer rows)')
+                         '(add | min | max | first | last; '
+                         'default last-writer rows)')
 
     sp = sub.add_parser("tail")
     sp.add_argument("--landing", required=True)

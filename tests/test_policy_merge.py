@@ -208,3 +208,123 @@ def test_cdf_source_folds_policies(spark, tmp_path):
     }
     assert stream == batch
     assert batch  # non-degenerate
+
+
+# --------------------------------------------------------------- min / max
+MM_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.StringType()),
+    T.StructField("lo", T.LongType()),
+    T.StructField("hi", T.LongType()),
+    T.StructField("lsn", T.LongType()),
+    T.StructField("seq", T.IntegerType()),
+    T.StructField("updated_epoch", T.LongType()),
+    T.StructField("deleted", T.BooleanType()),
+])
+MM_POLICIES = {"lo": "min", "hi": "max"}
+MM_EV = T.StructType([
+    T.StructField("stream_pos", T.LongType()),
+    T.StructField("lsn", T.LongType()),
+    T.StructField("seq", T.IntegerType()),
+    T.StructField("op", T.StringType()),
+    T.StructField("rollback_to_lsn", T.LongType()),
+    T.StructField("doc_id", T.StringType()),
+    T.StructField("lo", T.LongType()),
+    T.StructField("hi", T.LongType()),
+])
+
+
+def _mm_epochs():
+    # a: values 5, 9, 2 (in-batch pair then another epoch); nulls skip.
+    # b: single value, tombstoned, reinserted — extrema CARRY (lifetime
+    # min/max resume across delete→reinsert, same contract as 'add').
+    return [
+        [
+            (0, 10, 0, "I", None, "a", 5, 5),
+            (1, 11, 0, "U", None, "a", 9, 9),
+            (2, 12, 0, "I", None, "b", 50, 50),
+        ],
+        [
+            (3, 13, 0, "U", None, "a", 2, 2),
+            (4, 14, 0, "U", None, "a", None, None),  # null never wins
+            (5, 15, 0, "D", None, "b", None, None),
+        ],
+        [
+            (6, 16, 0, "I", None, "b", 70, 70),
+        ],
+    ]
+
+
+MM_EXPECT = {"a": (2, 9), "b": (50, 70)}
+
+
+def _mm_state(table):
+    return {
+        r["doc_id"]: (r["lo"], r["hi"]) for r in read_state(table).collect()
+    }
+
+
+@pytest.mark.parametrize("mode", ["mor", "cow"])
+def test_minmax_policy_mor_and_cow_agree(spark, tmp_path, mode):
+    t = SnapshotTable.create(
+        spark, str(tmp_path / mode), MM_SCHEMA, n_buckets=4,
+        policies=MM_POLICIES,
+    )
+    eng = CdcEngine(spark, t, mode=mode, collect_metrics=False)
+    for i, rows in enumerate(_mm_epochs()):
+        eng.apply_epoch(spark.createDataFrame(rows, MM_EV), i)
+    assert _mm_state(t) == MM_EXPECT
+
+
+def test_minmax_policy_compaction_preserves_extrema(spark, tmp_path):
+    t = SnapshotTable.create(
+        spark, str(tmp_path / "t"), MM_SCHEMA, n_buckets=4,
+        policies=MM_POLICIES,
+    )
+    eng = CdcEngine(spark, t, mode="mor", collect_metrics=False)
+    epochs = _mm_epochs()
+    eng.apply_epoch(spark.createDataFrame(epochs[0], MM_EV), 0)
+    t.compact()
+    for i, rows in enumerate(epochs[1:], start=1):
+        eng.apply_epoch(spark.createDataFrame(rows, MM_EV), i)
+    assert _mm_state(t) == MM_EXPECT
+    t.compact()
+    assert _mm_state(t) == MM_EXPECT
+
+
+def test_minmax_cdf_pandas_resolver_matches_batch(spark, tmp_path):
+    from blockchain_etl_spark.sources.table_changes_source import (
+        TableChangesDataSource,
+    )
+
+    t = SnapshotTable.create(
+        spark, str(tmp_path / "t"), MM_SCHEMA, n_buckets=4,
+        policies=MM_POLICIES,
+    )
+    eng = CdcEngine(spark, t, mode="mor", collect_metrics=False)
+    for i, rows in enumerate(_mm_epochs()):
+        eng.apply_epoch(spark.createDataFrame(rows, MM_EV), i)
+    v0, v1 = 1, t.current_version()
+    batch = {
+        (r["_change_type"], r["doc_id"]): (r["lo"], r["hi"])
+        for r in t.read_changes(v0, v1).collect()
+    }
+    spark.dataSource.register(TableChangesDataSource)
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    (
+        spark.readStream.format("table_changes")
+        .option("path", str(tmp_path / "t"))
+        .option("start_version", v0)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    stream = {
+        (r["_change_type"], r["doc_id"]): (r["lo"], r["hi"])
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    assert stream == batch
+    assert batch
