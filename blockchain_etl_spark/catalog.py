@@ -499,6 +499,104 @@ FROM fin GROUP BY 1
 """
 
 
+def incremental_join_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained equi-join (the bilinear differential
+    rule Δ(A⋈B) = ΔA⋈B_old + A_new⋈ΔB; ≙ the reference's enrichment
+    consumers re-joining token_transfer ⋈ token dimension on every
+    poll, eth_token_service lookups in the streaming loop): a fact
+    table and a dimension table each ingest two CDC epochs, with a
+    JoinMV hop after each round — fact deltas join the PRE-hop dim
+    snapshot (bucket-pruned on the join key), dim deltas broadcast
+    against the POST-hop fact state, and the signed tuple deltas fold
+    into a Z-set policy table (multiplicity add, payload first). The
+    dim reweights half its rows in round 2, so every matching tuple
+    must retract + reinsert. The oracle joins the two streams' final
+    last-writer states from scratch."""
+    import os
+
+    import pyspark.sql.types as T
+
+    from blockchain_etl_spark.cdc.apply import CdcEngine
+    from blockchain_etl_spark.cdc.schema import TARGET_SCHEMA
+    from blockchain_etl_spark.streaming.join_mv import JoinMV
+    from blockchain_etl_spark.tables.snapshot import SnapshotTable
+
+    ev, mid = _changelog_valid(spark, sf_dir)
+    work = _pid_scoped_gate_dir("join-mv-gate")
+    fact = SnapshotTable.create(
+        spark, os.path.join(work, "fact"), TARGET_SCHEMA, key="doc_id",
+        n_buckets=16,
+    )
+    feng = CdcEngine(spark, fact, mode="cow", collect_metrics=False)
+    dim_schema = T.StructType([
+        T.StructField("doc_id", T.StringType()),  # holds the source value
+        T.StructField("weight", T.LongType()),
+        T.StructField("lsn", T.LongType()),
+        T.StructField("seq", T.IntegerType()),
+        T.StructField("updated_epoch", T.LongType()),
+        T.StructField("deleted", T.BooleanType()),
+    ])
+    dim = SnapshotTable.create(
+        spark, os.path.join(work, "dim"), dim_schema, key="doc_id", n_buckets=4
+    )
+    deng = CdcEngine(spark, dim, mode="cow", collect_metrics=False)
+    srcs = ev.filter(F.col("source").isNotNull()).select("source").distinct()
+
+    def _dim_ev(df, lsn, weight_col):
+        return df.select(
+            F.lit(lsn).cast("long").alias("stream_pos"),
+            F.lit(lsn).cast("long").alias("lsn"),
+            F.lit(0).cast("int").alias("seq"),
+            F.lit("U").alias("op"),
+            F.lit(None).cast("long").alias("rollback_to_lsn"),
+            F.col("source").alias("doc_id"),
+            weight_col.cast("long").alias("weight"),
+        )
+
+    jm = JoinMV(
+        spark, fact, dim, os.path.join(work, "jm"), join_col="source",
+        fact_cols=["n_tok"], dim_cols=["weight"], n_buckets=8,
+    )
+    deng.apply_epoch(_dim_ev(srcs, 1, F.length("source") * 10), epoch_id=1)
+    feng.apply_epoch(ev.filter(F.col("lsn") <= mid), epoch_id=1)
+    jm.run_once()
+    # round 2: even-length sources reweight -> retract + reinsert
+    deng.apply_epoch(
+        _dim_ev(
+            srcs.filter(F.length("source") % 2 == 0), 2,
+            F.length("source") * 10 + 7,
+        ),
+        epoch_id=2,
+    )
+    feng.apply_epoch(ev.filter(F.col("lsn") > mid), epoch_id=2)
+    jm.run_once()
+    return jm.state().select("fact_id", "source", "n_tok", "weight")
+
+
+_JOIN_MV_SQL = f"""
+WITH {_CHANGELOG_CTE},
+ev AS (
+  SELECT * FROM changelog
+  WHERE op IN ('I','U','D')
+    AND (op = 'D' OR (tokens IS NOT NULL AND n_tok = len(tokens)))
+),
+fin AS (
+  SELECT * FROM (
+    SELECT e.*, row_number() OVER (PARTITION BY doc_id ORDER BY stream_pos DESC) AS rn
+    FROM ev e) WHERE rn = 1 AND op <> 'D'
+),
+dimw AS (
+  SELECT source,
+         (CASE WHEN length(source) % 2 = 0
+               THEN length(source) * 10 + 7
+               ELSE length(source) * 10 END)::BIGINT AS weight
+  FROM (SELECT DISTINCT source FROM ev WHERE source IS NOT NULL)
+)
+SELECT f.doc_id AS fact_id, f.source, f.n_tok, w.weight
+FROM fin f JOIN dimw w ON f.source = w.source
+"""
+
+
 _TABLE_CHANGES_SQL = f"""
 WITH {_CHANGELOG_CTE},
 ev AS (
@@ -3857,6 +3955,7 @@ QUERIES: dict[str, callable] = {
     "lang_id_ngram": lang_id_ngram,
     "incremental_agg_mv": incremental_agg_mv,
     "incremental_distinct_mv": incremental_distinct_mv,
+    "incremental_join_mv": incremental_join_mv,
     # returning from the r4 tail (driver-green r3, judge-local r4)
     "holder_detail_agg": relational.holder_detail_agg,
     "asof_lookup": relational.asof_lookup,
@@ -4168,6 +4267,7 @@ def oracle_sqls() -> dict[str, str]:
         "lang_id_ngram": _LANGID_SQL,
         "incremental_agg_mv": _AGG_MV_SQL,
         "incremental_distinct_mv": _DISTINCT_MV_SQL,
+        "incremental_join_mv": _JOIN_MV_SQL,
         "minmax_policy_table": _MINMAX_POLICY_SQL,
         "corpus_splits": _corpus_splits_sql(),
         "explode_tokens": _EXPLODE_TOKENS_SQL,
