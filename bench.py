@@ -90,6 +90,10 @@ HEADLINE_QUERIES = [
     "lsh_index_probe",
     "session_window_native",
     "lang_id_ngram",
+    # round 5, differential-MV family (each row builds tables + runs
+    # two incremental hops — commit fixed costs dominate at bench SF)
+    "incremental_agg_mv",
+    "incremental_join_mv",
 ]
 
 
