@@ -88,6 +88,13 @@ def point_lookup(table: SnapshotTable, key_value: str) -> DataFrame:
     inside the opened files — three pruning levels, none scanning cold
     data. The MOR resolution then runs over the surviving sliver."""
     m = table.manifest()
+    if m.bucket_key is not None:
+        # secondary-bucketed index table: buckets hash the bucket_key
+        # VALUE, which a key alone doesn't determine — fall back to the
+        # key zone maps + row-group pushdown (no bucket pruning).
+        return read_state(table, key_range=(key_value, key_value)).filter(
+            F.col(m.key) == key_value
+        )
     bucket = (
         table.spark.range(1)
         .select(
@@ -299,7 +306,21 @@ class CdcEngine:
         return read_state(self.table, version=version)
 
     def _valid(self, df: DataFrame):
-        return self.valid_expr if self.valid_expr is not None else _valid_expr(df)
+        base = self.valid_expr if self.valid_expr is not None else _valid_expr(df)
+        # secondary-bucketed tables: EVERY event (deletes included) must
+        # carry the bucket_key column non-null — a row without it would
+        # hash to the null bucket instead of its key's bucket, and a
+        # later bucket-pruned read would miss the tombstone (silent key
+        # resurrection). Reject instead; rejects are counted and DLQ'd.
+        bk = self.table.manifest().bucket_key
+        if bk is not None:
+            if bk not in df.columns:
+                raise ValueError(
+                    f"events for secondary-bucketed table {self.table.path} "
+                    f"must carry the bucket_key column {bk!r}"
+                )
+            base = base & F.col(bk).isNotNull()
+        return base
 
     # ------------------------------------------------------------------ api
     def apply_epoch(
@@ -698,7 +719,7 @@ class CdcEngine:
     ) -> dict[str, Any]:
         m = self.table.manifest()
         nb = m.n_buckets
-        ups = ups.withColumn("_b", bucket_expr("doc_id", nb))
+        ups = ups.withColumn("_b", bucket_expr(m.bucket_col(), nb))
         ups, merged_schema, payload_cols, ptypes = self._conform_source(ups)
         new_wm = watermark
 
@@ -744,6 +765,11 @@ class CdcEngine:
             p = pol.get(c)
             s_, t_ = F.col(f"s.{c}"), F.col(f"t.{c}")
             if p is None:
+                if c == m.bucket_key:
+                    # the bucket routing column must survive deletes: a
+                    # tombstone written without it would land in the
+                    # null bucket, away from its key's live rows
+                    return F.when(takes_s, F.coalesce(s_, t_)).otherwise(t_).alias(c)
                 return (
                     F.when(tag.isin("insert", "update"), s_)
                     .when(tag.isin("delete", "tombstone"), F.lit(None).cast(ptypes[c]))

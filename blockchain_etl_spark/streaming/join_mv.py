@@ -29,13 +29,31 @@ Scale:
   same pruning the COW merge uses): O(ΔA + touched dim buckets).
 - **A@new ⋈ ΔB** — dim deltas are small (dimensions churn slowly), so
   ΔB broadcasts and the fact scan is one shuffle-free broadcast-hash
-  join over A's live state. This leg is O(A) in the worst case — the
-  documented cost of not keeping a secondary index on the join column;
-  it runs only on hops where the dim actually changed. (The upgrade
-  path is a (join_value, fact_id) pair MV — see aggregate_mv — used as
-  the secondary index; not built until a workload needs it.)
+  join over A's live state. Without an index this leg is O(A) — the
+  cost of not having a lookup by join VALUE; with ``indexed=True`` the
+  MV maintains a :class:`_SideIndex` — a Z-set replica of A hash-
+  bucketed by the JOIN COLUMN (``Manifest.bucket_key``) — and the leg
+  reads only the index buckets of ΔB's changed keys:
+  O(ΔB + touched index buckets), never a fact-table scan.
 - Both legs' outputs pre-fold by tuple hash (map-side combined) before
   one blind MOR delta append.
+
+:class:`GeneralJoinMV` generalizes to the N:M case — an equi-join on
+ARBITRARY columns of two tables (neither side's join column is its
+key), both sides fed by change feeds. Both sides get a ``_SideIndex``;
+the hop discipline that keeps the bilinear rule exact under crashes:
+
+    catch idx_b up to b0   (B as the MV last saw it — B@old)
+    catch idx_a up to a1   (A after this hop's delta — A@new)
+    leg1 = ΔA(a0,a1) ⋈ idx_b          (pruned to ΔA's join values)
+    leg2 = idx_a ⋈ ΔB(b0,b1)          (pruned to ΔB's join values)
+    commit MV with cursors (a1,b1); then advance idx_b to b1
+
+``idx_b`` is advanced only AFTER the MV commit (next hop's step 0
+re-heals if that trailing advance crashed), so a retry never sees
+B@new where the rule needs B@old — the cross terms keep cancelling
+exactly. Index catch-ups are idempotent (epoch-ledger + own lineage
+cursor), so every crash window replays to the same state.
 
 Sequencing: the MV's guard lsn is ``a_version + b_version`` — strictly
 monotone because every hop advances at least one cursor — and the hop
@@ -74,11 +92,215 @@ def _tuple_hash(cols: list[str]):
     )
 
 
-class JoinMV:
+class _SideIndex:
+    """Z-set secondary index of one input table: one live row per
+    (join value, source key, payload) tuple, keyed by the tuple hash,
+    hash-bucketed by the JOIN VALUE (``Manifest.bucket_key``) so the
+    other side's delta prunes its probe to the buckets of its changed
+    join values. Maintained incrementally from the source's change feed
+    with its own lineage cursor (``src_to``) — catch-ups are exactly-
+    once (epoch ledger keyed by the version range digest) and therefore
+    idempotent across crash/retry windows."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        source,
+        path: str,
+        name: str,
+        join_col: str,
+        cols: list[str],
+        n_buckets: int = 8,
+    ):
+        from blockchain_etl_spark.cdc.apply import CdcEngine
+        from blockchain_etl_spark.tables.snapshot import SnapshotTable
+
+        self.spark = spark
+        self.source = source
+        self.name = name
+        self.join_col = join_col
+        self.cols = list(cols)
+        sm = source.manifest()
+        self.src_key = sm.key
+        # the index's own key is the tuple hash named doc_id (engine
+        # convention) — a source key named doc_id is stored renamed
+        self.key_out = self.src_key if self.src_key != "doc_id" else f"{name}_id"
+        self.src_cols = [self.join_col, self.src_key, *self.cols]
+        self.out_cols = [self.join_col, self.key_out, *self.cols]
+        if len(set(self.src_cols)) != len(self.src_cols):
+            raise ValueError(
+                f"index columns must be distinct: {self.src_cols}"
+            )
+        stypes = {f.name: f.dataType for f in sm.schema().fields}
+        t = SnapshotTable(spark, path)
+        if not t.exists():
+            schema = T.StructType(
+                [T.StructField("doc_id", T.StringType())]
+                + [
+                    T.StructField(n, stypes[c])
+                    for c, n in zip(self.src_cols, self.out_cols)
+                ]
+                + [
+                    T.StructField("n_rows", T.LongType()),
+                    T.StructField("lsn", T.LongType()),
+                    T.StructField("seq", T.IntegerType()),
+                    T.StructField("updated_epoch", T.LongType()),
+                    T.StructField("deleted", T.BooleanType()),
+                ]
+            )
+            t = SnapshotTable.create(
+                spark, path, schema, key="doc_id", n_buckets=n_buckets,
+                bucket_key=self.join_col,
+                policies={"n_rows": "add",
+                          **{c: "first" for c in self.out_cols}},
+            )
+        self.table = t
+        self.engine = CdcEngine(spark, t, collect_metrics=False)
+
+    def cursor(self, max_walk: int = 64) -> int:
+        for v in reversed(self.table.versions()[-max_walk:]):
+            lin = self.table.manifest(v).lineage
+            if "src_to" in lin:
+                return int(lin["src_to"])
+        return 0
+
+    def catch_up(self, to_version: int) -> None:
+        """Fold the source's (cursor, to_version] changes into the
+        index — signed tuple arithmetic, O(Δ); no-op when current."""
+        frm = self.cursor()
+        if to_version <= frm:
+            return
+        d = self.source.read_changes(frm, to_version).filter(
+            F.col(self.join_col).isNotNull()
+        )
+        folded = (
+            d.select(
+                *[
+                    F.col(c).alias(n)
+                    for c, n in zip(self.src_cols, self.out_cols)
+                ],
+                _sign().alias("_sign"),
+            )
+            .groupBy(_tuple_hash(self.out_cols).alias("doc_id"))
+            .agg(
+                F.sum("_sign").cast("long").alias("n_rows"),
+                *[F.max(c).alias(c) for c in self.out_cols],  # constant per hash
+            )
+            .filter(F.col("n_rows") != 0)
+        )
+        ev = folded.select(
+            F.lit(to_version).cast("long").alias("stream_pos"),
+            F.lit(to_version).cast("long").alias("lsn"),
+            F.lit(0).cast("int").alias("seq"),
+            F.lit("U").alias("op"),
+            F.lit(None).cast("long").alias("rollback_to_lsn"),
+            "doc_id",
+            *self.out_cols,
+            "n_rows",
+        )
+        digest = hashlib.md5(
+            f"sideindex-{self.name}-{frm}-{to_version}".encode()
+        ).digest()
+        self.engine.apply_epoch(
+            ev,
+            epoch_id=int.from_bytes(digest[:8], "big") >> 1,
+            lineage_extra={"src_from": frm, "src_to": to_version},
+        )
+
+    def state(self, prune_values: DataFrame | None = None) -> DataFrame:
+        """Live source rows in SOURCE column naming; ``prune_values``
+        (a one-column DataFrame of join values) restricts the read to
+        those values' hash buckets — the indexed-probe path."""
+        from blockchain_etl_spark.cdc.apply import read_state
+        from blockchain_etl_spark.tables.snapshot import bucket_expr
+
+        buckets = None
+        if prune_values is not None:
+            nb = self.table.manifest().n_buckets
+            vcol = prune_values.columns[0]
+            buckets = [
+                r["_b"]
+                for r in prune_values.select(
+                    bucket_expr(vcol, nb).alias("_b")
+                ).distinct().collect()
+            ]
+            if not buckets:
+                return read_state(self.table, buckets=[]).filter(
+                    F.lit(False)
+                ).select(
+                    *[
+                        F.col(n).alias(c)
+                        for c, n in zip(self.src_cols, self.out_cols)
+                    ]
+                )
+        return (
+            read_state(self.table, buckets=buckets)
+            .filter(F.col("n_rows") > 0)
+            .select(
+                *[
+                    F.col(n).alias(c)
+                    for c, n in zip(self.src_cols, self.out_cols)
+                ]
+            )
+        )
+
+
+class _PairCursor:
+    """Shared (a_version, b_version) cursor discipline for two-input
+    MVs: a fast-path cursor file (atomic replace, fsync'd, bound to the
+    MV's table uid) recovered from the MV's own commit lineage when
+    missing or stale — the ledger is the source of truth because the
+    cursor range rides the same atomic manifest write as the data."""
+
+    mv: Any
+    cursor_path: str
+
+    def _file_cursor(self) -> tuple[int, int]:
+        try:
+            with open(self.cursor_path) as f:
+                got = json.load(f)
+            cur = (int(got["a"]), int(got["b"]))
+        except (FileNotFoundError, ValueError, KeyError, json.JSONDecodeError):
+            return (0, 0)
+        uid = self.mv.table_uid() if self.mv.exists() else None
+        if uid is None or got.get("table_uid") != uid:
+            return (0, 0)
+        return cur
+
+    def _ledger_cursor(self, max_walk: int = 64) -> tuple[int, int]:
+        if not self.mv.exists():
+            return (0, 0)
+        for v in reversed(self.mv.versions()[-max_walk:]):
+            lin = self.mv.manifest(v).lineage
+            if "join_a_to" in lin:
+                return (int(lin["join_a_to"]), int(lin["join_b_to"]))
+        return (0, 0)
+
+    def _cursor(self) -> tuple[int, int]:
+        # element-wise max is safe: both sources only move forward and
+        # every commit stamps BOTH cursors
+        fa, fb = self._file_cursor()
+        la, lb = self._ledger_cursor()
+        return (max(fa, la), max(fb, lb))
+
+    def _commit_cursor(self, a1: int, b1: int) -> None:
+        tmp = self.cursor_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"a": a1, "b": b1, "table_uid": self.mv.table_uid()}, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, self.cursor_path)
+
+
+class JoinMV(_PairCursor):
     """Incremental ``fact ⋈ dim`` on ``fact.<join_col> = dim.<key>``
     (inner join; null join values never match, like SQL). Output
     tuples carry the fact key, the join column, and the selected
-    payload columns from each side (names must be disjoint)."""
+    payload columns from each side (names must be disjoint).
+
+    ``indexed=True`` maintains a fact-side :class:`_SideIndex` so the
+    dim-delta leg probes only the index buckets of ΔB's keys instead
+    of scanning the fact table."""
 
     def __init__(
         self,
@@ -90,6 +312,7 @@ class JoinMV:
         fact_cols: list[str],
         dim_cols: list[str],
         n_buckets: int = 8,
+        indexed: bool = False,
     ):
         from blockchain_etl_spark.cdc.apply import CdcEngine
         from blockchain_etl_spark.tables.snapshot import SnapshotTable
@@ -142,43 +365,14 @@ class JoinMV:
             )
         self.mv = t
         self.engine = CdcEngine(spark, t, collect_metrics=False)
-
-    # ------------------------------------------------------------ cursors
-    def _file_cursor(self) -> tuple[int, int]:
-        try:
-            with open(self.cursor_path) as f:
-                got = json.load(f)
-            cur = (int(got["a"]), int(got["b"]))
-        except (FileNotFoundError, ValueError, KeyError, json.JSONDecodeError):
-            return (0, 0)
-        uid = self.mv.table_uid() if self.mv.exists() else None
-        if uid is None or got.get("table_uid") != uid:
-            return (0, 0)
-        return cur
-
-    def _ledger_cursor(self, max_walk: int = 64) -> tuple[int, int]:
-        if not self.mv.exists():
-            return (0, 0)
-        for v in reversed(self.mv.versions()[-max_walk:]):
-            lin = self.mv.manifest(v).lineage
-            if "join_a_to" in lin:
-                return (int(lin["join_a_to"]), int(lin["join_b_to"]))
-        return (0, 0)
-
-    def _cursor(self) -> tuple[int, int]:
-        # element-wise max is safe: both sources only move forward and
-        # every commit stamps BOTH cursors
-        fa, fb = self._file_cursor()
-        la, lb = self._ledger_cursor()
-        return (max(fa, la), max(fb, lb))
-
-    def _commit_cursor(self, a1: int, b1: int) -> None:
-        tmp = self.cursor_path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump({"a": a1, "b": b1, "table_uid": self.mv.table_uid()}, f)
-            f.flush()
-            os.fsync(f.fileno())
-        os.replace(tmp, self.cursor_path)
+        self.index = (
+            _SideIndex(
+                spark, fact_table, os.path.join(root, "idx_fact"), "fact",
+                join_col, self.fact_cols, n_buckets=n_buckets,
+            )
+            if indexed
+            else None
+        )
 
     # ------------------------------------------------------------ the hop
     def _out(self, side_fact, side_dim, sign) -> DataFrame:
@@ -201,6 +395,10 @@ class JoinMV:
         b1 = self.dim.current_version()
         if a1 <= a0 and b1 <= b0:
             return None
+        if self.index is not None:
+            # A@new for the ΔB leg; idempotent, so a crash between this
+            # and the MV commit just replays the (empty) remainder
+            self.index.catch_up(a1)
         legs = []
         if a1 > a0:
             d_a = self.fact.read_changes(a0, a1).filter(
@@ -219,9 +417,14 @@ class JoinMV:
                 legs.append(self._out(d_a.alias("f"), b_old.alias("d"), _sign()))
         if b1 > b0:
             d_b = self.dim.read_changes(b0, b1)
-            a_new = read_state(self.fact, version=a1).filter(
-                F.col(self.join_col).isNotNull()
-            )
+            if self.index is not None:
+                # probe only the index buckets of ΔB's keys — O(ΔB +
+                # touched buckets), never a fact-table scan
+                a_new = self.index.state(prune_values=d_b.select(self.dim_key))
+            else:
+                a_new = read_state(self.fact, version=a1).filter(
+                    F.col(self.join_col).isNotNull()
+                )
             legs.append(
                 self._out(
                     a_new.alias("f"), F.broadcast(d_b.alias("d")), _sign()
@@ -258,6 +461,180 @@ class JoinMV:
             },
         )
         self._commit_cursor(a1, b1)
+        return metrics if metrics is not None else {"deduped_range": [a0, a1, b0, b1]}
+
+    def state(self) -> DataFrame:
+        """Live join tuples (multiplicity > 0), one row per tuple."""
+        from blockchain_etl_spark.cdc.apply import read_state
+
+        return read_state(self.mv).filter(F.col("n_rows") > 0).select(
+            *self.out_cols
+        )
+
+
+class GeneralJoinMV(_PairCursor):
+    """Incremental N:M equi-join ``A.<a_join_col> = B.<b_join_col>``
+    where NEITHER join column is its table's key (for the key-join
+    case use :class:`JoinMV` — it skips one index). Both sides are fed
+    by their change feeds; both get a :class:`_SideIndex` bucketed by
+    their join column, so every hop is O(ΔA + ΔB + touched index
+    buckets) — never a scan of either input.
+
+    Output tuples carry both sides' keys, the join value once (under
+    A's column name), and the selected payload columns; the MV is the
+    same Z-set-by-tuple-hash policy table as :class:`JoinMV`. Hop
+    discipline (why it stays exact under crashes) is documented in the
+    module docstring."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        a_table,
+        b_table,
+        root: str,
+        a_join_col: str,
+        b_join_col: str,
+        a_cols: list[str],
+        b_cols: list[str],
+        n_buckets: int = 8,
+    ):
+        from blockchain_etl_spark.cdc.apply import CdcEngine
+        from blockchain_etl_spark.tables.snapshot import SnapshotTable
+
+        self.spark = spark
+        self.a, self.b = a_table, b_table
+        self.a_join_col, self.b_join_col = a_join_col, b_join_col
+        self.a_cols, self.b_cols = list(a_cols), list(b_cols)
+        am, bm = a_table.manifest(), b_table.manifest()
+        self.a_key, self.b_key = am.key, bm.key
+        if a_join_col == self.a_key or b_join_col == self.b_key:
+            raise ValueError(
+                "join column equals a side's key — use JoinMV (that side "
+                "is a dimension; its own bucketing already is the index)"
+            )
+        # engine convention: the MV's key is the tuple hash named doc_id,
+        # so a source key named doc_id surfaces renamed
+        self.a_id_col = self.a_key if self.a_key != "doc_id" else "a_id"
+        self.b_id_col = self.b_key if self.b_key != "doc_id" else "b_id"
+        self.out_cols = [
+            self.a_id_col, self.b_id_col, a_join_col,
+            *self.a_cols, *self.b_cols,
+        ]
+        if len(set(self.out_cols)) != len(self.out_cols):
+            raise ValueError(f"output column collision: {self.out_cols}")
+        reserved = {"doc_id", "n_rows", *_META} & set(self.out_cols)
+        if reserved:
+            raise ValueError(f"reserved output column names: {sorted(reserved)}")
+        self.cursor_path = os.path.join(root, "join_cursor.json")
+
+        path = os.path.join(root, "mv_join")
+        t = SnapshotTable(spark, path)
+        if not t.exists():
+            atypes = {f.name: f.dataType for f in am.schema().fields}
+            btypes = {f.name: f.dataType for f in bm.schema().fields}
+            schema = T.StructType(
+                [
+                    T.StructField("doc_id", T.StringType()),
+                    T.StructField(self.a_id_col, atypes[self.a_key]),
+                    T.StructField(self.b_id_col, btypes[self.b_key]),
+                    T.StructField(a_join_col, atypes[a_join_col]),
+                ]
+                + [T.StructField(c, atypes[c]) for c in self.a_cols]
+                + [T.StructField(c, btypes[c]) for c in self.b_cols]
+                + [
+                    T.StructField("n_rows", T.LongType()),
+                    T.StructField("lsn", T.LongType()),
+                    T.StructField("seq", T.IntegerType()),
+                    T.StructField("updated_epoch", T.LongType()),
+                    T.StructField("deleted", T.BooleanType()),
+                ]
+            )
+            t = SnapshotTable.create(
+                spark, path, schema, key="doc_id", n_buckets=n_buckets,
+                policies={"n_rows": "add",
+                          **{c: "first" for c in self.out_cols}},
+            )
+        self.mv = t
+        self.engine = CdcEngine(spark, t, collect_metrics=False)
+        self.idx_a = _SideIndex(
+            spark, a_table, os.path.join(root, "idx_a"), "a",
+            a_join_col, self.a_cols, n_buckets=n_buckets,
+        )
+        self.idx_b = _SideIndex(
+            spark, b_table, os.path.join(root, "idx_b"), "b",
+            b_join_col, self.b_cols, n_buckets=n_buckets,
+        )
+
+    # ------------------------------------------------------------ the hop
+    def _out(self, a_side, b_side, sign) -> DataFrame:
+        cols = (
+            [a_side[self.a_key], b_side[self.b_key], a_side[self.a_join_col]]
+            + [a_side[c] for c in self.a_cols]
+            + [b_side[c] for c in self.b_cols]
+        )
+        named = [c.alias(n) for c, n in zip(cols, self.out_cols)]
+        return a_side.join(
+            b_side,
+            a_side[self.a_join_col] == b_side[self.b_join_col],
+            "inner",
+        ).select(*named, sign.alias("_sign"))
+
+    def run_once(self) -> dict[str, Any] | None:
+        a0, b0 = self._cursor()
+        a1 = self.a.current_version()
+        b1 = self.b.current_version()
+        if a1 <= a0 and b1 <= b0:
+            return None
+        # step 0: heal idx_b exactly to B@old (no-op unless the previous
+        # hop's trailing advance crashed), then bring idx_a to A@new —
+        # both idempotent, so any crash window replays to the same state
+        self.idx_b.catch_up(b0)
+        self.idx_a.catch_up(a1)
+        legs = []
+        if a1 > a0:
+            d_a = self.a.read_changes(a0, a1).filter(
+                F.col(self.a_join_col).isNotNull()
+            )
+            b_old = self.idx_b.state(prune_values=d_a.select(self.a_join_col))
+            legs.append(self._out(d_a.alias("l"), b_old.alias("r"), _sign()))
+        if b1 > b0:
+            d_b = self.b.read_changes(b0, b1).filter(
+                F.col(self.b_join_col).isNotNull()
+            )
+            a_new = self.idx_a.state(prune_values=d_b.select(self.b_join_col))
+            legs.append(self._out(a_new.alias("l"), d_b.alias("r"), _sign()))
+        lsn = a1 + b1
+        out = legs[0] if len(legs) == 1 else legs[0].unionByName(legs[1])
+        folded = (
+            out.groupBy(_tuple_hash(self.out_cols).alias("doc_id"))
+            .agg(
+                F.sum("_sign").cast("long").alias("n_rows"),
+                *[F.max(c).alias(c) for c in self.out_cols],  # constant per hash
+            )
+            .filter(F.col("n_rows") != 0)
+        )
+        ev = folded.select(
+            F.lit(lsn).cast("long").alias("stream_pos"),
+            F.lit(lsn).cast("long").alias("lsn"),
+            F.lit(0).cast("int").alias("seq"),
+            F.lit("U").alias("op"),
+            F.lit(None).cast("long").alias("rollback_to_lsn"),
+            "doc_id",
+            *self.out_cols,
+            "n_rows",
+        )
+        digest = hashlib.md5(f"nmjoinmv-{a0}-{a1}-{b0}-{b1}".encode()).digest()
+        metrics = self.engine.apply_epoch(
+            ev,
+            epoch_id=int.from_bytes(digest[:8], "big") >> 1,
+            lineage_extra={
+                "join_a_to": a1, "join_a_from": a0,
+                "join_b_to": b1, "join_b_from": b0,
+            },
+        )
+        self._commit_cursor(a1, b1)
+        # trailing advance: next hop's B@old is this hop's B@new
+        self.idx_b.catch_up(b1)
         return metrics if metrics is not None else {"deduped_range": [a0, a1, b0, b1]}
 
     def state(self) -> DataFrame:

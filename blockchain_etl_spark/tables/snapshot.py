@@ -125,6 +125,20 @@ class Manifest:
     # (take newest non-null). Absent columns keep plain last-writer-row
     # semantics. Part of the table's identity — persisted per manifest.
     policies: dict[str, str] = field(default_factory=dict)
+    # SECONDARY bucketing: hash-bucket by this column instead of the key
+    # (≙ Iceberg bucket(N, col) on a non-identifier column). Makes the
+    # table an INDEX: reads pruned by bucket_key VALUE, not by key — the
+    # lookup-by-join-value path of incremental join MVs. Contract (the
+    # caller's to keep, validated where cheap): the bucket_key value is
+    # functionally determined by the key and immutable per key (so a
+    # key's base/delta/tombstone rows always land in ONE bucket and MOR
+    # resolution inside a pruned read stays complete), and EVERY event —
+    # including deletes — carries it non-null.
+    bucket_key: str | None = None
+
+    def bucket_col(self) -> str:
+        """The column rows are hash-bucketed by (key unless overridden)."""
+        return self.bucket_key or self.key
 
     def schema(self) -> T.StructType:
         return T.StructType.fromJson(json.loads(self.schemas[str(self.schema_version)]))
@@ -152,6 +166,7 @@ class SnapshotTable:
         key: str = "doc_id",
         n_buckets: int = 32,
         policies: dict[str, str] | None = None,
+        bucket_key: str | None = None,
     ) -> "SnapshotTable":
         if policies:
             fields = {f.name for f in schema.fields}
@@ -162,6 +177,14 @@ class SnapshotTable:
             }
             if bad:
                 raise ValueError(f"invalid merge policies: {bad}")
+        if bucket_key == key:
+            bucket_key = None  # the default layout, not a secondary index
+        if bucket_key is not None and bucket_key not in {
+            f.name for f in schema.fields
+        }:
+            raise ValueError(
+                f"bucket_key {bucket_key!r} is not a column of the schema"
+            )
         os.makedirs(os.path.join(path, "data"), exist_ok=True)
         os.makedirs(os.path.join(path, "manifests"), exist_ok=True)
         t = cls(spark, path)
@@ -172,6 +195,7 @@ class SnapshotTable:
             schema_version=0,
             schemas={"0": json.dumps(schema.jsonValue())},
             policies=dict(policies or {}),
+            bucket_key=bucket_key,
         )
         try:
             t._write_manifest(m)
@@ -196,6 +220,7 @@ class SnapshotTable:
             if (
                 ex.key != key
                 or ex.n_buckets != n_buckets
+                or ex.bucket_key != bucket_key
                 or ex.policies != dict(policies or {})
                 or ex.schemas[str(ex.schema_version)]
                 != json.dumps(schema.jsonValue())
@@ -541,6 +566,7 @@ class SnapshotTable:
         n_buckets: int,
         key: str,
         sort_cols: list[str] | None = None,
+        bucket_on: str | None = None,
     ) -> list[dict[str, Any]]:
         """Write rows partitioned by bucket; return file entries.
 
@@ -554,9 +580,9 @@ class SnapshotTable:
         per bucket spans the bucket's whole key range by definition)."""
         commit_dir = f"commit-{uuid.uuid4().hex}"
         out = os.path.join(self.path, "data", commit_dir)
-        w = df.withColumn(_BUCKET_COL, bucket_expr(key, n_buckets)).repartition(
-            _BUCKET_COL
-        )
+        w = df.withColumn(
+            _BUCKET_COL, bucket_expr(bucket_on or key, n_buckets)
+        ).repartition(_BUCKET_COL)
         if sort_cols:
             w = w.sortWithinPartitions(_BUCKET_COL, *sort_cols)
         (
@@ -594,7 +620,7 @@ class SnapshotTable:
     def overwrite(self, df: DataFrame, lineage: dict[str, Any] | None = None) -> int:
         """Replace the whole table content (bootstrap / tests)."""
         m = self.manifest()
-        entries = self._write_data(df, m.n_buckets, m.key)
+        entries = self._write_data(df, m.n_buckets, m.key, bucket_on=m.bucket_col())
         for e in entries:
             e["schema_version"] = m.schema_version
         new = Manifest(
@@ -609,6 +635,7 @@ class SnapshotTable:
             parent=m.version,
             lineage=lineage or {},
             policies=m.policies,
+            bucket_key=m.bucket_key,
         )
         self._write_manifest(new)
         return new.version
@@ -638,7 +665,7 @@ class SnapshotTable:
             sv += 1
             schemas[str(sv)] = json.dumps(new_schema.jsonValue())
 
-        entries = self._write_data(df, m.n_buckets, m.key)
+        entries = self._write_data(df, m.n_buckets, m.key, bucket_on=m.bucket_col())
         bset = set(buckets)
         for e in entries:
             e["schema_version"] = sv
@@ -663,6 +690,7 @@ class SnapshotTable:
             parent=m.version,
             lineage=lineage or {},
             policies=m.policies,
+            bucket_key=m.bucket_key,
         )
         self._write_manifest(new)
         return new.version
@@ -688,7 +716,7 @@ class SnapshotTable:
         if new_schema is not None and json.dumps(new_schema.jsonValue()) != m.schemas[str(sv)]:
             sv += 1
             schemas[str(sv)] = json.dumps(new_schema.jsonValue())
-        entries = self._write_data(df, m.n_buckets, m.key)
+        entries = self._write_data(df, m.n_buckets, m.key, bucket_on=m.bucket_col())
         for e in entries:
             e["schema_version"] = sv
             e["kind"] = "delta"
@@ -708,6 +736,7 @@ class SnapshotTable:
             parent=m.version,
             lineage=lineage or {},
             policies=m.policies,
+            bucket_key=m.bucket_key,
         )
         self._write_manifest(new)
         return new.version
@@ -735,6 +764,7 @@ class SnapshotTable:
             m.n_buckets,
             m.key,
             sort_cols=[m.key, "lsn", "seq"] if cluster else None,
+            bucket_on=m.bucket_col(),
         )
         tset = set(targets)
         for e in entries:
@@ -753,6 +783,7 @@ class SnapshotTable:
             parent=m.version,
             lineage={"compaction": {"buckets": targets}},
             policies=m.policies,
+            bucket_key=m.bucket_key,
         )
         self._write_manifest(new)
         return new.version
@@ -771,7 +802,7 @@ class SnapshotTable:
         if n_buckets == m.n_buckets:
             return m.version
         full = self.read(resolve=True)  # keep tombstone rows
-        entries = self._write_data(full, n_buckets, m.key)
+        entries = self._write_data(full, n_buckets, m.key, bucket_on=m.bucket_col())
         for e in entries:
             e["schema_version"] = m.schema_version
             e["kind"] = "base"
@@ -787,6 +818,7 @@ class SnapshotTable:
             parent=m.version,
             lineage={"rebucket": {"from": m.n_buckets, "to": n_buckets}},
             policies=m.policies,
+            bucket_key=m.bucket_key,
         )
         self._write_manifest(new)
         return new.version
@@ -836,6 +868,7 @@ class SnapshotTable:
             parent=None,
             lineage={"cloned_from": self.path, "source_version": m.version},
             policies=m.policies,
+            bucket_key=m.bucket_key,
         )
         t._write_manifest(new)
         uid_tmp = os.path.join(dst_path, "manifests", f"TABLE_ID.tmp-{uuid.uuid4().hex}")
@@ -867,6 +900,7 @@ class SnapshotTable:
             parent=cur.version,
             lineage={**(lineage or {}), "rollback_of": cur.version, "rollback_to": version},
             policies=old.policies,
+            bucket_key=old.bucket_key,
         )
         self._write_manifest(new)
         return new.version
@@ -1173,7 +1207,7 @@ class SnapshotTable:
         old_ts = df.filter(F.col("deleted") & (F.col("lsn") < older_than_lsn))
         buckets = [
             r["b"]
-            for r in old_ts.select(bucket_expr(m.key, m.n_buckets).alias("b"))
+            for r in old_ts.select(bucket_expr(m.bucket_col(), m.n_buckets).alias("b"))
             .distinct()
             .collect()
         ]

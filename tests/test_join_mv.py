@@ -6,12 +6,13 @@ re-pointing at a different dim key, dim deletes, and same-hop changes
 on both sides (the cross-term cancellation)."""
 
 import pyspark.sql.types as T
+import pytest
 from pyspark.sql import functions as F
 
 from blockchain_etl_spark.cdc.apply import CdcEngine, read_state
 from blockchain_etl_spark.cdc.generator import events_to_df
 from blockchain_etl_spark.cdc.schema import TARGET_SCHEMA
-from blockchain_etl_spark.streaming.join_mv import JoinMV
+from blockchain_etl_spark.streaming.join_mv import GeneralJoinMV, JoinMV
 from blockchain_etl_spark.tables.snapshot import SnapshotTable
 
 # engine convention: every engine-applied table's key is NAMED doc_id
@@ -43,7 +44,7 @@ def _frow(pos, lsn, seq, op, doc, toks, src):
     )
 
 
-def _mk(spark, tmp_path):
+def _mk(spark, tmp_path, indexed=False):
     fact = SnapshotTable.create(
         spark, str(tmp_path / "fact"), TARGET_SCHEMA, key="doc_id", n_buckets=4
     )
@@ -52,7 +53,7 @@ def _mk(spark, tmp_path):
     )
     jm = JoinMV(
         spark, fact, dim, str(tmp_path / "jm"), join_col="source",
-        fact_cols=["n_tok"], dim_cols=["weight"], n_buckets=2,
+        fact_cols=["n_tok"], dim_cols=["weight"], n_buckets=2, indexed=indexed,
     )
     return (fact, CdcEngine(spark, fact, collect_metrics=False),
             dim, CdcEngine(spark, dim, collect_metrics=False), jm)
@@ -79,8 +80,9 @@ def _got(jm):
     }
 
 
-def test_join_mv_tracks_both_sides(spark, tmp_path):
-    fact, feng, dim, deng, jm = _mk(spark, tmp_path)
+@pytest.mark.parametrize("indexed", [False, True], ids=["scan", "indexed"])
+def test_join_mv_tracks_both_sides(spark, tmp_path, indexed):
+    fact, feng, dim, deng, jm = _mk(spark, tmp_path, indexed=indexed)
 
     # hop 1: two dims, three facts (one unmatched -> absent from MV)
     deng.apply_epoch(spark.createDataFrame([
@@ -163,3 +165,167 @@ def test_join_mv_one_sided_hops_and_resume(spark, tmp_path):
     )
     assert jm3.run_once() is None  # ledger-recovered cursor, no replay
     assert _got(jm3) == {"a": ("s1", 1, 10)}
+
+
+# ---------------------------------------------------------------- N:M
+# GeneralJoinMV: join on NON-key columns of both sides — every hop must
+# leave the MV equal to a from-scratch inner join of the two current
+# states, through N:M fan-out, same-hop changes on both sides, group
+# re-pointing, deletes, resume, and a crashed trailing index advance.
+
+A_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.StringType()),
+    T.StructField("grp", T.StringType()),
+    T.StructField("av", T.LongType()),
+    T.StructField("lsn", T.LongType()),
+    T.StructField("seq", T.IntegerType()),
+    T.StructField("updated_epoch", T.LongType()),
+    T.StructField("deleted", T.BooleanType()),
+])
+B_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.StringType()),
+    T.StructField("grp2", T.StringType()),
+    T.StructField("bv", T.LongType()),
+    T.StructField("lsn", T.LongType()),
+    T.StructField("seq", T.IntegerType()),
+    T.StructField("updated_epoch", T.LongType()),
+    T.StructField("deleted", T.BooleanType()),
+])
+
+
+def _aev(spark, rows, lsn):
+    return spark.createDataFrame(
+        [(lsn * 100 + i, lsn, i, op, None, d, g, v)
+         for i, (d, g, v, op) in enumerate(rows)],
+        "stream_pos long, lsn long, seq int, op string, rollback_to_lsn long, "
+        "doc_id string, grp string, av long",
+    )
+
+
+def _bev(spark, rows, lsn):
+    return spark.createDataFrame(
+        [(lsn * 100 + i, lsn, i, op, None, d, g, v)
+         for i, (d, g, v, op) in enumerate(rows)],
+        "stream_pos long, lsn long, seq int, op string, rollback_to_lsn long, "
+        "doc_id string, grp2 string, bv long",
+    )
+
+
+def _mk_nm(spark, tmp_path):
+    a = SnapshotTable.create(
+        spark, str(tmp_path / "a"), A_SCHEMA, key="doc_id", n_buckets=4)
+    b = SnapshotTable.create(
+        spark, str(tmp_path / "b"), B_SCHEMA, key="doc_id", n_buckets=4)
+    jm = GeneralJoinMV(
+        spark, a, b, str(tmp_path / "nm"), a_join_col="grp",
+        b_join_col="grp2", a_cols=["av"], b_cols=["bv"], n_buckets=4,
+    )
+    return (a, CdcEngine(spark, a, collect_metrics=False),
+            b, CdcEngine(spark, b, collect_metrics=False), jm)
+
+
+def _nm_recompute(a, b):
+    j = read_state(a).alias("l").join(
+        read_state(b).alias("r"), F.col("l.grp") == F.col("r.grp2"), "inner")
+    return {
+        (r["a_id"], r["b_id"]): (r["grp"], r["av"], r["bv"])
+        for r in j.select(
+            F.col("l.doc_id").alias("a_id"), F.col("r.doc_id").alias("b_id"),
+            F.col("l.grp").alias("grp"), F.col("l.av").alias("av"),
+            F.col("r.bv").alias("bv"),
+        ).collect()
+    }
+
+
+def _nm_got(jm):
+    return {
+        (r["a_id"], r["b_id"]): (r["grp"], r["av"], r["bv"])
+        for r in jm.state().collect()
+    }
+
+
+def test_general_join_mv_nm_fanout(spark, tmp_path):
+    a, aeng, b, beng, jm = _mk_nm(spark, tmp_path)
+
+    # hop 1: 2 A-rows and 2 B-rows in g1 (2x2 fan-out), 1x1 in g2,
+    # one A row with an unmatched group
+    aeng.apply_epoch(_aev(spark, [
+        ("a1", "g1", 1, "U"), ("a2", "g1", 2, "U"),
+        ("a3", "g2", 3, "U"), ("a4", "g9", 4, "U"),
+    ], 1), epoch_id=1)
+    beng.apply_epoch(_bev(spark, [
+        ("b1", "g1", 10, "U"), ("b2", "g1", 20, "U"), ("b3", "g2", 30, "U"),
+    ], 1), epoch_id=1)
+    assert jm.run_once() is not None
+    got = _nm_got(jm)
+    assert got == _nm_recompute(a, b)
+    assert len(got) == 5  # 4 in g1 + 1 in g2
+    assert got[("a1", "b2")] == ("g1", 1, 20)
+
+    # hop 2, same-hop changes on BOTH sides: a2 re-points g1->g2 (its 2
+    # g1 tuples retract, a g2 tuple appears), b1 revalues (both its
+    # tuples retract+reinsert), b4 inserts into g2 — against a2's NEW
+    # position (cross-term cancellation under fan-out)
+    aeng.apply_epoch(_aev(spark, [("a2", "g2", 2, "U")], 2), epoch_id=2)
+    beng.apply_epoch(_bev(spark, [
+        ("b1", "g1", 11, "U"), ("b4", "g2", 40, "U"),
+    ], 2), epoch_id=2)
+    assert jm.run_once() is not None
+    assert _nm_got(jm) == _nm_recompute(a, b)
+
+    # hop 3: delete b3 (all its g2 partners retract), delete a1
+    aeng.apply_epoch(_aev(spark, [("a1", "g1", None, "D")], 3), epoch_id=3)
+    beng.apply_epoch(_bev(spark, [("b3", "g2", None, "D")], 3), epoch_id=3)
+    assert jm.run_once() is not None
+    assert _nm_got(jm) == _nm_recompute(a, b)
+
+    # caught up -> no-op; fresh instance resumes without replay
+    assert jm.run_once() is None
+    jm2 = GeneralJoinMV(
+        spark, a, b, str(tmp_path / "nm"), a_join_col="grp",
+        b_join_col="grp2", a_cols=["av"], b_cols=["bv"], n_buckets=4,
+    )
+    assert jm2.run_once() is None
+    assert _nm_got(jm2) == _nm_recompute(a, b)
+
+
+def test_general_join_mv_heals_crashed_trailing_advance(spark, tmp_path):
+    a, aeng, b, beng, jm = _mk_nm(spark, tmp_path)
+    aeng.apply_epoch(_aev(spark, [("a1", "g1", 1, "U")], 1), epoch_id=1)
+    beng.apply_epoch(_bev(spark, [("b1", "g1", 10, "U")], 1), epoch_id=1)
+
+    # crash AFTER the MV commit, BEFORE the trailing idx_b advance
+    real = jm.idx_b.catch_up
+    calls = {"n": 0}
+
+    def crashing(to_version):
+        # step-0 heal (to b0) passes; the trailing advance dies
+        calls["n"] += 1
+        if calls["n"] >= 2:
+            raise RuntimeError("simulated crash")
+        real(to_version)
+
+    jm.idx_b.catch_up = crashing
+    with pytest.raises(RuntimeError):
+        jm.run_once()
+    jm.idx_b.catch_up = real
+    assert _nm_got(jm) == _nm_recompute(a, b)  # MV itself committed
+
+    # next hop: ΔA must join B@old (idx_b healed to b0 first), ΔB must
+    # join A@new — values stay exact despite the stale index
+    aeng.apply_epoch(_aev(spark, [("a2", "g1", 2, "U")], 2), epoch_id=2)
+    beng.apply_epoch(_bev(spark, [("b2", "g1", 20, "U")], 2), epoch_id=2)
+    assert jm.run_once() is not None
+    assert _nm_got(jm) == _nm_recompute(a, b)
+
+
+def test_general_join_mv_rejects_key_join(spark, tmp_path):
+    a = SnapshotTable.create(
+        spark, str(tmp_path / "a"), A_SCHEMA, key="doc_id", n_buckets=4)
+    b = SnapshotTable.create(
+        spark, str(tmp_path / "b"), B_SCHEMA, key="doc_id", n_buckets=4)
+    with pytest.raises(ValueError, match="JoinMV"):
+        GeneralJoinMV(
+            spark, a, b, str(tmp_path / "nm"), a_join_col="doc_id",
+            b_join_col="grp2", a_cols=["av"], b_cols=["bv"],
+        )
