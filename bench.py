@@ -94,6 +94,10 @@ HEADLINE_QUERIES = [
     # two incremental hops — commit fixed costs dominate at bench SF)
     "incremental_agg_mv",
     "incremental_join_mv",
+    # round 5, final wave: N:M join MV (both sides secondary-indexed)
+    # and the three-stage join→group-by differential cascade
+    "nm_join_mv",
+    "join_agg_cascade_mv",
 ]
 
 

@@ -597,6 +597,227 @@ FROM fin f JOIN dimw w ON f.source = w.source
 """
 
 
+def join_agg_cascade_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained GROUP BY over an incrementally-
+    maintained JOIN — the reduce-after-bilinear composition
+    Δγ(A ⋈ B) (≙ the reference's tracker/top-holder consumers
+    re-running grouped SQL over their enriched token_transfer ⋈ token
+    tables on every poll): the same fact/dim two-round churn as
+    ``incremental_join_mv``, but the JoinMV runs ``indexed=True`` (the
+    dim-delta leg probes the fact-side secondary index instead of
+    scanning fact state) and a :class:`ZsetAggMV` hop after each join
+    hop folds the join MV's OWN change feed into per-source live-tuple
+    counts and multiplicity-weighted sums. Three differential stages
+    chained table→table, each hop O(changes); the dim reweight in
+    round 2 forces retract+reinsert churn through all three. Oracle:
+    the grouped join recomputed from scratch over final states."""
+    import os
+
+    import pyspark.sql.types as T
+
+    from blockchain_etl_spark.cdc.apply import CdcEngine
+    from blockchain_etl_spark.cdc.schema import TARGET_SCHEMA
+    from blockchain_etl_spark.streaming.aggregate_mv import ZsetAggMV
+    from blockchain_etl_spark.streaming.join_mv import JoinMV
+    from blockchain_etl_spark.tables.snapshot import SnapshotTable
+
+    ev, mid = _changelog_valid(spark, sf_dir)
+    work = _pid_scoped_gate_dir("join-agg-cascade-gate")
+    fact = SnapshotTable.create(
+        spark, os.path.join(work, "fact"), TARGET_SCHEMA, key="doc_id",
+        n_buckets=16,
+    )
+    feng = CdcEngine(spark, fact, mode="cow", collect_metrics=False)
+    dim_schema = T.StructType([
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("weight", T.LongType()),
+        T.StructField("lsn", T.LongType()),
+        T.StructField("seq", T.IntegerType()),
+        T.StructField("updated_epoch", T.LongType()),
+        T.StructField("deleted", T.BooleanType()),
+    ])
+    dim = SnapshotTable.create(
+        spark, os.path.join(work, "dim"), dim_schema, key="doc_id", n_buckets=4
+    )
+    deng = CdcEngine(spark, dim, mode="cow", collect_metrics=False)
+    srcs = ev.filter(F.col("source").isNotNull()).select("source").distinct()
+
+    def _dim_ev(df, lsn, weight_col):
+        return df.select(
+            F.lit(lsn).cast("long").alias("stream_pos"),
+            F.lit(lsn).cast("long").alias("lsn"),
+            F.lit(0).cast("int").alias("seq"),
+            F.lit("U").alias("op"),
+            F.lit(None).cast("long").alias("rollback_to_lsn"),
+            F.col("source").alias("doc_id"),
+            weight_col.cast("long").alias("weight"),
+        )
+
+    jm = JoinMV(
+        spark, fact, dim, os.path.join(work, "jm"), join_col="source",
+        fact_cols=["n_tok"], dim_cols=["weight"], n_buckets=8, indexed=True,
+    )
+    zagg = ZsetAggMV(
+        spark, jm.mv, os.path.join(work, "zagg"), "source",
+        measures={"sum_tok": "n_tok"}, n_buckets=4,
+    )
+    deng.apply_epoch(_dim_ev(srcs, 1, F.length("source") * 10), epoch_id=1)
+    feng.apply_epoch(ev.filter(F.col("lsn") <= mid), epoch_id=1)
+    jm.run_once()
+    zagg.run_once()
+    deng.apply_epoch(
+        _dim_ev(
+            srcs.filter(F.length("source") % 2 == 0), 2,
+            F.length("source") * 10 + 7,
+        ),
+        epoch_id=2,
+    )
+    feng.apply_epoch(ev.filter(F.col("lsn") > mid), epoch_id=2)
+    jm.run_once()
+    zagg.run_once()
+    return zagg.state().select(
+        "source", F.col("n_rows").alias("n_tuples"), "sum_tok"
+    )
+
+
+_JOIN_AGG_CASCADE_SQL = f"""
+WITH {_CHANGELOG_CTE},
+ev AS (
+  SELECT * FROM changelog
+  WHERE op IN ('I','U','D')
+    AND (op = 'D' OR (tokens IS NOT NULL AND n_tok = len(tokens)))
+),
+fin AS (
+  SELECT * FROM (
+    SELECT e.*, row_number() OVER (PARTITION BY doc_id ORDER BY stream_pos DESC) AS rn
+    FROM ev e) WHERE rn = 1 AND op <> 'D'
+),
+dimw AS (
+  SELECT source FROM (SELECT DISTINCT source FROM ev WHERE source IS NOT NULL)
+)
+SELECT f.source, count(*)::BIGINT AS n_tuples, sum(f.n_tok)::BIGINT AS sum_tok
+FROM fin f JOIN dimw w ON f.source = w.source
+GROUP BY f.source
+"""
+
+
+def nm_join_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained N:M equi-join where NEITHER side's
+    join column is its key (≙ the reference's log⋈token-transfer style
+    enrichments where both streams key on their own ids and meet on a
+    shared attribute, eth_nft_orderbook_adapter.py:36-200 joining
+    trades to transfers on (txhash-scoped) attributes): docs join a
+    two-tags-per-source tag table on ``source``. Both sides ingest two
+    CDC rounds with a :class:`GeneralJoinMV` hop after each — every
+    hop probes only each side's :class:`_SideIndex` buckets touched by
+    the OTHER side's delta join values (never a table scan; the
+    secondary ``bucket_key`` layout is the index). Round 2 reweights
+    the ``#b`` tag of even-length sources (retract + reinsert of every
+    matching tuple) and deletes the ``#a`` tag of length%3==0 sources
+    (fanout-wide retraction). The oracle joins both final last-writer
+    states from scratch."""
+    import os
+
+    import pyspark.sql.types as T
+
+    from blockchain_etl_spark.cdc.apply import CdcEngine
+    from blockchain_etl_spark.cdc.schema import TARGET_SCHEMA
+    from blockchain_etl_spark.streaming.join_mv import GeneralJoinMV
+    from blockchain_etl_spark.tables.snapshot import SnapshotTable
+
+    ev, mid = _changelog_valid(spark, sf_dir)
+    work = _pid_scoped_gate_dir("nm-join-mv-gate")
+    a = SnapshotTable.create(
+        spark, os.path.join(work, "a"), TARGET_SCHEMA, key="doc_id",
+        n_buckets=16,
+    )
+    aeng = CdcEngine(spark, a, mode="cow", collect_metrics=False)
+    b_schema = T.StructType([
+        T.StructField("doc_id", T.StringType()),  # tag id: <source>#a|#b
+        T.StructField("source", T.StringType()),
+        T.StructField("tag_weight", T.LongType()),
+        T.StructField("lsn", T.LongType()),
+        T.StructField("seq", T.IntegerType()),
+        T.StructField("updated_epoch", T.LongType()),
+        T.StructField("deleted", T.BooleanType()),
+    ])
+    b = SnapshotTable.create(
+        spark, os.path.join(work, "b"), b_schema, key="doc_id", n_buckets=4
+    )
+    beng = CdcEngine(spark, b, mode="cow", collect_metrics=False)
+    srcs = ev.filter(F.col("source").isNotNull()).select("source").distinct()
+
+    def _tag_ev(df, lsn, op, suffix, weight_col):
+        return df.select(
+            F.lit(lsn).cast("long").alias("stream_pos"),
+            F.lit(lsn).cast("long").alias("lsn"),
+            F.lit(0).cast("int").alias("seq"),
+            F.lit(op).alias("op"),
+            F.lit(None).cast("long").alias("rollback_to_lsn"),
+            F.concat(F.col("source"), F.lit(suffix)).alias("doc_id"),
+            F.col("source"),
+            weight_col.cast("long").alias("tag_weight"),
+        )
+
+    mv = GeneralJoinMV(
+        spark, a, b, os.path.join(work, "mv"),
+        a_join_col="source", b_join_col="source",
+        a_cols=["n_tok"], b_cols=["tag_weight"], n_buckets=8,
+    )
+    wl = F.length("source") * 100
+    beng.apply_epoch(
+        _tag_ev(srcs, 1, "U", "#a", wl + 1)
+        .unionByName(_tag_ev(srcs, 1, "U", "#b", wl + 2)),
+        epoch_id=1,
+    )
+    aeng.apply_epoch(ev.filter(F.col("lsn") <= mid), epoch_id=1)
+    mv.run_once()
+    # round 2: reweight even-length #b tags; delete length%3==0 #a tags
+    beng.apply_epoch(
+        _tag_ev(
+            srcs.filter(F.length("source") % 2 == 0), 2, "U", "#b", wl + 7
+        ).unionByName(
+            _tag_ev(
+                srcs.filter(F.length("source") % 3 == 0), 2, "D", "#a",
+                F.lit(None),
+            )
+        ),
+        epoch_id=2,
+    )
+    aeng.apply_epoch(ev.filter(F.col("lsn") > mid), epoch_id=2)
+    mv.run_once()
+    return mv.state().select("a_id", "b_id", "source", "n_tok", "tag_weight")
+
+
+_NM_JOIN_MV_SQL = f"""
+WITH {_CHANGELOG_CTE},
+ev AS (
+  SELECT * FROM changelog
+  WHERE op IN ('I','U','D')
+    AND (op = 'D' OR (tokens IS NOT NULL AND n_tok = len(tokens)))
+),
+fin AS (
+  SELECT * FROM (
+    SELECT e.*, row_number() OVER (PARTITION BY doc_id ORDER BY stream_pos DESC) AS rn
+    FROM ev e) WHERE rn = 1 AND op <> 'D'
+),
+srcs AS (SELECT DISTINCT source FROM ev WHERE source IS NOT NULL),
+tags AS (
+  SELECT source || '#a' AS tag_id, source,
+         (length(source) * 100 + 1)::BIGINT AS tag_weight
+  FROM srcs WHERE length(source) % 3 <> 0
+  UNION ALL
+  SELECT source || '#b', source,
+         (CASE WHEN length(source) % 2 = 0
+               THEN length(source) * 100 + 7
+               ELSE length(source) * 100 + 2 END)::BIGINT
+  FROM srcs
+)
+SELECT f.doc_id AS a_id, t.tag_id AS b_id, f.source, f.n_tok, t.tag_weight
+FROM fin f JOIN tags t ON f.source = t.source
+"""
+
+
 _TABLE_CHANGES_SQL = f"""
 WITH {_CHANGELOG_CTE},
 ev AS (
@@ -3956,6 +4177,8 @@ QUERIES: dict[str, callable] = {
     "incremental_agg_mv": incremental_agg_mv,
     "incremental_distinct_mv": incremental_distinct_mv,
     "incremental_join_mv": incremental_join_mv,
+    "nm_join_mv": nm_join_mv,
+    "join_agg_cascade_mv": join_agg_cascade_mv,
     # returning from the r4 tail (driver-green r3, judge-local r4)
     "holder_detail_agg": relational.holder_detail_agg,
     "asof_lookup": relational.asof_lookup,
@@ -4268,6 +4491,8 @@ def oracle_sqls() -> dict[str, str]:
         "incremental_agg_mv": _AGG_MV_SQL,
         "incremental_distinct_mv": _DISTINCT_MV_SQL,
         "incremental_join_mv": _JOIN_MV_SQL,
+        "nm_join_mv": _NM_JOIN_MV_SQL,
+        "join_agg_cascade_mv": _JOIN_AGG_CASCADE_SQL,
         "minmax_policy_table": _MINMAX_POLICY_SQL,
         "corpus_splits": _corpus_splits_sql(),
         "explode_tokens": _EXPLODE_TOKENS_SQL,

@@ -317,6 +317,109 @@ class DistinctCountMV:
         )
 
 
+def zset_agg_transform(group_col: str, measures: dict[str, str] | None = None):
+    """Grouped aggregate over a Z-SET source — a join-MV-style table
+    whose ``n_rows`` column is each tuple's multiplicity, not a plain
+    row set. Each CDF row contributes ``sign * n_rows`` to its group's
+    live-tuple count and ``sign * n_rows * measure`` to each sum:
+
+    - a multiplicity-k tuple counts k times (the N:M fanout case);
+    - a tuple whose multiplicity transitions 1 → 0 surfaces in the
+      Z-set's CDF as an UPDATE (dead tuples are never physically
+      deleted — the fold can't know without reading the MV), and the
+      weighting retracts it exactly once: pre-image −1·1, post-image
+      +1·0;
+    - redelivered/transient negatives cancel by the same algebra.
+
+    This is the reduce-after-bilinear composition Δγ(A ⋈ B): chain a
+    :class:`CascadeTailer` with this transform onto a ``JoinMV`` /
+    ``GeneralJoinMV`` table and the grouped aggregate of a streaming
+    join stays exact under inserts, updates, and deletes on BOTH join
+    inputs — each hop O(changed tuples), no rescans anywhere."""
+    measures = measures or {}
+
+    def _t(changes: DataFrame, _src, _v0: int, v1: int) -> DataFrame:
+        sign = F.when(
+            F.col("_change_type").isin("insert", "update_postimage"), F.lit(1)
+        ).otherwise(F.lit(-1))
+        w = sign * F.coalesce(F.col("n_rows"), F.lit(0))
+        aggs = [F.sum(w).cast("long").alias("n_rows")] + [
+            F.sum(w * F.coalesce(F.col(src).cast("long"), F.lit(0)))
+            .cast("long")
+            .alias(out)
+            for out, src in measures.items()
+        ]
+        g = changes.groupBy(
+            F.coalesce(F.col(group_col).cast("string"), F.lit(NULL_GROUP)).alias(
+                "doc_id"
+            )
+        ).agg(*aggs)
+        nonzero = F.col("n_rows") != 0
+        for out in measures:
+            nonzero = nonzero | (F.col(out) != 0)
+        return g.filter(nonzero).select(
+            F.lit(v1).cast("long").alias("stream_pos"),
+            F.lit(v1).cast("long").alias("lsn"),
+            F.lit(0).cast("int").alias("seq"),
+            F.lit("U").alias("op"),
+            F.lit(None).cast("long").alias("rollback_to_lsn"),
+            F.col("doc_id"),
+            F.col("n_rows"),
+            *[F.col(out) for out in measures],
+        )
+
+    return _t
+
+
+class ZsetAggMV:
+    """Grouped-aggregate MV over a Z-set table (a join MV), maintained
+    from its change feed — the stage that turns an incrementally-
+    maintained JOIN into an incrementally-maintained GROUP BY over the
+    join, Δγ(A ⋈ B) (≙ the reference's consumers re-running grouped
+    SQL over their enriched Postgres tables on every poll, e.g. the
+    top-holder / count trackers over token_transfer ⋈ token). One
+    :class:`CascadeTailer` hop per call: O(tuples changed in the
+    version range), one map-side-combined shuffle on the group key."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        zset_table,
+        root: str,
+        group_col: str,
+        measures: dict[str, str] | None = None,
+        n_buckets: int = 8,
+    ):
+        import os
+
+        from blockchain_etl_spark.cdc.apply import CdcEngine
+        from blockchain_etl_spark.streaming.cascade import CascadeTailer
+        from blockchain_etl_spark.tables.snapshot import SnapshotTable
+
+        self.group_col = group_col
+        mv_path = os.path.join(root, "mv_zagg")
+        self.mv = (
+            SnapshotTable(spark, mv_path)
+            if SnapshotTable(spark, mv_path).exists()
+            else create_agg_mv(
+                spark, mv_path, group_col, measures, n_buckets=n_buckets
+            )
+        )
+        self._hop = CascadeTailer(
+            zset_table,
+            CdcEngine(spark, self.mv, collect_metrics=False),
+            os.path.join(root, "zagg_cursor.json"),
+            transform=zset_agg_transform(group_col, measures),
+        )
+
+    def run_once(self) -> dict | None:
+        return self._hop.run_once()
+
+    def state(self) -> DataFrame:
+        """group, n_rows (live tuple count), measure sums."""
+        return mv_state(self.mv, self.group_col)
+
+
 def mv_state(table, group_col: str | None = None) -> DataFrame:
     """The MV's live rows: groups whose lifetime count folded back to
     zero are gone from the source and read as absent here. Pass

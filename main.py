@@ -184,6 +184,29 @@ def main(argv=None):
                     help="version-cursor JSON file (created on first run)")
     sp.add_argument("--buckets", type=int, default=8)
 
+    sp = sub.add_parser("mv-join", help="maintain an incremental equi-join "
+                        "materialized view of two tables from their change "
+                        "feeds (Δ(A⋈B) = ΔA⋈B_old + A_new⋈ΔB; creates the "
+                        "MV Z-set table and any side indexes on first run)")
+    sp.add_argument("--a-table", required=True, help="fact / left input")
+    sp.add_argument("--b-table", required=True, help="dim / right input")
+    sp.add_argument("--root", required=True,
+                    help="MV root dir (holds mv_join, cursor, indexes)")
+    sp.add_argument("--a-join-col", required=True)
+    sp.add_argument("--b-join-col", default=None,
+                    help="omit (or pass B's key) for the fact⋈dim case — "
+                    "B's own bucketing is the index; pass a non-key column "
+                    "for the N:M case (both sides get secondary indexes)")
+    sp.add_argument("--a-cols", default="",
+                    help="comma-separated A payload columns in the output")
+    sp.add_argument("--b-cols", default="",
+                    help="comma-separated B payload columns in the output")
+    sp.add_argument("--indexed", action="store_true",
+                    help="fact⋈dim only: maintain a fact-side secondary "
+                    "index so the dim-delta leg probes index buckets "
+                    "instead of scanning fact state")
+    sp.add_argument("--buckets", type=int, default=8)
+
     sp = sub.add_parser("changes", help="incremental change-log between two "
                         "table versions (tail this table as a source)")
     sp.add_argument("--table", required=True)
@@ -301,6 +324,32 @@ def main(argv=None):
             "src_version": src.current_version(),
             "mv_version": mv.current_version(),
             "live_groups": mv_state(mv).count(),
+            "metrics": metrics,
+        }, default=str))
+        return 0
+    if args.cmd == "mv-join":
+        from blockchain_etl_spark.streaming.join_mv import GeneralJoinMV, JoinMV
+
+        a = SnapshotTable(spark, args.a_table)
+        b = SnapshotTable(spark, args.b_table)
+        a_cols = [c for c in args.a_cols.split(",") if c]
+        b_cols = [c for c in args.b_cols.split(",") if c]
+        if args.b_join_col in (None, b.manifest().key):
+            mv = JoinMV(spark, a, b, args.root, join_col=args.a_join_col,
+                        fact_cols=a_cols, dim_cols=b_cols,
+                        n_buckets=args.buckets, indexed=args.indexed)
+        else:
+            mv = GeneralJoinMV(spark, a, b, args.root,
+                               a_join_col=args.a_join_col,
+                               b_join_col=args.b_join_col,
+                               a_cols=a_cols, b_cols=b_cols,
+                               n_buckets=args.buckets)
+        metrics = mv.run_once()
+        print(json.dumps({
+            "a_version": a.current_version(),
+            "b_version": b.current_version(),
+            "mv_version": mv.mv.current_version(),
+            "live_tuples": mv.state().count(),
             "metrics": metrics,
         }, default=str))
         return 0
