@@ -597,6 +597,76 @@ FROM fin f JOIN dimw w ON f.source = w.source
 """
 
 
+def length_histogram_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derived-group differential aggregate: an incrementally-
+    maintained HISTOGRAM — the MV groups by an EXPRESSION over the
+    source's columns (``n_tok DIV 8``: token-length octile buckets, the
+    corpus length distribution every training-data pipeline tracks)
+    rather than a stored column. A derived group is recomputed
+    identically on CDF pre- and post-images, so an update that moves a
+    document between length buckets retracts at the old bucket and
+    inserts at the new one; hop cost O(changed rows). The oracle
+    recomputes the bucketed histogram from scratch over last-writer
+    final state."""
+    import os
+
+    from blockchain_etl_spark.cdc.apply import CdcEngine
+    from blockchain_etl_spark.cdc.schema import TARGET_SCHEMA
+    from blockchain_etl_spark.streaming.aggregate_mv import (
+        agg_mv_transform,
+        create_agg_mv,
+        mv_state,
+    )
+    from blockchain_etl_spark.streaming.cascade import CascadeTailer
+    from blockchain_etl_spark.tables.snapshot import SnapshotTable
+
+    GROUP = "n_tok DIV 8"
+    ev, mid = _changelog_valid(spark, sf_dir)
+    work = _pid_scoped_gate_dir("len-hist-mv-gate")
+    src = SnapshotTable.create(
+        spark, os.path.join(work, "src"), TARGET_SCHEMA, key="doc_id", n_buckets=16
+    )
+    eng = CdcEngine(spark, src, mode="cow", collect_metrics=False)
+    mv = create_agg_mv(
+        spark, os.path.join(work, "mv"), GROUP, {"sum_tok": "n_tok"},
+        n_buckets=4,
+    )
+    tailer = CascadeTailer(
+        src,
+        CdcEngine(spark, mv, collect_metrics=False),
+        os.path.join(work, "mv_cursor.json"),
+        transform=agg_mv_transform(GROUP, {"sum_tok": "n_tok"}),
+    )
+    eng.apply_epoch(ev.filter(F.col("lsn") <= mid), epoch_id=1)
+    tailer.run_once()
+    eng.apply_epoch(ev.filter(F.col("lsn") > mid), epoch_id=2)
+    tailer.run_once()
+    return mv_state(mv).select(
+        F.col("doc_id").alias("len_bucket"),
+        F.col("n_rows").alias("n_docs"),
+        "sum_tok",
+    )
+
+
+_LEN_HIST_MV_SQL = f"""
+WITH {_CHANGELOG_CTE},
+ev AS (
+  SELECT * FROM changelog
+  WHERE op IN ('I','U','D')
+    AND (op = 'D' OR (tokens IS NOT NULL AND n_tok = len(tokens)))
+),
+fin AS (
+  SELECT * FROM (
+    SELECT e.*, row_number() OVER (PARTITION BY doc_id ORDER BY stream_pos DESC) AS rn
+    FROM ev e) WHERE rn = 1 AND op <> 'D'
+)
+SELECT CAST(n_tok // 8 AS VARCHAR) AS len_bucket,
+       count(*)::BIGINT AS n_docs,
+       sum(n_tok)::BIGINT AS sum_tok
+FROM fin GROUP BY 1
+"""
+
+
 def join_agg_cascade_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incrementally-maintained GROUP BY over an incrementally-
     maintained JOIN — the reduce-after-bilinear composition
@@ -4179,6 +4249,7 @@ QUERIES: dict[str, callable] = {
     "incremental_join_mv": incremental_join_mv,
     "nm_join_mv": nm_join_mv,
     "join_agg_cascade_mv": join_agg_cascade_mv,
+    "length_histogram_mv": length_histogram_mv,
     # returning from the r4 tail (driver-green r3, judge-local r4)
     "holder_detail_agg": relational.holder_detail_agg,
     "asof_lookup": relational.asof_lookup,
@@ -4493,6 +4564,7 @@ def oracle_sqls() -> dict[str, str]:
         "incremental_join_mv": _JOIN_MV_SQL,
         "nm_join_mv": _NM_JOIN_MV_SQL,
         "join_agg_cascade_mv": _JOIN_AGG_CASCADE_SQL,
+        "length_histogram_mv": _LEN_HIST_MV_SQL,
         "minmax_policy_table": _MINMAX_POLICY_SQL,
         "corpus_splits": _corpus_splits_sql(),
         "explode_tokens": _EXPLODE_TOKENS_SQL,

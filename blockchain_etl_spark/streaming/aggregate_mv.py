@@ -55,9 +55,13 @@ def changes_to_agg_deltas(
 
     ``measures`` maps output column -> source column summed (as long)
     with the sign; the row count delta ``n_rows`` is always emitted.
-    Null group values fold into the ``NULL_GROUP`` sentinel (a string
-    key column cannot hold a null key). Net-zero groups (e.g. an
-    update that stays within its group) are dropped before the apply.
+    ``group_col`` may be any SQL EXPRESSION over the source's columns
+    (e.g. ``"n_tok DIV 8"`` for a histogram MV) — a derived group is
+    recomputed identically on pre- and post-images, so retraction
+    algebra is unaffected. Null group values fold into the
+    ``NULL_GROUP`` sentinel (a string key column cannot hold a null
+    key). Net-zero groups (e.g. an update that stays within its group)
+    are dropped before the apply.
     """
     measures = measures or {}
     sign = F.when(
@@ -71,7 +75,7 @@ def changes_to_agg_deltas(
     ]
     g = (
         changes.groupBy(
-            F.coalesce(F.col(group_col).cast("string"), F.lit(NULL_GROUP)).alias(
+            F.coalesce(F.expr(group_col).cast("string"), F.lit(NULL_GROUP)).alias(
                 "doc_id"
             )
         )

@@ -400,10 +400,14 @@ class JoinMV(_PairCursor):
             # and the MV commit just replays the (empty) remainder
             self.index.catch_up(a1)
         legs = []
+        cached = []
         if a1 > a0:
+            # persist: the delta feeds BOTH the bucket-id collect and
+            # the join — uncached, the version diff would run twice
             d_a = self.fact.read_changes(a0, a1).filter(
                 F.col(self.join_col).isNotNull()
-            )
+            ).persist()
+            cached.append(d_a)
             # dim read pruned to the hash buckets of ΔA's join values
             nb = self.dim.manifest().n_buckets
             bks = [
@@ -419,7 +423,10 @@ class JoinMV(_PairCursor):
             d_b = self.dim.read_changes(b0, b1)
             if self.index is not None:
                 # probe only the index buckets of ΔB's keys — O(ΔB +
-                # touched buckets), never a fact-table scan
+                # touched buckets), never a fact-table scan. The delta
+                # is persisted for the same collect+join double use.
+                d_b = d_b.persist()
+                cached.append(d_b)
                 a_new = self.index.state(prune_values=d_b.select(self.dim_key))
             else:
                 a_new = read_state(self.fact, version=a1).filter(
@@ -461,6 +468,8 @@ class JoinMV(_PairCursor):
             },
         )
         self._commit_cursor(a1, b1)
+        for df in cached:
+            df.unpersist()
         return metrics if metrics is not None else {"deduped_range": [a0, a1, b0, b1]}
 
     def state(self) -> DataFrame:
@@ -591,16 +600,21 @@ class GeneralJoinMV(_PairCursor):
         self.idx_b.catch_up(b0)
         self.idx_a.catch_up(a1)
         legs = []
+        cached = []
+        # deltas feed BOTH the prune-bucket collect and the join —
+        # persisted so the version diff doesn't run twice per leg
         if a1 > a0:
             d_a = self.a.read_changes(a0, a1).filter(
                 F.col(self.a_join_col).isNotNull()
-            )
+            ).persist()
+            cached.append(d_a)
             b_old = self.idx_b.state(prune_values=d_a.select(self.a_join_col))
             legs.append(self._out(d_a.alias("l"), b_old.alias("r"), _sign()))
         if b1 > b0:
             d_b = self.b.read_changes(b0, b1).filter(
                 F.col(self.b_join_col).isNotNull()
-            )
+            ).persist()
+            cached.append(d_b)
             a_new = self.idx_a.state(prune_values=d_b.select(self.b_join_col))
             legs.append(self._out(a_new.alias("l"), d_b.alias("r"), _sign()))
         lsn = a1 + b1
@@ -635,6 +649,8 @@ class GeneralJoinMV(_PairCursor):
         self._commit_cursor(a1, b1)
         # trailing advance: next hop's B@old is this hop's B@new
         self.idx_b.catch_up(b1)
+        for df in cached:
+            df.unpersist()
         return metrics if metrics is not None else {"deduped_range": [a0, a1, b0, b1]}
 
     def state(self) -> DataFrame:
