@@ -597,6 +597,108 @@ FROM fin f JOIN dimw w ON f.source = w.source
 """
 
 
+def left_join_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained LEFT OUTER join (≙ the reference's
+    enrichments that must keep the fact row when the dimension is
+    missing — token transfers whose token metadata hasn't been fetched
+    yet, eth_token_service cache misses): inner JoinMV ∪ an unmatched
+    Z-set maintained by ΔU = ΔA⋈(1−m_old) − A_new⋈Δm, where m's
+    transitions come from the dim CDF and A@new is probed through a
+    version-pinned fact-side secondary index. The dim covers only PART
+    of the sources; round 2 deletes some dims (matched → unmatched:
+    null-extended rows must REAPPEAR) and late-creates others
+    (unmatched → matched). Oracle: LEFT JOIN of final states."""
+    import os
+
+    import pyspark.sql.types as T
+
+    from blockchain_etl_spark.cdc.apply import CdcEngine
+    from blockchain_etl_spark.cdc.schema import TARGET_SCHEMA
+    from blockchain_etl_spark.streaming.join_mv import LeftJoinMV
+    from blockchain_etl_spark.tables.snapshot import SnapshotTable
+
+    ev, mid = _changelog_valid(spark, sf_dir)
+    work = _pid_scoped_gate_dir("left-join-mv-gate")
+    fact = SnapshotTable.create(
+        spark, os.path.join(work, "fact"), TARGET_SCHEMA, key="doc_id",
+        n_buckets=16,
+    )
+    feng = CdcEngine(spark, fact, mode="cow", collect_metrics=False)
+    dim_schema = T.StructType([
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("weight", T.LongType()),
+        T.StructField("lsn", T.LongType()),
+        T.StructField("seq", T.IntegerType()),
+        T.StructField("updated_epoch", T.LongType()),
+        T.StructField("deleted", T.BooleanType()),
+    ])
+    dim = SnapshotTable.create(
+        spark, os.path.join(work, "dim"), dim_schema, key="doc_id", n_buckets=4
+    )
+    deng = CdcEngine(spark, dim, mode="cow", collect_metrics=False)
+    srcs = ev.filter(F.col("source").isNotNull()).select("source").distinct()
+    ln = F.length("source")
+
+    def _dim_ev(df, lsn, seq, op, weight_col):
+        return df.select(
+            F.lit(lsn).cast("long").alias("stream_pos"),
+            F.lit(lsn).cast("long").alias("lsn"),
+            F.lit(seq).cast("int").alias("seq"),
+            F.lit(op).alias("op"),
+            F.lit(None).cast("long").alias("rollback_to_lsn"),
+            F.col("source").alias("doc_id"),
+            weight_col.cast("long").alias("weight"),
+        )
+
+    jm = LeftJoinMV(
+        spark, fact, dim, os.path.join(work, "ljm"), join_col="source",
+        fact_cols=["n_tok"], dim_cols=["weight"], n_buckets=8,
+    )
+    # round 1: dims only for even-length sources
+    deng.apply_epoch(
+        _dim_ev(srcs.filter(ln % 2 == 0), 1, 0, "U", ln * 10), epoch_id=1
+    )
+    feng.apply_epoch(ev.filter(F.col("lsn") <= mid), epoch_id=1)
+    jm.run_once()
+    # round 2: len%4==0 dims deleted (matched -> unmatched), len%3==0
+    # dims (re)created at weight len*10+5 (some unmatched -> matched;
+    # len%12==0 is delete+reinsert inside one epoch, seq orders it)
+    deng.apply_epoch(
+        _dim_ev(srcs.filter(ln % 4 == 0), 2, 0, "D", F.lit(None)).unionByName(
+            _dim_ev(srcs.filter(ln % 3 == 0), 2, 1, "U", ln * 10 + 5)
+        ),
+        epoch_id=2,
+    )
+    feng.apply_epoch(ev.filter(F.col("lsn") > mid), epoch_id=2)
+    jm.run_once()
+    return jm.state().select("fact_id", "source", "n_tok", "weight")
+
+
+_LEFT_JOIN_MV_SQL = f"""
+WITH {_CHANGELOG_CTE},
+ev AS (
+  SELECT * FROM changelog
+  WHERE op IN ('I','U','D')
+    AND (op = 'D' OR (tokens IS NOT NULL AND n_tok = len(tokens)))
+),
+fin AS (
+  SELECT * FROM (
+    SELECT e.*, row_number() OVER (PARTITION BY doc_id ORDER BY stream_pos DESC) AS rn
+    FROM ev e) WHERE rn = 1 AND op <> 'D'
+),
+dimw AS (
+  SELECT source,
+         (CASE WHEN length(source) % 3 = 0 THEN length(source) * 10 + 5
+               ELSE length(source) * 10 END)::BIGINT AS weight
+  FROM (SELECT DISTINCT source FROM ev WHERE source IS NOT NULL)
+  WHERE (length(source) % 2 = 0 AND length(source) % 4 <> 0)
+     OR length(source) % 3 = 0
+)
+SELECT f.doc_id AS fact_id, f.source, f.n_tok, w.weight
+FROM fin f LEFT JOIN dimw w ON f.source = w.source
+"""
+
+
 def length_histogram_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Derived-group differential aggregate: an incrementally-
     maintained HISTOGRAM — the MV groups by an EXPRESSION over the
@@ -4249,6 +4351,7 @@ QUERIES: dict[str, callable] = {
     "incremental_join_mv": incremental_join_mv,
     "nm_join_mv": nm_join_mv,
     "join_agg_cascade_mv": join_agg_cascade_mv,
+    "left_join_mv": left_join_mv,
     "length_histogram_mv": length_histogram_mv,
     # returning from the r4 tail (driver-green r3, judge-local r4)
     "holder_detail_agg": relational.holder_detail_agg,
@@ -4564,6 +4667,7 @@ def oracle_sqls() -> dict[str, str]:
         "incremental_join_mv": _JOIN_MV_SQL,
         "nm_join_mv": _NM_JOIN_MV_SQL,
         "join_agg_cascade_mv": _JOIN_AGG_CASCADE_SQL,
+        "left_join_mv": _LEFT_JOIN_MV_SQL,
         "length_histogram_mv": _LEN_HIST_MV_SQL,
         "minmax_policy_table": _MINMAX_POLICY_SQL,
         "corpus_splits": _corpus_splits_sql(),

@@ -471,6 +471,9 @@ class CdcEngine:
                         self.spark.createDataFrame([], self.table.manifest().schema()),
                         epoch_id=epoch_id,
                         extra_epochs=list(self.table.manifest().applied_epochs),
+                        # cursor lineage must ride even a zero-row hop —
+                        # cascades/indexes advance their cursors by it
+                        lineage=lineage_extra,
                     )
                     break
                 except CommitConflictError:

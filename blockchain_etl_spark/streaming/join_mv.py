@@ -55,6 +55,23 @@ B@new where the rule needs B@old — the cross terms keep cancelling
 exactly. Index catch-ups are idempotent (epoch-ledger + own lineage
 cursor), so every crash window replays to the same state.
 
+:class:`LeftJoinMV` extends the fact⋈dim case to LEFT OUTER: the
+result is inner(A,B) ∪ U where U (the null-extended side) is its own
+Z-set maintained by differentiating U = A ⋈ (1 − m), m the dim's
+liveness indicator:
+
+    ΔU = ΔA ⋈ (1 − m@old)  −  A@new ⋈ Δm
+
+leg1 anti-joins ΔA against the dim state AT the old cursor (time
+travel — no trailing-advance discipline needed on a versioned table);
+null-join-value ΔA rows skip the anti join (SQL: null never matches,
+always unmatched). leg2 reads m's TRANSITIONS from the dim CDF (net
+insert = value became matched → retract its unmatched tuples; net
+delete = value became unmatched → insert them) and probes a fact-side
+:class:`_SideIndex` PINNED at the index version that corresponds to
+A@new (``version_at`` — exact even if the index has advanced past this
+hop in a crash window).
+
 Sequencing: the MV's guard lsn is ``a_version + b_version`` — strictly
 monotone because every hop advances at least one cursor — and the hop
 range rides the destination's commit lineage (same atomic write as the
@@ -207,10 +224,39 @@ class _SideIndex:
             lineage_extra={"src_from": frm, "src_to": to_version},
         )
 
-    def state(self, prune_values: DataFrame | None = None) -> DataFrame:
+    def version_at(self, src_version: int) -> int | None:
+        """The index table version holding EXACTLY the source's state at
+        ``src_version`` — exists for every version a ``catch_up`` was
+        ever targeted at (the ``src_to`` lineage rides the commit, on
+        zero-row hops too). None for src_version 0 (the empty table;
+        any pre-first-commit version works). Raises if no catch_up ever
+        targeted ``src_version`` — a probe there would be unsound."""
+        if src_version <= 0:
+            return 0
+        for v in reversed(self.table.versions()):
+            lin = self.table.manifest(v).lineage
+            to = lin.get("src_to")
+            if to is not None:
+                if int(to) == src_version:
+                    return v
+                if int(to) < src_version:
+                    break
+        raise ValueError(
+            f"index {self.name!r} has no commit for source version "
+            f"{src_version} — catch_up({src_version}) never ran"
+        )
+
+    def state(
+        self,
+        prune_values: DataFrame | None = None,
+        version: int | None = None,
+    ) -> DataFrame:
         """Live source rows in SOURCE column naming; ``prune_values``
         (a one-column DataFrame of join values) restricts the read to
-        those values' hash buckets — the indexed-probe path."""
+        those values' hash buckets — the indexed-probe path.
+        ``version`` pins the read to an index table version (pair with
+        :meth:`version_at` to probe the source's state AS OF a source
+        version even after the index advanced)."""
         from blockchain_etl_spark.cdc.apply import read_state
         from blockchain_etl_spark.tables.snapshot import bucket_expr
 
@@ -234,7 +280,7 @@ class _SideIndex:
                     ]
                 )
         return (
-            read_state(self.table, buckets=buckets)
+            read_state(self.table, buckets=buckets, version=version)
             .filter(F.col("n_rows") > 0)
             .select(
                 *[
@@ -660,3 +706,209 @@ class GeneralJoinMV(_PairCursor):
         return read_state(self.mv).filter(F.col("n_rows") > 0).select(
             *self.out_cols
         )
+
+
+class LeftJoinMV(_PairCursor):
+    """Incremental LEFT OUTER ``fact ⟕ dim`` on ``fact.<join_col> =
+    dim.<key>``: an inner :class:`JoinMV` plus an unmatched-side Z-set
+    maintained by ΔU = ΔA⋈(1−m@old) − A@new⋈Δm (module docstring).
+    ``state()`` is the SQL left join: inner tuples ∪ unmatched fact
+    rows null-extended on the dim columns. Scale: leg1 is O(ΔA +
+    touched dim buckets) (anti join against a bucket-pruned,
+    version-pinned dim read); leg2 is O(dim transitions + touched
+    fact-index buckets) — never a scan of either input."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        fact_table,
+        dim_table,
+        root: str,
+        join_col: str,
+        fact_cols: list[str],
+        dim_cols: list[str],
+        n_buckets: int = 8,
+    ):
+        from blockchain_etl_spark.cdc.apply import CdcEngine
+        from blockchain_etl_spark.tables.snapshot import SnapshotTable
+
+        self.spark = spark
+        self.fact, self.dim = fact_table, dim_table
+        self.join_col = join_col
+        self.fact_cols = list(fact_cols)
+        self.dim_cols = list(dim_cols)
+        self.inner = JoinMV(
+            spark, fact_table, dim_table, os.path.join(root, "inner"),
+            join_col=join_col, fact_cols=fact_cols, dim_cols=dim_cols,
+            n_buckets=n_buckets,
+        )
+        fm, dm = fact_table.manifest(), dim_table.manifest()
+        self.fact_key, self.dim_key = fm.key, dm.key
+        self.fact_id_col = self.inner.fact_id_col
+        self.u_src_cols = [self.fact_key, join_col, *self.fact_cols]
+        self.u_cols = [self.fact_id_col, join_col, *self.fact_cols]
+        self.out_cols = self.inner.out_cols
+        self.cursor_path = os.path.join(root, "left_cursor.json")
+        self.idx = _SideIndex(
+            spark, fact_table, os.path.join(root, "idx_fact"), "leftfact",
+            join_col, self.fact_cols, n_buckets=n_buckets,
+        )
+        path = os.path.join(root, "mv_unmatched")
+        t = SnapshotTable(spark, path)
+        if not t.exists():
+            ftypes = {f.name: f.dataType for f in fm.schema().fields}
+            schema = T.StructType(
+                [T.StructField("doc_id", T.StringType())]
+                + [
+                    T.StructField(n, ftypes[c])
+                    for c, n in zip(self.u_src_cols, self.u_cols)
+                ]
+                + [
+                    T.StructField("n_rows", T.LongType()),
+                    T.StructField("lsn", T.LongType()),
+                    T.StructField("seq", T.IntegerType()),
+                    T.StructField("updated_epoch", T.LongType()),
+                    T.StructField("deleted", T.BooleanType()),
+                ]
+            )
+            t = SnapshotTable.create(
+                spark, path, schema, key="doc_id", n_buckets=n_buckets,
+                policies={"n_rows": "add",
+                          **{c: "first" for c in self.u_cols}},
+            )
+        self.mv = t  # the unmatched side; _PairCursor recovers from it
+        self.engine = CdcEngine(spark, t, collect_metrics=False)
+
+    def _u_named(self, df) -> list:
+        return [
+            df[c].alias(n) for c, n in zip(self.u_src_cols, self.u_cols)
+        ]
+
+    def run_once(self) -> dict[str, Any] | None:
+        from blockchain_etl_spark.cdc.apply import read_state
+        from blockchain_etl_spark.tables.snapshot import bucket_expr
+
+        # keep the inner MV in lockstep first (its own exactly-once
+        # cursor), then target ITS committed range — so the union in
+        # state() is consistent after run_once() returns, and a crash
+        # window where inner ran ahead replays here as one bigger hop
+        self.inner.run_once()
+        a1, b1 = self.inner._cursor()
+        a0, b0 = self._cursor()
+        if a1 <= a0 and b1 <= b0:
+            return None
+        self.idx.catch_up(a1)
+        legs = []
+        cached = []
+        if a1 > a0:
+            d_a = self.fact.read_changes(a0, a1).persist()
+            cached.append(d_a)
+            nn = d_a.filter(F.col(self.join_col).isNotNull())
+            bks = []
+            if b0 > 0:
+                nb = self.dim.manifest().n_buckets
+                bks = [
+                    r["_b"]
+                    for r in nn.select(
+                        bucket_expr(self.join_col, nb).alias("_b")
+                    ).distinct().collect()
+                ]
+            if bks:
+                live_b = read_state(
+                    self.dim, version=b0, buckets=bks
+                ).select(F.col(self.dim_key).alias("_mval"))
+                anti = nn.join(
+                    F.broadcast(live_b),
+                    nn[self.join_col] == live_b["_mval"],
+                    "left_anti",
+                )
+            else:
+                anti = nn  # dim empty at b0: every fact row is unmatched
+            # null join values never match — straight signed, no anti
+            leg1 = anti.unionByName(
+                d_a.filter(F.col(self.join_col).isNull())
+            )
+            legs.append(leg1.select(*self._u_named(leg1), _sign().alias("_s")))
+        if b1 > b0 and a1 > 0:
+            # m's NET transitions over (b0, b1]: the CDF diffs states,
+            # so updates (stays-live) never appear here
+            trans = (
+                self.dim.read_changes(b0, b1)
+                .filter(F.col("_change_type").isin("insert", "delete"))
+                .select(
+                    F.col(self.dim_key).alias("_mval"),
+                    F.when(F.col("_change_type") == "insert", F.lit(-1))
+                    .otherwise(F.lit(1))
+                    .alias("_s"),
+                )
+                .persist()
+            )
+            cached.append(trans)
+            a_new = self.idx.state(
+                prune_values=trans.select("_mval"),
+                version=self.idx.version_at(a1),
+            )
+            leg2 = a_new.join(
+                F.broadcast(trans),
+                a_new[self.join_col] == trans["_mval"],
+                "inner",
+            )
+            legs.append(leg2.select(*self._u_named(a_new), F.col("_s")))
+        lsn = a1 + b1
+        metrics = None
+        if legs:
+            out = legs[0] if len(legs) == 1 else legs[0].unionByName(legs[1])
+            folded = (
+                out.groupBy(_tuple_hash(self.u_cols).alias("doc_id"))
+                .agg(
+                    F.sum("_s").cast("long").alias("n_rows"),
+                    *[F.max(c).alias(c) for c in self.u_cols],
+                )
+                .filter(F.col("n_rows") != 0)
+            )
+            ev = folded.select(
+                F.lit(lsn).cast("long").alias("stream_pos"),
+                F.lit(lsn).cast("long").alias("lsn"),
+                F.lit(0).cast("int").alias("seq"),
+                F.lit("U").alias("op"),
+                F.lit(None).cast("long").alias("rollback_to_lsn"),
+                "doc_id",
+                *self.u_cols,
+                "n_rows",
+            )
+            digest = hashlib.md5(
+                f"leftjoinmv-{a0}-{a1}-{b0}-{b1}".encode()
+            ).digest()
+            metrics = self.engine.apply_epoch(
+                ev,
+                epoch_id=int.from_bytes(digest[:8], "big") >> 1,
+                lineage_extra={
+                    "join_a_to": a1, "join_a_from": a0,
+                    "join_b_to": b1, "join_b_from": b0,
+                },
+            )
+        self._commit_cursor(a1, b1)
+        for df in cached:
+            df.unpersist()
+        return metrics if metrics is not None else {
+            "deduped_range": [a0, a1, b0, b1]
+        }
+
+    def state(self) -> DataFrame:
+        """The SQL left join: inner tuples ∪ unmatched fact rows with
+        the dim columns null-extended."""
+        from blockchain_etl_spark.cdc.apply import read_state
+
+        dtypes = {f.name: f.dataType for f in self.dim.manifest().schema().fields}
+        unmatched = (
+            read_state(self.mv)
+            .filter(F.col("n_rows") > 0)
+            .select(
+                *self.u_cols,
+                *[
+                    F.lit(None).cast(dtypes[c]).alias(c)
+                    for c in self.dim_cols
+                ],
+            )
+        )
+        return self.inner.state().unionByName(unmatched)
