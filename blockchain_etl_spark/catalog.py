@@ -654,18 +654,22 @@ def left_join_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, fact, dim, os.path.join(work, "ljm"), join_col="source",
         fact_cols=["n_tok"], dim_cols=["weight"], n_buckets=8,
     )
-    # round 1: dims only for even-length sources
+    # membership keys off the LAST character's codepoint (source
+    # lengths in the testdata are near-uniform — length-mod predicates
+    # would collapse the final dim set to empty)
+    la = F.ascii(F.substring("source", -1, 1))
+    # round 1: dims only for even-codepoint sources
     deng.apply_epoch(
-        _dim_ev(srcs.filter(ln % 2 == 0), 1, 0, "U", ln * 10), epoch_id=1
+        _dim_ev(srcs.filter(la % 2 == 0), 1, 0, "U", ln * 10), epoch_id=1
     )
     feng.apply_epoch(ev.filter(F.col("lsn") <= mid), epoch_id=1)
     jm.run_once()
-    # round 2: len%4==0 dims deleted (matched -> unmatched), len%3==0
+    # round 2: cp%4==0 dims deleted (matched -> unmatched), cp%3==0
     # dims (re)created at weight len*10+5 (some unmatched -> matched;
-    # len%12==0 is delete+reinsert inside one epoch, seq orders it)
+    # cp%12==0 is delete+reinsert inside one epoch, seq orders it)
     deng.apply_epoch(
-        _dim_ev(srcs.filter(ln % 4 == 0), 2, 0, "D", F.lit(None)).unionByName(
-            _dim_ev(srcs.filter(ln % 3 == 0), 2, 1, "U", ln * 10 + 5)
+        _dim_ev(srcs.filter(la % 4 == 0), 2, 0, "D", F.lit(None)).unionByName(
+            _dim_ev(srcs.filter(la % 3 == 0), 2, 1, "U", ln * 10 + 5)
         ),
         epoch_id=2,
     )
@@ -688,14 +692,132 @@ fin AS (
 ),
 dimw AS (
   SELECT source,
-         (CASE WHEN length(source) % 3 = 0 THEN length(source) * 10 + 5
+         (CASE WHEN ascii(right(source, 1)) % 3 = 0
+               THEN length(source) * 10 + 5
                ELSE length(source) * 10 END)::BIGINT AS weight
   FROM (SELECT DISTINCT source FROM ev WHERE source IS NOT NULL)
-  WHERE (length(source) % 2 = 0 AND length(source) % 4 <> 0)
-     OR length(source) % 3 = 0
+  WHERE (ascii(right(source, 1)) % 2 = 0 AND ascii(right(source, 1)) % 4 <> 0)
+     OR ascii(right(source, 1)) % 3 = 0
 )
 SELECT f.doc_id AS fact_id, f.source, f.n_tok, w.weight
 FROM fin f LEFT JOIN dimw w ON f.source = w.source
+"""
+
+
+def full_outer_join_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained FULL OUTER join (≙ the reference's
+    reconciliation joins that must surface BOTH sides' orphans —
+    eth_balance_adapter's send⟗recv zero-fill, dim rows nothing refers
+    to): a LeftJoinMV plus a dim-side unmatched Z-set maintained by
+    ΔU_B = ΔB⋈(1−m_A@old) − B@new⋈Δm_A, fact-value liveness transitions
+    probed from the version-pinned fact index at both cursor endpoints.
+    The dim universe = sources ∪ 'zz#'-prefixed synthetics (guaranteed
+    no fact row → always dim-unmatched); round 2 deletes/re-creates
+    dims and applies the changelog's second half (fact deletions can
+    flip a dim to unmatched). Oracle: FULL OUTER JOIN of final
+    states."""
+    import os
+
+    import pyspark.sql.types as T
+
+    from blockchain_etl_spark.cdc.apply import CdcEngine
+    from blockchain_etl_spark.cdc.schema import TARGET_SCHEMA
+    from blockchain_etl_spark.streaming.join_mv import FullOuterJoinMV
+    from blockchain_etl_spark.tables.snapshot import SnapshotTable
+
+    ev, mid = _changelog_valid(spark, sf_dir)
+    work = _pid_scoped_gate_dir("full-outer-join-mv-gate")
+    fact = SnapshotTable.create(
+        spark, os.path.join(work, "fact"), TARGET_SCHEMA, key="doc_id",
+        n_buckets=16,
+    )
+    feng = CdcEngine(spark, fact, mode="cow", collect_metrics=False)
+    dim_schema = T.StructType([
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("weight", T.LongType()),
+        T.StructField("lsn", T.LongType()),
+        T.StructField("seq", T.IntegerType()),
+        T.StructField("updated_epoch", T.LongType()),
+        T.StructField("deleted", T.BooleanType()),
+    ])
+    dim = SnapshotTable.create(
+        spark, os.path.join(work, "dim"), dim_schema, key="doc_id", n_buckets=4
+    )
+    deng = CdcEngine(spark, dim, mode="cow", collect_metrics=False)
+    srcs = ev.filter(F.col("source").isNotNull()).select("source").distinct()
+    vals = srcs.unionByName(
+        srcs.filter(F.length("source") % 5 == 0)
+        .select(F.concat(F.lit("zz#"), F.col("source")).alias("source"))
+    ).distinct()
+    ln = F.length("source")
+
+    def _dim_ev(df, lsn, seq, op, weight_col):
+        return df.select(
+            F.lit(lsn).cast("long").alias("stream_pos"),
+            F.lit(lsn).cast("long").alias("lsn"),
+            F.lit(seq).cast("int").alias("seq"),
+            F.lit(op).alias("op"),
+            F.lit(None).cast("long").alias("rollback_to_lsn"),
+            F.col("source").alias("doc_id"),
+            weight_col.cast("long").alias("weight"),
+        )
+
+    jm = FullOuterJoinMV(
+        spark, fact, dim, os.path.join(work, "fjm"), join_col="source",
+        fact_cols=["n_tok"], dim_cols=["weight"], n_buckets=8,
+    )
+    # membership keys off the LAST character's codepoint (lengths in
+    # the testdata are near-uniform; the zz# prefix keeps the tail)
+    la = F.ascii(F.substring("source", -1, 1))
+    # round 1: dims only for even-codepoint values
+    deng.apply_epoch(
+        _dim_ev(vals.filter(la % 2 == 0), 1, 0, "U", ln * 10), epoch_id=1
+    )
+    feng.apply_epoch(ev.filter(F.col("lsn") <= mid), epoch_id=1)
+    jm.run_once()
+    # round 2: cp%4==0 dims deleted, cp%3==0 (re)created at len*10+5;
+    # the changelog's second half brings fact updates AND deletions
+    deng.apply_epoch(
+        _dim_ev(vals.filter(la % 4 == 0), 2, 0, "D", F.lit(None)).unionByName(
+            _dim_ev(vals.filter(la % 3 == 0), 2, 1, "U", ln * 10 + 5)
+        ),
+        epoch_id=2,
+    )
+    feng.apply_epoch(ev.filter(F.col("lsn") > mid), epoch_id=2)
+    jm.run_once()
+    return jm.state().select("fact_id", "source", "n_tok", "dim_id", "weight")
+
+
+_FULL_OUTER_JOIN_MV_SQL = f"""
+WITH {_CHANGELOG_CTE},
+ev AS (
+  SELECT * FROM changelog
+  WHERE op IN ('I','U','D')
+    AND (op = 'D' OR (tokens IS NOT NULL AND n_tok = len(tokens)))
+),
+fin AS (
+  SELECT * FROM (
+    SELECT e.*, row_number() OVER (PARTITION BY doc_id ORDER BY stream_pos DESC) AS rn
+    FROM ev e) WHERE rn = 1 AND op <> 'D'
+),
+srcs AS (SELECT DISTINCT source FROM ev WHERE source IS NOT NULL),
+vals AS (
+  SELECT DISTINCT v FROM (
+    SELECT source AS v FROM srcs
+    UNION ALL
+    SELECT 'zz#' || source FROM srcs WHERE length(source) % 5 = 0)
+),
+dimw AS (
+  SELECT v AS dim_id,
+         (CASE WHEN ascii(right(v, 1)) % 3 = 0
+               THEN length(v) * 10 + 5
+               ELSE length(v) * 10 END)::BIGINT AS weight
+  FROM vals
+  WHERE (ascii(right(v, 1)) % 2 = 0 AND ascii(right(v, 1)) % 4 <> 0)
+     OR ascii(right(v, 1)) % 3 = 0
+)
+SELECT f.doc_id AS fact_id, f.source, f.n_tok, w.dim_id, w.weight
+FROM fin f FULL OUTER JOIN dimw w ON f.source = w.dim_id
 """
 
 
@@ -4352,6 +4474,7 @@ QUERIES: dict[str, callable] = {
     "nm_join_mv": nm_join_mv,
     "join_agg_cascade_mv": join_agg_cascade_mv,
     "left_join_mv": left_join_mv,
+    "full_outer_join_mv": full_outer_join_mv,
     "length_histogram_mv": length_histogram_mv,
     # returning from the r4 tail (driver-green r3, judge-local r4)
     "holder_detail_agg": relational.holder_detail_agg,
@@ -4668,6 +4791,7 @@ def oracle_sqls() -> dict[str, str]:
         "nm_join_mv": _NM_JOIN_MV_SQL,
         "join_agg_cascade_mv": _JOIN_AGG_CASCADE_SQL,
         "left_join_mv": _LEFT_JOIN_MV_SQL,
+        "full_outer_join_mv": _FULL_OUTER_JOIN_MV_SQL,
         "length_histogram_mv": _LEN_HIST_MV_SQL,
         "minmax_policy_table": _MINMAX_POLICY_SQL,
         "corpus_splits": _corpus_splits_sql(),

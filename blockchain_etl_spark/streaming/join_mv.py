@@ -72,6 +72,24 @@ delete = value became unmatched → insert them) and probes a fact-side
 A@new (``version_at`` — exact even if the index has advanced past this
 hop in a crash window).
 
+:class:`FullOuterJoinMV` completes the family: inner(A,B) ∪ U_A ∪ U_B.
+U_A (fact rows with no dim) is a :class:`LeftJoinMV`; U_B (dim rows no
+live fact row joins to) is the symmetric differential with the roles
+of the liveness indicator swapped — m_A(v) = "some live fact row has
+join value v":
+
+    ΔU_B = ΔB ⋈ (1 − m_A@old)  −  B@new ⋈ Δm_A
+
+leg1 anti-joins ΔB against the DISTINCT live join values of the
+fact-side index pinned at A@old. leg2 needs m_A's TRANSITIONS, which
+the fact CDF does not expose directly (many fact rows share a value —
+liveness flips only when the value's row count crosses zero): probe
+the index at the pinned versions for BOTH cursor endpoints, pruned to
+ΔA's values, and set-difference the two live-value sets. Values
+sharing a pruned bucket but untouched by ΔA appear in both probes and
+cancel. Transitioned values then join the dim state at B@new,
+bucket-pruned. Every leg is O(Δ + touched buckets).
+
 Sequencing: the MV's guard lsn is ``a_version + b_version`` — strictly
 monotone because every hop advances at least one cursor — and the hop
 range rides the destination's commit lineage (same atomic write as the
@@ -912,3 +930,240 @@ class LeftJoinMV(_PairCursor):
             )
         )
         return self.inner.state().unionByName(unmatched)
+
+
+class FullOuterJoinMV(_PairCursor):
+    """Incremental FULL OUTER ``fact ⟗ dim`` on ``fact.<join_col> =
+    dim.<key>``: a :class:`LeftJoinMV` (inner tuples + fact-unmatched
+    Z-set) plus a dim-unmatched Z-set maintained by the symmetric rule
+    ΔU_B = ΔB⋈(1−m_A@old) − B@new⋈Δm_A (module docstring). Output is
+    the SQL full outer join with BOTH keys surfaced — ``dim_id`` is
+    the dim key (null on fact-unmatched rows), the fact id/join/payload
+    columns are null on dim-unmatched rows. Scale: the ΔB leg is
+    O(ΔB + touched fact-index buckets); the Δm_A leg is O(ΔA's
+    distinct values + touched index/dim buckets) — never a scan of
+    either input (≙ the reference's reconciliation full-outer joins,
+    eth_balance_adapter send/recv zero-fill, but incremental)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        fact_table,
+        dim_table,
+        root: str,
+        join_col: str,
+        fact_cols: list[str],
+        dim_cols: list[str],
+        n_buckets: int = 8,
+    ):
+        from blockchain_etl_spark.cdc.apply import CdcEngine
+        from blockchain_etl_spark.tables.snapshot import SnapshotTable
+
+        self.spark = spark
+        self.fact, self.dim = fact_table, dim_table
+        self.join_col = join_col
+        self.fact_cols = list(fact_cols)
+        self.dim_cols = list(dim_cols)
+        self.left = LeftJoinMV(
+            spark, fact_table, dim_table, os.path.join(root, "left"),
+            join_col=join_col, fact_cols=fact_cols, dim_cols=dim_cols,
+            n_buckets=n_buckets,
+        )
+        fm, dm = fact_table.manifest(), dim_table.manifest()
+        self.fact_key, self.dim_key = fm.key, dm.key
+        self.fact_id_col = self.left.fact_id_col
+        self.dim_id_col = self.dim_key if self.dim_key != "doc_id" else "dim_id"
+        self.ub_src_cols = [self.dim_key, *self.dim_cols]
+        self.ub_cols = [self.dim_id_col, *self.dim_cols]
+        self.out_cols = [
+            self.fact_id_col, join_col, *self.fact_cols,
+            self.dim_id_col, *self.dim_cols,
+        ]
+        if len(set(self.out_cols)) != len(self.out_cols):
+            raise ValueError(f"output column collision: {self.out_cols}")
+        self.cursor_path = os.path.join(root, "full_cursor.json")
+        path = os.path.join(root, "mv_dim_unmatched")
+        t = SnapshotTable(spark, path)
+        if not t.exists():
+            dtypes = {f.name: f.dataType for f in dm.schema().fields}
+            schema = T.StructType(
+                [T.StructField("doc_id", T.StringType())]
+                + [
+                    T.StructField(n, dtypes[c])
+                    for c, n in zip(self.ub_src_cols, self.ub_cols)
+                ]
+                + [
+                    T.StructField("n_rows", T.LongType()),
+                    T.StructField("lsn", T.LongType()),
+                    T.StructField("seq", T.IntegerType()),
+                    T.StructField("updated_epoch", T.LongType()),
+                    T.StructField("deleted", T.BooleanType()),
+                ]
+            )
+            t = SnapshotTable.create(
+                spark, path, schema, key="doc_id", n_buckets=n_buckets,
+                policies={"n_rows": "add",
+                          **{c: "first" for c in self.ub_cols}},
+            )
+        self.mv = t  # the dim-unmatched side; _PairCursor recovers from it
+        self.engine = CdcEngine(spark, t, collect_metrics=False)
+
+    def _ub_named(self, df) -> list:
+        return [
+            df[c].alias(n) for c, n in zip(self.ub_src_cols, self.ub_cols)
+        ]
+
+    def _live_values(self, prune: DataFrame, src_version: int) -> DataFrame:
+        """DISTINCT live fact join values at the pinned index version
+        for ``src_version``, bucket-pruned to ``prune``'s values."""
+        idx = self.left.idx
+        return (
+            idx.state(prune_values=prune, version=idx.version_at(src_version))
+            .select(self.join_col)
+            .distinct()
+        )
+
+    def run_once(self) -> dict[str, Any] | None:
+        from blockchain_etl_spark.cdc.apply import read_state
+        from blockchain_etl_spark.tables.snapshot import bucket_expr
+
+        # the left MV first (its own exactly-once cursor + it advances
+        # the fact-side index to a1); then target ITS committed range
+        self.left.run_once()
+        a1, b1 = self.left._cursor()
+        a0, b0 = self._cursor()
+        if a1 <= a0 and b1 <= b0:
+            return None
+        legs = []
+        cached = []
+        if b1 > b0:
+            # leg1: ΔB ⋈ (1 − m_A@old) — anti vs live values at A@old
+            d_b = self.dim.read_changes(b0, b1).persist()
+            cached.append(d_b)
+            if a0 > 0:
+                live_old = self._live_values(
+                    d_b.select(F.col(self.dim_key).alias(self.join_col)), a0
+                ).select(F.col(self.join_col).alias("_mval"))
+                anti = d_b.join(
+                    F.broadcast(live_old),
+                    d_b[self.dim_key] == live_old["_mval"],
+                    "left_anti",
+                )
+            else:
+                anti = d_b  # no fact rows at a0: every dim row unmatched
+            legs.append(anti.select(*self._ub_named(anti), _sign().alias("_s")))
+        if a1 > a0 and b1 > 0:
+            # leg2: − B@new ⋈ Δm_A — transitions via two pinned probes
+            vals = (
+                self.fact.read_changes(a0, a1)
+                .filter(F.col(self.join_col).isNotNull())
+                .select(self.join_col)
+                .distinct()
+                .persist()
+            )
+            cached.append(vals)
+            live_old = self._live_values(vals, a0)
+            live_new = self._live_values(vals, a1)
+            trans = (
+                live_new.exceptAll(live_old)
+                .select(F.col(self.join_col).alias("_mval"),
+                        F.lit(-1).alias("_s"))  # became matched: retract
+                .unionByName(
+                    live_old.exceptAll(live_new)
+                    .select(F.col(self.join_col).alias("_mval"),
+                            F.lit(1).alias("_s"))  # became unmatched: insert
+                )
+                .persist()
+            )
+            cached.append(trans)
+            nb = self.dim.manifest().n_buckets
+            bks = [
+                r["_b"]
+                for r in trans.select(
+                    bucket_expr("_mval", nb).alias("_b")
+                ).distinct().collect()
+            ]
+            if bks:
+                b_new = read_state(self.dim, version=b1, buckets=bks)
+                leg2 = b_new.join(
+                    F.broadcast(trans),
+                    b_new[self.dim_key] == trans["_mval"],
+                    "inner",
+                )
+                legs.append(
+                    leg2.select(*self._ub_named(b_new), F.col("_s"))
+                )
+        lsn = a1 + b1
+        metrics = None
+        if legs:
+            out = legs[0] if len(legs) == 1 else legs[0].unionByName(legs[1])
+            folded = (
+                out.groupBy(_tuple_hash(self.ub_cols).alias("doc_id"))
+                .agg(
+                    F.sum("_s").cast("long").alias("n_rows"),
+                    *[F.max(c).alias(c) for c in self.ub_cols],
+                )
+                .filter(F.col("n_rows") != 0)
+            )
+            ev = folded.select(
+                F.lit(lsn).cast("long").alias("stream_pos"),
+                F.lit(lsn).cast("long").alias("lsn"),
+                F.lit(0).cast("int").alias("seq"),
+                F.lit("U").alias("op"),
+                F.lit(None).cast("long").alias("rollback_to_lsn"),
+                "doc_id",
+                *self.ub_cols,
+                "n_rows",
+            )
+            digest = hashlib.md5(
+                f"fullouterjoinmv-{a0}-{a1}-{b0}-{b1}".encode()
+            ).digest()
+            metrics = self.engine.apply_epoch(
+                ev,
+                epoch_id=int.from_bytes(digest[:8], "big") >> 1,
+                lineage_extra={
+                    "join_a_to": a1, "join_a_from": a0,
+                    "join_b_to": b1, "join_b_from": b0,
+                },
+            )
+        self._commit_cursor(a1, b1)
+        for df in cached:
+            df.unpersist()
+        return metrics if metrics is not None else {
+            "deduped_range": [a0, a1, b0, b1]
+        }
+
+    def state(self) -> DataFrame:
+        """The SQL full outer join: inner tuples (dim_id = the join
+        value) ∪ fact-unmatched rows (dim side null) ∪ dim-unmatched
+        rows (fact side null)."""
+        from blockchain_etl_spark.cdc.apply import read_state
+
+        ftypes = {f.name: f.dataType for f in self.fact.manifest().schema().fields}
+        dtypes = {f.name: f.dataType for f in self.dim.manifest().schema().fields}
+        inner = self.left.inner.state().select(
+            self.fact_id_col, self.join_col, *self.fact_cols,
+            F.col(self.join_col).cast(dtypes[self.dim_key])
+            .alias(self.dim_id_col),
+            *self.dim_cols,
+        )
+        u_fact = (
+            read_state(self.left.mv)
+            .filter(F.col("n_rows") > 0)
+            .select(
+                *self.left.u_cols,
+                F.lit(None).cast(dtypes[self.dim_key]).alias(self.dim_id_col),
+                *[F.lit(None).cast(dtypes[c]).alias(c) for c in self.dim_cols],
+            )
+        )
+        u_dim = (
+            read_state(self.mv)
+            .filter(F.col("n_rows") > 0)
+            .select(
+                F.lit(None).cast(ftypes[self.fact_key]).alias(self.fact_id_col),
+                F.lit(None).cast(ftypes[self.join_col]).alias(self.join_col),
+                *[F.lit(None).cast(ftypes[c]).alias(c) for c in self.fact_cols],
+                *self.ub_cols,
+            )
+        )
+        return inner.unionByName(u_fact).unionByName(u_dim)
