@@ -205,6 +205,11 @@ def main(argv=None):
                     help="fact⋈dim only: maintain a fact-side secondary "
                     "index so the dim-delta leg probes index buckets "
                     "instead of scanning fact state")
+    sp.add_argument("--how", choices=["inner", "left", "full_outer"],
+                    default="inner",
+                    help="fact⋈dim only: outer joins keep unmatched rows "
+                    "null-extended via differentially-maintained "
+                    "unmatched-side Z-sets")
     sp.add_argument("--buckets", type=int, default=8)
 
     sp = sub.add_parser("changes", help="incremental change-log between two "
@@ -328,16 +333,32 @@ def main(argv=None):
         }, default=str))
         return 0
     if args.cmd == "mv-join":
-        from blockchain_etl_spark.streaming.join_mv import GeneralJoinMV, JoinMV
+        from blockchain_etl_spark.streaming.join_mv import (
+            FullOuterJoinMV, GeneralJoinMV, JoinMV, LeftJoinMV,
+        )
 
         a = SnapshotTable(spark, args.a_table)
         b = SnapshotTable(spark, args.b_table)
         a_cols = [c for c in args.a_cols.split(",") if c]
         b_cols = [c for c in args.b_cols.split(",") if c]
         if args.b_join_col in (None, b.manifest().key):
-            mv = JoinMV(spark, a, b, args.root, join_col=args.a_join_col,
-                        fact_cols=a_cols, dim_cols=b_cols,
-                        n_buckets=args.buckets, indexed=args.indexed)
+            if args.how == "left":
+                mv = LeftJoinMV(spark, a, b, args.root,
+                                join_col=args.a_join_col,
+                                fact_cols=a_cols, dim_cols=b_cols,
+                                n_buckets=args.buckets)
+            elif args.how == "full_outer":
+                mv = FullOuterJoinMV(spark, a, b, args.root,
+                                     join_col=args.a_join_col,
+                                     fact_cols=a_cols, dim_cols=b_cols,
+                                     n_buckets=args.buckets)
+            else:
+                mv = JoinMV(spark, a, b, args.root, join_col=args.a_join_col,
+                            fact_cols=a_cols, dim_cols=b_cols,
+                            n_buckets=args.buckets, indexed=args.indexed)
+        elif args.how != "inner":
+            raise SystemExit("--how left/full_outer requires the fact⋈dim "
+                             "form (omit --b-join-col or pass B's key)")
         else:
             mv = GeneralJoinMV(spark, a, b, args.root,
                                a_join_col=args.a_join_col,

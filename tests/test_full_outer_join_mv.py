@@ -184,3 +184,45 @@ def test_full_outer_join_mv_resumes(spark, tmp_path):
     )
     assert jm2.run_once() is None
     assert _got(jm2) == want == _recompute(fact, dim)
+
+
+def test_full_outer_join_mv_across_upstream_reorg(spark, tmp_path):
+    """A chain reorg on the fact side (rollback commit + corrected
+    re-apply, tombstone-then-reinsert) must flow through BOTH unmatched
+    Z-sets like any other change — fact rows whose value's last live
+    row is reorged away must flip their dim back to unmatched. After
+    every hop the MV equals a from-scratch full outer join."""
+    from blockchain_etl_spark.cdc.generator import generate_changelog
+    from blockchain_etl_spark.streaming.epoch_store import EpochStore
+
+    epochs = list(generate_changelog(seed=94, n_epochs=4, p_reorg_epoch=0.6))
+    assert sum(1 for ep in epochs for e in ep if e["op"] == "R") > 0, \
+        "seed must actually exercise the reorg path"
+    fact = SnapshotTable.create(
+        spark, str(tmp_path / "fact"), TARGET_SCHEMA, key="doc_id", n_buckets=4
+    )
+    dim = SnapshotTable.create(
+        spark, str(tmp_path / "dim"), DIM_SCHEMA, key="doc_id", n_buckets=2
+    )
+    store = EpochStore(spark, str(tmp_path / "store"))
+    feng = CdcEngine(spark, fact, epoch_store=store, collect_metrics=False)
+    deng = CdcEngine(spark, dim, collect_metrics=False)
+    jm = FullOuterJoinMV(
+        spark, fact, dim, str(tmp_path / "fjm"), join_col="source",
+        fact_cols=["n_tok"], dim_cols=["weight"], n_buckets=2,
+    )
+    # dim: HALF the generator's sources (the rest stay fact-unmatched)
+    # plus a value no fact ever carries (stays dim-unmatched throughout)
+    srcs = sorted({
+        e["source"] for ep in epochs for e in ep if e.get("source") is not None
+    })[::2] + ["zz#never"]
+    deng.apply_epoch(spark.createDataFrame(
+        [(i, 1, i, "U", None, s, (i + 1) * 10) for i, s in enumerate(srcs)],
+        DIM_EV,
+    ), epoch_id=0)
+    for i, ep in enumerate(epochs):
+        df = events_to_df(spark, ep)
+        store.write_epoch(i, df)
+        feng.apply_epoch(df, epoch_id=i)
+        jm.run_once()
+        assert _got(jm) == _recompute(fact, dim)
