@@ -821,6 +821,142 @@ FROM fin f FULL OUTER JOIN dimw w ON f.source = w.dim_id
 """
 
 
+def asof_join_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained LEFT AS-OF join (point-in-time: each
+    fact row gets the latest history row of its key at-or-before the
+    fact's event time — ≙ the reference's block-by-timestamp
+    resolution, graph_operations.py:44-120, and the leak-free
+    feature-snapshot join a training pipeline needs). History rows sit
+    at lsn breakpoints {0, max/3, 2max/3}; the max/3 set arrives in
+    round 2 as a BACKFILL, retroactively rewriting exactly the facts
+    in its win window. Oracle: windowed arg-max over vf <= ets."""
+    import os
+
+    import pyspark.sql.types as T
+
+    from blockchain_etl_spark.cdc.apply import CdcEngine
+    from blockchain_etl_spark.streaming.join_mv import AsofJoinMV
+    from blockchain_etl_spark.tables.snapshot import SnapshotTable
+
+    ev, mid = _changelog_valid(spark, sf_dir)
+    work = _pid_scoped_gate_dir("asof-join-mv-gate")
+    fact_schema = T.StructType([
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("ets", T.LongType()),
+        T.StructField("n_tok", T.IntegerType()),
+        T.StructField("lsn", T.LongType()),
+        T.StructField("seq", T.IntegerType()),
+        T.StructField("updated_epoch", T.LongType()),
+        T.StructField("deleted", T.BooleanType()),
+    ])
+    fact = SnapshotTable.create(
+        spark, os.path.join(work, "fact"), fact_schema, key="doc_id",
+        n_buckets=16,
+    )
+    feng = CdcEngine(spark, fact, mode="cow", collect_metrics=False)
+    hist_schema = T.StructType([
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("hk", T.StringType()),
+        T.StructField("vf", T.LongType()),
+        T.StructField("weight", T.LongType()),
+        T.StructField("lsn", T.LongType()),
+        T.StructField("seq", T.IntegerType()),
+        T.StructField("updated_epoch", T.LongType()),
+        T.StructField("deleted", T.BooleanType()),
+    ])
+    hist = SnapshotTable.create(
+        spark, os.path.join(work, "hist"), hist_schema, key="doc_id",
+        n_buckets=4, bucket_key="hk",
+    )
+    heng = CdcEngine(spark, hist, mode="cow", collect_metrics=False)
+    fact_ev = ev.select(
+        "stream_pos", "lsn", "seq", "op", "rollback_to_lsn", "doc_id",
+        "source", F.col("lsn").alias("ets"), "n_tok",
+    )
+    srcs = ev.filter(F.col("source").isNotNull()).select("source").distinct()
+    mx = ev.agg(F.max("lsn")).collect()[0][0]
+    t1, t2 = mx // 3, 2 * mx // 3
+    la = F.ascii(F.substring("source", -1, 1))
+
+    def _hist_ev(pairs, lsn):
+        # pairs: (hk string, vf long); weight is a pure function of the
+        # pair so duplicate upserts are value-identical
+        return pairs.select(
+            F.lit(lsn).cast("long").alias("stream_pos"),
+            F.lit(lsn).cast("long").alias("lsn"),
+            F.lit(0).cast("int").alias("seq"),
+            F.lit("U").alias("op"),
+            F.lit(None).cast("long").alias("rollback_to_lsn"),
+            F.concat("hk", F.lit("@"), F.col("vf").cast("string")).alias("doc_id"),
+            "hk",
+            "vf",
+            (F.length("hk") * 1000 + F.col("vf")).cast("long").alias("weight"),
+        )
+
+    jm = AsofJoinMV(
+        spark, fact, hist, os.path.join(work, "asof"), join_col="source",
+        ts_col="ets", hist_key_col="hk", hist_ts_col="vf",
+        fact_cols=["n_tok"], dim_cols=["weight"], n_buckets=8,
+    )
+    base = srcs.filter(la % 3 != 0).select(
+        F.col("source").alias("hk"), F.lit(0).cast("long").alias("vf")
+    ).unionByName(
+        srcs.select(F.col("source").alias("hk"),
+                    F.lit(t2).cast("long").alias("vf"))
+    ).distinct()
+    heng.apply_epoch(_hist_ev(base, 1), epoch_id=1)
+    feng.apply_epoch(fact_ev.filter(F.col("lsn") <= mid), epoch_id=1)
+    jm.run_once()
+    # round 2: the max/3 set lands LATE — a backfill between the
+    # existing breakpoints — while the changelog's second half churns
+    backfill = srcs.filter(la % 2 == 0).select(
+        F.col("source").alias("hk"), F.lit(t1).cast("long").alias("vf")
+    ).distinct()
+    heng.apply_epoch(_hist_ev(backfill, 2), epoch_id=2)
+    feng.apply_epoch(fact_ev.filter(F.col("lsn") > mid), epoch_id=2)
+    jm.run_once()
+    return jm.state().select(
+        "fact_id", "source", "ets", "n_tok", "vf", "weight"
+    )
+
+
+_ASOF_JOIN_MV_SQL = f"""
+WITH {_CHANGELOG_CTE},
+ev AS (
+  SELECT * FROM changelog
+  WHERE op IN ('I','U','D')
+    AND (op = 'D' OR (tokens IS NOT NULL AND n_tok = len(tokens)))
+),
+fin AS (
+  SELECT * FROM (
+    SELECT e.*, row_number() OVER (PARTITION BY doc_id ORDER BY stream_pos DESC) AS rn
+    FROM ev e) WHERE rn = 1 AND op <> 'D'
+),
+srcs AS (SELECT DISTINCT source FROM ev WHERE source IS NOT NULL),
+mx AS (SELECT max(lsn) AS m FROM ev),
+dimh AS (
+  SELECT DISTINCT hk, vf FROM (
+    SELECT source AS hk, (0)::BIGINT AS vf FROM srcs
+    WHERE ascii(right(source, 1)) % 3 <> 0
+    UNION ALL
+    SELECT source, ((SELECT m FROM mx) // 3)::BIGINT FROM srcs
+    WHERE ascii(right(source, 1)) % 2 = 0
+    UNION ALL
+    SELECT source, (2 * (SELECT m FROM mx) // 3)::BIGINT FROM srcs)
+),
+dimw AS (
+  SELECT hk, vf, (length(hk) * 1000 + vf)::BIGINT AS weight FROM dimh
+),
+resolved AS (
+  SELECT f.doc_id AS fact_id, f.source, f.lsn AS ets, f.n_tok, d.vf, d.weight,
+         row_number() OVER (PARTITION BY f.doc_id ORDER BY d.vf DESC) AS rn2
+  FROM fin f LEFT JOIN dimw d ON f.source = d.hk AND d.vf <= f.lsn
+)
+SELECT fact_id, source, ets, n_tok, vf, weight FROM resolved WHERE rn2 = 1
+"""
+
+
 def length_histogram_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Derived-group differential aggregate: an incrementally-
     maintained HISTOGRAM — the MV groups by an EXPRESSION over the
@@ -4475,6 +4611,7 @@ QUERIES: dict[str, callable] = {
     "join_agg_cascade_mv": join_agg_cascade_mv,
     "left_join_mv": left_join_mv,
     "full_outer_join_mv": full_outer_join_mv,
+    "asof_join_mv": asof_join_mv,
     "length_histogram_mv": length_histogram_mv,
     # returning from the r4 tail (driver-green r3, judge-local r4)
     "holder_detail_agg": relational.holder_detail_agg,
@@ -4792,6 +4929,7 @@ def oracle_sqls() -> dict[str, str]:
         "join_agg_cascade_mv": _JOIN_AGG_CASCADE_SQL,
         "left_join_mv": _LEFT_JOIN_MV_SQL,
         "full_outer_join_mv": _FULL_OUTER_JOIN_MV_SQL,
+        "asof_join_mv": _ASOF_JOIN_MV_SQL,
         "length_histogram_mv": _LEN_HIST_MV_SQL,
         "minmax_policy_table": _MINMAX_POLICY_SQL,
         "corpus_splits": _corpus_splits_sql(),

@@ -1167,3 +1167,267 @@ class FullOuterJoinMV(_PairCursor):
             )
         )
         return inner.unionByName(u_fact).unionByName(u_dim)
+
+
+class AsofJoinMV(_PairCursor):
+    """Incrementally-maintained LEFT AS-OF join: each fact row is
+    joined to the LATEST history row of its key whose ``hist_ts_col``
+    is ≤ the fact's ``ts_col`` (point-in-time semantics — ≙ the
+    reference's block-by-timestamp resolution, graph_operations.py:
+    44-120, but as a maintained MV; also the feature-store join a
+    training pipeline needs for leak-free feature snapshots). History
+    is an append-mostly table keyed by a surrogate id with
+    ``(hist_key_col, hist_ts_col)`` payload columns.
+
+    As-of is NOT bilinear in the history side (a new history row
+    steals wins from an older one), so the hop uses the exact
+    decomposition
+
+        Δ(A ⋈asof H) = ΔA ⋈asof H@old
+                     + A@new|K(ΔH) ⋈asof H@new  −  A@new|K(ΔH) ⋈asof H@old
+
+    leg1 resolves fact changes against the history snapshot pinned at
+    the old cursor. leg2 re-resolves ONLY the fact rows whose key is
+    touched by ΔH (probed from the version-pinned fact-side index,
+    bucket-pruned, semi-joined to ΔH's keys) against both pinned
+    history snapshots and emits the signed difference — unchanged
+    winners cancel in the fold. A history BACKFILL (a row inserted
+    with a ``hist_ts`` in the past) therefore retroactively rewrites
+    exactly the fact rows in its win window. Cost: O(ΔA + ΔH +
+    touched buckets) — never a scan of either input."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        fact_table,
+        hist_table,
+        root: str,
+        join_col: str,
+        ts_col: str,
+        hist_key_col: str,
+        hist_ts_col: str,
+        fact_cols: list[str],
+        dim_cols: list[str],
+        n_buckets: int = 8,
+    ):
+        from blockchain_etl_spark.cdc.apply import CdcEngine
+        from blockchain_etl_spark.tables.snapshot import SnapshotTable
+
+        self.spark = spark
+        self.fact, self.hist = fact_table, hist_table
+        self.join_col, self.ts_col = join_col, ts_col
+        self.hist_key_col, self.hist_ts_col = hist_key_col, hist_ts_col
+        self.fact_cols = list(fact_cols)
+        self.dim_cols = list(dim_cols)
+        fm, hm = fact_table.manifest(), hist_table.manifest()
+        self.fact_key = fm.key
+        self.fact_id_col = self.fact_key if self.fact_key != "doc_id" else "fact_id"
+        self.f_src_cols = [self.fact_key, join_col, ts_col, *self.fact_cols]
+        self.f_out_cols = [self.fact_id_col, join_col, ts_col, *self.fact_cols]
+        self.out_cols = [*self.f_out_cols, hist_ts_col, *self.dim_cols]
+        if len(set(self.out_cols)) != len(self.out_cols):
+            raise ValueError(f"output column collision: {self.out_cols}")
+        reserved = {"doc_id", "n_rows", *_META} & set(self.out_cols)
+        if reserved:
+            raise ValueError(f"reserved output column names: {sorted(reserved)}")
+        self.cursor_path = os.path.join(root, "asof_cursor.json")
+        self.idx = _SideIndex(
+            spark, fact_table, os.path.join(root, "idx_fact"), "asoffact",
+            join_col, [ts_col, *self.fact_cols], n_buckets=n_buckets,
+        )
+        path = os.path.join(root, "mv_asof")
+        t = SnapshotTable(spark, path)
+        if not t.exists():
+            ftypes = {f.name: f.dataType for f in fm.schema().fields}
+            htypes = {f.name: f.dataType for f in hm.schema().fields}
+            schema = T.StructType(
+                [T.StructField("doc_id", T.StringType())]
+                + [
+                    T.StructField(n, ftypes[c])
+                    for c, n in zip(self.f_src_cols, self.f_out_cols)
+                ]
+                + [T.StructField(hist_ts_col, htypes[hist_ts_col])]
+                + [T.StructField(c, htypes[c]) for c in self.dim_cols]
+                + [
+                    T.StructField("n_rows", T.LongType()),
+                    T.StructField("lsn", T.LongType()),
+                    T.StructField("seq", T.IntegerType()),
+                    T.StructField("updated_epoch", T.LongType()),
+                    T.StructField("deleted", T.BooleanType()),
+                ]
+            )
+            t = SnapshotTable.create(
+                spark, path, schema, key="doc_id", n_buckets=n_buckets,
+                policies={"n_rows": "add",
+                          **{c: "first" for c in self.out_cols}},
+            )
+        self.mv = t
+        self.engine = CdcEngine(spark, t, collect_metrics=False)
+
+    # ------------------------------------------------------------ pieces
+    def _hist_state(self, version: int, prune: DataFrame) -> DataFrame:
+        """History snapshot pinned at ``version``, bucket-pruned to
+        ``prune``'s key values when the table is bucketed by the
+        history key (a full pinned read otherwise — still correct)."""
+        from blockchain_etl_spark.cdc.apply import read_state
+        from blockchain_etl_spark.tables.snapshot import bucket_expr
+
+        m = self.hist.manifest()
+        buckets = None
+        if getattr(m, "bucket_key", None) == self.hist_key_col:
+            got = [
+                r["_b"]
+                for r in prune.dropna().select(
+                    bucket_expr(prune.columns[0], m.n_buckets).alias("_b")
+                ).distinct().collect()
+            ]
+            if not got:
+                return read_state(self.hist, version=version).limit(0)
+            buckets = got
+        return read_state(self.hist, version=version, buckets=buckets)
+
+    def _asof_out(self, facts: DataFrame, hist: DataFrame) -> DataFrame:
+        """One output row per input fact row (``_s`` propagated): the
+        fact columns plus the WINNING history row's ts + payload —
+        null-extended when no history row is ≤ the fact's ts. Winner
+        resolution happens per DISTINCT (join value, ts) pair, so fact
+        multiplicity is preserved without row ids."""
+        fjc, fts = self.join_col, self.ts_col
+        hkc, htc = self.hist_key_col, self.hist_ts_col
+        pairs = facts.select(fjc, fts).distinct().alias("p")
+        h = hist.alias("h")
+        win = (
+            pairs.join(
+                h,
+                (F.col(f"p.{fjc}") == F.col(f"h.{hkc}"))
+                & (F.col(f"h.{htc}") <= F.col(f"p.{fts}")),
+                "inner",
+            )
+            .groupBy(
+                F.col(f"p.{fjc}").alias("_wk"), F.col(f"p.{fts}").alias("_wt")
+            )
+            .agg(
+                F.max_by(
+                    F.struct(
+                        F.col(f"h.{htc}").alias(htc),
+                        *[F.col(f"h.{c}").alias(c) for c in self.dim_cols],
+                    ),
+                    # hist rows are unique per (key, ts) in a consistent
+                    # snapshot; lsn/seq make any residual tie stable
+                    F.struct(F.col(f"h.{htc}"), F.col("h.lsn"), F.col("h.seq")),
+                ).alias("_w")
+            )
+        )
+        # no broadcast hint: win is usually delta-sized (AQE will pick
+        # a broadcast) but a giant backfill window shouldn't OOM on one
+        j = facts.join(
+            win,
+            facts[fjc].eqNullSafe(win["_wk"]) & facts[fts].eqNullSafe(win["_wt"]),
+            "left",
+        )
+        named = [
+            facts[c].alias(n) for c, n in zip(self.f_src_cols, self.f_out_cols)
+        ]
+        return j.select(
+            *named,
+            F.col(f"_w.{htc}").alias(htc),
+            *[F.col(f"_w.{c}").alias(c) for c in self.dim_cols],
+            F.col("_s"),
+        )
+
+    # ------------------------------------------------------------ the hop
+    def run_once(self) -> dict[str, Any] | None:
+        a0, b0 = self._cursor()
+        a1 = self.fact.current_version()
+        b1 = self.hist.current_version()
+        if a1 <= a0 and b1 <= b0:
+            return None
+        self.idx.catch_up(a1)
+        legs = []
+        cached = []
+        if a1 > a0:
+            d_a = (
+                self.fact.read_changes(a0, a1)
+                .select(*self.f_src_cols, _sign().alias("_s"))
+                .persist()
+            )
+            cached.append(d_a)
+            h_old = self._hist_state(b0, d_a.select(self.join_col))
+            legs.append(self._asof_out(d_a, h_old))
+        if b1 > b0 and a1 > 0:
+            keys = (
+                self.hist.read_changes(b0, b1)
+                .select(F.col(self.hist_key_col).alias("_hk"))
+                .dropna()
+                .distinct()
+                .persist()
+            )
+            cached.append(keys)
+            probe = self.idx.state(
+                prune_values=keys.select(F.col("_hk").alias(self.join_col)),
+                version=self.idx.version_at(a1),
+            )
+            facts = probe.join(
+                F.broadcast(keys),
+                probe[self.join_col] == keys["_hk"],
+                "left_semi",
+            ).persist()
+            cached.append(facts)
+            h_old = self._hist_state(b0, keys)
+            h_new = self._hist_state(b1, keys)
+            legs.append(
+                self._asof_out(facts.withColumn("_s", F.lit(-1)), h_old)
+            )
+            legs.append(
+                self._asof_out(facts.withColumn("_s", F.lit(1)), h_new)
+            )
+        lsn = a1 + b1
+        metrics = None
+        if legs:
+            out = legs[0]
+            for leg in legs[1:]:
+                out = out.unionByName(leg)
+            folded = (
+                out.groupBy(_tuple_hash(self.out_cols).alias("doc_id"))
+                .agg(
+                    F.sum("_s").cast("long").alias("n_rows"),
+                    *[F.max(c).alias(c) for c in self.out_cols],
+                )
+                .filter(F.col("n_rows") != 0)
+            )
+            ev = folded.select(
+                F.lit(lsn).cast("long").alias("stream_pos"),
+                F.lit(lsn).cast("long").alias("lsn"),
+                F.lit(0).cast("int").alias("seq"),
+                F.lit("U").alias("op"),
+                F.lit(None).cast("long").alias("rollback_to_lsn"),
+                "doc_id",
+                *self.out_cols,
+                "n_rows",
+            )
+            digest = hashlib.md5(
+                f"asofjoinmv-{a0}-{a1}-{b0}-{b1}".encode()
+            ).digest()
+            metrics = self.engine.apply_epoch(
+                ev,
+                epoch_id=int.from_bytes(digest[:8], "big") >> 1,
+                lineage_extra={
+                    "join_a_to": a1, "join_a_from": a0,
+                    "join_b_to": b1, "join_b_from": b0,
+                },
+            )
+        self._commit_cursor(a1, b1)
+        for df in cached:
+            df.unpersist()
+        return metrics if metrics is not None else {
+            "deduped_range": [a0, a1, b0, b1]
+        }
+
+    def state(self) -> DataFrame:
+        """Live as-of tuples: every live fact row exactly once, with
+        the point-in-time history payload (nulls when none applies)."""
+        from blockchain_etl_spark.cdc.apply import read_state
+
+        return read_state(self.mv).filter(F.col("n_rows") > 0).select(
+            *self.out_cols
+        )

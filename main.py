@@ -205,11 +205,19 @@ def main(argv=None):
                     help="fact⋈dim only: maintain a fact-side secondary "
                     "index so the dim-delta leg probes index buckets "
                     "instead of scanning fact state")
-    sp.add_argument("--how", choices=["inner", "left", "full_outer"],
+    sp.add_argument("--how", choices=["inner", "left", "full_outer", "asof"],
                     default="inner",
                     help="fact⋈dim only: outer joins keep unmatched rows "
                     "null-extended via differentially-maintained "
-                    "unmatched-side Z-sets")
+                    "unmatched-side Z-sets; asof is the point-in-time "
+                    "join (latest B row at-or-before each A row's ts)")
+    sp.add_argument("--ts-col", default=None,
+                    help="asof only: A's event-time column")
+    sp.add_argument("--hist-key-col", default=None,
+                    help="asof only: B's entity-key column (B's own key "
+                    "is a surrogate history-row id)")
+    sp.add_argument("--hist-ts-col", default=None,
+                    help="asof only: B's valid-from column")
     sp.add_argument("--buckets", type=int, default=8)
 
     sp = sub.add_parser("changes", help="incremental change-log between two "
@@ -334,14 +342,24 @@ def main(argv=None):
         return 0
     if args.cmd == "mv-join":
         from blockchain_etl_spark.streaming.join_mv import (
-            FullOuterJoinMV, GeneralJoinMV, JoinMV, LeftJoinMV,
+            AsofJoinMV, FullOuterJoinMV, GeneralJoinMV, JoinMV, LeftJoinMV,
         )
 
         a = SnapshotTable(spark, args.a_table)
         b = SnapshotTable(spark, args.b_table)
         a_cols = [c for c in args.a_cols.split(",") if c]
         b_cols = [c for c in args.b_cols.split(",") if c]
-        if args.b_join_col in (None, b.manifest().key):
+        if args.how == "asof":
+            for req in ("ts_col", "hist_key_col", "hist_ts_col"):
+                if getattr(args, req) is None:
+                    raise SystemExit(f"--how asof requires --{req.replace('_','-')}")
+            mv = AsofJoinMV(spark, a, b, args.root,
+                            join_col=args.a_join_col, ts_col=args.ts_col,
+                            hist_key_col=args.hist_key_col,
+                            hist_ts_col=args.hist_ts_col,
+                            fact_cols=a_cols, dim_cols=b_cols,
+                            n_buckets=args.buckets)
+        elif args.b_join_col in (None, b.manifest().key):
             if args.how == "left":
                 mv = LeftJoinMV(spark, a, b, args.root,
                                 join_col=args.a_join_col,
