@@ -957,6 +957,130 @@ SELECT fact_id, source, ets, n_tok, vf, weight FROM resolved WHERE rn2 = 1
 """
 
 
+def range_join_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained RANGE (interval) join on a grid-cell
+    index (≙ the reference's block-height-window rules — alert
+    conditions like "amount in [lo, hi)" over a sliding band, but as a
+    maintained N:M MV). Facts carry v = n_tok; overlapping interval
+    bands land in round 1, then round 2 deletes every other band and
+    adds shifted ones while the changelog's second half churns the
+    fact side. Oracle: plain BETWEEN-style theta join of final
+    states."""
+    import os
+
+    import pyspark.sql.types as T
+
+    from blockchain_etl_spark.cdc.apply import CdcEngine
+    from blockchain_etl_spark.streaming.join_mv import RangeJoinMV
+    from blockchain_etl_spark.tables.snapshot import SnapshotTable
+
+    ev, mid = _changelog_valid(spark, sf_dir)
+    work = _pid_scoped_gate_dir("range-join-mv-gate")
+    fact_schema = T.StructType([
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("v", T.LongType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("lsn", T.LongType()),
+        T.StructField("seq", T.IntegerType()),
+        T.StructField("updated_epoch", T.LongType()),
+        T.StructField("deleted", T.BooleanType()),
+    ])
+    fact = SnapshotTable.create(
+        spark, os.path.join(work, "fact"), fact_schema, key="doc_id",
+        n_buckets=16,
+    )
+    feng = CdcEngine(spark, fact, mode="cow", collect_metrics=False)
+    ivl_schema = T.StructType([
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("lo", T.LongType()),
+        T.StructField("hi", T.LongType()),
+        T.StructField("w", T.LongType()),
+        T.StructField("lsn", T.LongType()),
+        T.StructField("seq", T.IntegerType()),
+        T.StructField("updated_epoch", T.LongType()),
+        T.StructField("deleted", T.BooleanType()),
+    ])
+    ivl = SnapshotTable.create(
+        spark, os.path.join(work, "ivl"), ivl_schema, key="doc_id",
+        n_buckets=4,
+    )
+    ieng = CdcEngine(spark, ivl, mode="cow", collect_metrics=False)
+    fact_ev = ev.select(
+        "stream_pos", "lsn", "seq", "op", "rollback_to_lsn", "doc_id",
+        F.col("n_tok").cast("long").alias("v"), "source",
+    )
+
+    def _ivl_ev(df, lsn, op):
+        return df.select(
+            F.lit(lsn).cast("long").alias("stream_pos"),
+            F.lit(lsn).cast("long").alias("lsn"),
+            F.col("id").cast("int").alias("seq"),
+            F.lit(op).alias("op"),
+            F.lit(None).cast("long").alias("rollback_to_lsn"),
+            F.col("ivl_id").alias("doc_id"),
+            F.col("lo").cast("long").alias("lo"),
+            F.col("hi").cast("long").alias("hi"),
+            F.col("w").cast("long").alias("w"),
+        )
+
+    jm = RangeJoinMV(
+        spark, fact, ivl, os.path.join(work, "rng"), val_col="v",
+        lo_col="lo", hi_col="hi", fact_cols=["source"], dim_cols=["w"],
+        cell_size=8, n_buckets=8,
+    )
+    band_a = spark.range(16).select(
+        "id", F.concat(F.lit("a"), F.col("id")).alias("ivl_id"),
+        (F.col("id") * 4).alias("lo"), (F.col("id") * 4 + 6).alias("hi"),
+        (F.col("id") + 100).alias("w"),
+    )
+    band_b = spark.range(8).select(
+        "id", F.concat(F.lit("b"), F.col("id")).alias("ivl_id"),
+        (F.col("id") * 8 + 2).alias("lo"), (F.col("id") * 8 + 9).alias("hi"),
+        (F.col("id") + 200).alias("w"),
+    )
+    ieng.apply_epoch(_ivl_ev(band_a, 1, "I"), epoch_id=1)
+    feng.apply_epoch(fact_ev.filter(F.col("lsn") <= mid), epoch_id=1)
+    jm.run_once()
+    ieng.apply_epoch(
+        _ivl_ev(band_a.filter(F.col("id") % 2 == 1), 2, "D").unionByName(
+            _ivl_ev(band_b, 3, "I")
+        ),
+        epoch_id=2,
+    )
+    feng.apply_epoch(fact_ev.filter(F.col("lsn") > mid), epoch_id=2)
+    jm.run_once()
+    return jm.state().select(
+        "fact_id", "v", "source", "ivl_id", "lo", "hi", "w"
+    )
+
+
+_RANGE_JOIN_MV_SQL = f"""
+WITH {_CHANGELOG_CTE},
+ev AS (
+  SELECT * FROM changelog
+  WHERE op IN ('I','U','D')
+    AND (op = 'D' OR (tokens IS NOT NULL AND n_tok = len(tokens)))
+),
+fin AS (
+  SELECT * FROM (
+    SELECT e.*, row_number() OVER (PARTITION BY doc_id ORDER BY stream_pos DESC) AS rn
+    FROM ev e) WHERE rn = 1 AND op <> 'D'
+),
+dimw AS (
+  SELECT 'a' || i::VARCHAR AS ivl_id, (4 * i)::BIGINT AS lo,
+         (4 * i + 6)::BIGINT AS hi, (100 + i)::BIGINT AS w
+  FROM generate_series(0, 15) AS t(i) WHERE i % 2 = 0
+  UNION ALL
+  SELECT 'b' || i::VARCHAR, (8 * i + 2)::BIGINT, (8 * i + 9)::BIGINT,
+         (200 + i)::BIGINT
+  FROM generate_series(0, 7) AS t(i)
+)
+SELECT f.doc_id AS fact_id, f.n_tok::BIGINT AS v, f.source,
+       d.ivl_id, d.lo, d.hi, d.w
+FROM fin f JOIN dimw d ON d.lo <= f.n_tok AND f.n_tok < d.hi
+"""
+
+
 def length_histogram_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Derived-group differential aggregate: an incrementally-
     maintained HISTOGRAM — the MV groups by an EXPRESSION over the
@@ -4612,6 +4736,7 @@ QUERIES: dict[str, callable] = {
     "left_join_mv": left_join_mv,
     "full_outer_join_mv": full_outer_join_mv,
     "asof_join_mv": asof_join_mv,
+    "range_join_mv": range_join_mv,
     "length_histogram_mv": length_histogram_mv,
     # returning from the r4 tail (driver-green r3, judge-local r4)
     "holder_detail_agg": relational.holder_detail_agg,
@@ -4930,6 +5055,7 @@ def oracle_sqls() -> dict[str, str]:
         "left_join_mv": _LEFT_JOIN_MV_SQL,
         "full_outer_join_mv": _FULL_OUTER_JOIN_MV_SQL,
         "asof_join_mv": _ASOF_JOIN_MV_SQL,
+        "range_join_mv": _RANGE_JOIN_MV_SQL,
         "length_histogram_mv": _LEN_HIST_MV_SQL,
         "minmax_policy_table": _MINMAX_POLICY_SQL,
         "corpus_splits": _corpus_splits_sql(),

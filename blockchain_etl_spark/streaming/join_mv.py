@@ -146,7 +146,16 @@ class _SideIndex:
         join_col: str,
         cols: list[str],
         n_buckets: int = 8,
+        derive=None,
+        derive_type: T.DataType | None = None,
     ):
+        """``derive`` (optional): a callable(df) -> df applied to the
+        source CDF before folding, ADDING the join column as a derived
+        expression over source columns — possibly 1:N (an explode; the
+        ``_change_type`` column must ride through). ``join_col`` then
+        names the derived column and ``derive_type`` gives its Spark
+        type. This is what lets an index key off a grid cell instead
+        of a stored column (range joins)."""
         from blockchain_etl_spark.cdc.apply import CdcEngine
         from blockchain_etl_spark.tables.snapshot import SnapshotTable
 
@@ -155,6 +164,7 @@ class _SideIndex:
         self.name = name
         self.join_col = join_col
         self.cols = list(cols)
+        self.derive = derive
         sm = source.manifest()
         self.src_key = sm.key
         # the index's own key is the tuple hash named doc_id (engine
@@ -167,6 +177,10 @@ class _SideIndex:
                 f"index columns must be distinct: {self.src_cols}"
             )
         stypes = {f.name: f.dataType for f in sm.schema().fields}
+        if derive is not None:
+            if derive_type is None:
+                raise ValueError("derive requires derive_type")
+            stypes[join_col] = derive_type
         t = SnapshotTable(spark, path)
         if not t.exists():
             schema = T.StructType(
@@ -205,9 +219,10 @@ class _SideIndex:
         frm = self.cursor()
         if to_version <= frm:
             return
-        d = self.source.read_changes(frm, to_version).filter(
-            F.col(self.join_col).isNotNull()
-        )
+        d = self.source.read_changes(frm, to_version)
+        if self.derive is not None:
+            d = self.derive(d)
+        d = d.filter(F.col(self.join_col).isNotNull())
         folded = (
             d.select(
                 *[
@@ -1426,6 +1441,237 @@ class AsofJoinMV(_PairCursor):
     def state(self) -> DataFrame:
         """Live as-of tuples: every live fact row exactly once, with
         the point-in-time history payload (nulls when none applies)."""
+        from blockchain_etl_spark.cdc.apply import read_state
+
+        return read_state(self.mv).filter(F.col("n_rows") > 0).select(
+            *self.out_cols
+        )
+
+
+def _cell_of(col: str, cell_size: int):
+    return F.floor(F.col(col) / F.lit(cell_size)).cast("long")
+
+
+def _explode_cells(lo_col: str, hi_col: str, cell_size: int):
+    """1:N derive for an interval-side index: replicate each [lo, hi)
+    row into every grid cell it overlaps (hi exclusive — the last cell
+    is the one holding hi-1). Degenerate/null intervals index nothing."""
+    def derive(df: DataFrame) -> DataFrame:
+        return (
+            df.filter(
+                F.col(lo_col).isNotNull()
+                & F.col(hi_col).isNotNull()
+                & (F.col(lo_col) < F.col(hi_col))
+            )
+            .withColumn(
+                "_cell",
+                F.explode(
+                    F.sequence(
+                        F.floor(F.col(lo_col) / F.lit(cell_size)).cast("long"),
+                        F.floor((F.col(hi_col) - 1) / F.lit(cell_size)).cast("long"),
+                    )
+                ),
+            )
+        )
+    return derive
+
+
+class RangeJoinMV(_PairCursor):
+    """Incrementally-maintained RANGE (interval) join: every (fact,
+    interval) pair with ``lo <= fact.<val_col> < hi``, N:M, from both
+    tables' change feeds. Range predicates can't hash-prune, so both
+    sides are indexed on a GRID CELL (``floor(value / cell_size)``):
+    the fact index keys each row by its value's cell; the interval
+    index replicates each interval into every cell it overlaps (the
+    classic grid decomposition — a fact's single cell meets exactly
+    the replicas of the intervals containing it, so no pair duplicates
+    and no post-join dedup). The join IS bilinear, so the hop is the
+    standard rule with version-pinned probes:
+
+        leg1 = ΔA ⋈ idx_B@old   (pruned to ΔA's cells)
+        leg2 = idx_A@new ⋈ ΔB   (pruned to ΔB's exploded cells)
+
+    Cost: O(ΔA + ΔB·spans + touched cells' bucket IO); interval-side
+    write amplification is (hi-lo)/cell_size replicas per interval —
+    pick cell_size near the median interval width."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        fact_table,
+        ivl_table,
+        root: str,
+        val_col: str,
+        lo_col: str,
+        hi_col: str,
+        fact_cols: list[str],
+        dim_cols: list[str],
+        cell_size: int,
+        n_buckets: int = 8,
+    ):
+        from blockchain_etl_spark.cdc.apply import CdcEngine
+        from blockchain_etl_spark.tables.snapshot import SnapshotTable
+
+        if cell_size <= 0:
+            raise ValueError("cell_size must be positive")
+        self.spark = spark
+        self.fact, self.ivl = fact_table, ivl_table
+        self.val_col, self.lo_col, self.hi_col = val_col, lo_col, hi_col
+        self.fact_cols = list(fact_cols)
+        self.dim_cols = list(dim_cols)
+        self.cell_size = cell_size
+        fm, im = fact_table.manifest(), ivl_table.manifest()
+        self.fact_key, self.ivl_key = fm.key, im.key
+        self.fact_id_col = self.fact_key if self.fact_key != "doc_id" else "fact_id"
+        self.ivl_id_col = self.ivl_key if self.ivl_key != "doc_id" else "ivl_id"
+        self.out_cols = [
+            self.fact_id_col, val_col, *self.fact_cols,
+            self.ivl_id_col, lo_col, hi_col, *self.dim_cols,
+        ]
+        if len(set(self.out_cols)) != len(self.out_cols) or "_cell" in (
+            val_col, lo_col, hi_col, *fact_cols, *dim_cols
+        ):
+            raise ValueError(f"output column collision: {self.out_cols}")
+        reserved = {"doc_id", "n_rows", *_META} & set(self.out_cols)
+        if reserved:
+            raise ValueError(f"reserved output column names: {sorted(reserved)}")
+        self.cursor_path = os.path.join(root, "range_cursor.json")
+        self.idx_a = _SideIndex(
+            spark, fact_table, os.path.join(root, "idx_fact"), "rngfact",
+            "_cell", [val_col, *self.fact_cols], n_buckets=n_buckets,
+            derive=lambda df: df.withColumn(
+                "_cell", _cell_of(val_col, cell_size)
+            ),
+            derive_type=T.LongType(),
+        )
+        self.idx_b = _SideIndex(
+            spark, ivl_table, os.path.join(root, "idx_ivl"), "rngivl",
+            "_cell", [lo_col, hi_col, *self.dim_cols], n_buckets=n_buckets,
+            derive=_explode_cells(lo_col, hi_col, cell_size),
+            derive_type=T.LongType(),
+        )
+        path = os.path.join(root, "mv_range")
+        t = SnapshotTable(spark, path)
+        if not t.exists():
+            ftypes = {f.name: f.dataType for f in fm.schema().fields}
+            itypes = {f.name: f.dataType for f in im.schema().fields}
+            schema = T.StructType(
+                [T.StructField("doc_id", T.StringType())]
+                + [T.StructField(n, ftypes[c]) for c, n in zip(
+                    (self.fact_key, val_col, *self.fact_cols),
+                    (self.fact_id_col, val_col, *self.fact_cols))]
+                + [T.StructField(n, itypes[c]) for c, n in zip(
+                    (self.ivl_key, lo_col, hi_col, *self.dim_cols),
+                    (self.ivl_id_col, lo_col, hi_col, *self.dim_cols))]
+                + [
+                    T.StructField("n_rows", T.LongType()),
+                    T.StructField("lsn", T.LongType()),
+                    T.StructField("seq", T.IntegerType()),
+                    T.StructField("updated_epoch", T.LongType()),
+                    T.StructField("deleted", T.BooleanType()),
+                ]
+            )
+            t = SnapshotTable.create(
+                spark, path, schema, key="doc_id", n_buckets=n_buckets,
+                policies={"n_rows": "add",
+                          **{c: "first" for c in self.out_cols}},
+            )
+        self.mv = t
+        self.engine = CdcEngine(spark, t, collect_metrics=False)
+
+    def _out(self, f_side, i_side, sign) -> DataFrame:
+        cols = (
+            [f_side[self.fact_key], f_side[self.val_col]]
+            + [f_side[c] for c in self.fact_cols]
+            + [i_side[self.ivl_key], i_side[self.lo_col], i_side[self.hi_col]]
+            + [i_side[c] for c in self.dim_cols]
+        )
+        named = [c.alias(n) for c, n in zip(cols, self.out_cols)]
+        return f_side.join(
+            i_side,
+            (f_side["_cell"] == i_side["_cell"])
+            & (i_side[self.lo_col] <= f_side[self.val_col])
+            & (f_side[self.val_col] < i_side[self.hi_col]),
+            "inner",
+        ).select(*named, sign.alias("_sign"))
+
+    def run_once(self) -> dict[str, Any] | None:
+        a0, b0 = self._cursor()
+        a1 = self.fact.current_version()
+        b1 = self.ivl.current_version()
+        if a1 <= a0 and b1 <= b0:
+            return None
+        # advance both indexes first; all probes below are pinned via
+        # version_at, so there is no trailing-advance discipline
+        self.idx_a.catch_up(a1)
+        self.idx_b.catch_up(b1)
+        legs = []
+        cached = []
+        if a1 > a0:
+            d_a = (
+                self.fact.read_changes(a0, a1)
+                .filter(F.col(self.val_col).isNotNull())
+                .withColumn("_cell", _cell_of(self.val_col, self.cell_size))
+                .persist()
+            )
+            cached.append(d_a)
+            b_old = self.idx_b.state(
+                prune_values=d_a.select("_cell"),
+                version=self.idx_b.version_at(b0),
+            )
+            legs.append(self._out(d_a.alias("l"), b_old.alias("r"), _sign()))
+        if b1 > b0:
+            d_b = _explode_cells(self.lo_col, self.hi_col, self.cell_size)(
+                self.ivl.read_changes(b0, b1)
+            ).persist()
+            cached.append(d_b)
+            a_new = self.idx_a.state(
+                prune_values=d_b.select("_cell"),
+                version=self.idx_a.version_at(a1),
+            )
+            legs.append(self._out(a_new.alias("l"), d_b.alias("r"), _sign()))
+        lsn = a1 + b1
+        metrics = None
+        if legs:
+            out = legs[0] if len(legs) == 1 else legs[0].unionByName(legs[1])
+            folded = (
+                out.groupBy(_tuple_hash(self.out_cols).alias("doc_id"))
+                .agg(
+                    F.sum("_sign").cast("long").alias("n_rows"),
+                    *[F.max(c).alias(c) for c in self.out_cols],
+                )
+                .filter(F.col("n_rows") != 0)
+            )
+            ev = folded.select(
+                F.lit(lsn).cast("long").alias("stream_pos"),
+                F.lit(lsn).cast("long").alias("lsn"),
+                F.lit(0).cast("int").alias("seq"),
+                F.lit("U").alias("op"),
+                F.lit(None).cast("long").alias("rollback_to_lsn"),
+                "doc_id",
+                *self.out_cols,
+                "n_rows",
+            )
+            digest = hashlib.md5(
+                f"rangejoinmv-{a0}-{a1}-{b0}-{b1}".encode()
+            ).digest()
+            metrics = self.engine.apply_epoch(
+                ev,
+                epoch_id=int.from_bytes(digest[:8], "big") >> 1,
+                lineage_extra={
+                    "join_a_to": a1, "join_a_from": a0,
+                    "join_b_to": b1, "join_b_from": b0,
+                },
+            )
+        self._commit_cursor(a1, b1)
+        for df in cached:
+            df.unpersist()
+        return metrics if metrics is not None else {
+            "deduped_range": [a0, a1, b0, b1]
+        }
+
+    def state(self) -> DataFrame:
+        """Live (fact, interval) pairs (multiplicity > 0)."""
         from blockchain_etl_spark.cdc.apply import read_state
 
         return read_state(self.mv).filter(F.col("n_rows") > 0).select(
