@@ -1081,6 +1081,111 @@ FROM fin f JOIN dimw d ON d.lo <= f.n_tok AND f.n_tok < d.hi
 """
 
 
+def hypertable_rollup_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-resolution time-bucket rollup (a hypertable continuous
+    aggregate, TimescaleDB-style): facts with event time ``ets`` fold
+    into 16-wide bucket sums, that MV's change feed folds into 64-wide
+    buckets, and that one into 256-wide — three chained differential
+    hops, each O(touched buckets), no level ever rescanned. A fine
+    refresh at level 1 ripples up as two tiny cascades instead of a
+    recompute. ``n_facts`` rides UP the cascade as an explicit measure
+    (each level's own ``n_rows`` counts the level below's ROWS, which
+    is history- not state-dependent). Oracle: one grouped aggregate of
+    final state at the coarsest resolution."""
+    import os
+
+    import pyspark.sql.types as T
+
+    from blockchain_etl_spark.cdc.apply import CdcEngine, read_state
+    from blockchain_etl_spark.streaming.aggregate_mv import (
+        agg_mv_transform,
+        create_agg_mv,
+    )
+    from blockchain_etl_spark.streaming.cascade import CascadeTailer
+    from blockchain_etl_spark.tables.snapshot import SnapshotTable
+
+    ev, mid = _changelog_valid(spark, sf_dir)
+    work = _pid_scoped_gate_dir("hypertable-rollup-gate")
+    fact_schema = T.StructType([
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("ets", T.LongType()),
+        T.StructField("n_tok", T.IntegerType()),
+        T.StructField("lsn", T.LongType()),
+        T.StructField("seq", T.IntegerType()),
+        T.StructField("updated_epoch", T.LongType()),
+        T.StructField("deleted", T.BooleanType()),
+    ])
+    fact = SnapshotTable.create(
+        spark, os.path.join(work, "fact"), fact_schema, key="doc_id",
+        n_buckets=16,
+    )
+    feng = CdcEngine(spark, fact, mode="cow", collect_metrics=False)
+    fact_ev = ev.select(
+        "stream_pos", "lsn", "seq", "op", "rollback_to_lsn", "doc_id",
+        F.col("lsn").alias("ets"), "n_tok",
+    )
+    # each level's own n_rows counts the level below's ROWS (history-,
+    # not state-dependent once buckets empty), so the true fact count
+    # rides up as an explicit measure: level 1's n_rows IS the live
+    # fact count per fine bucket, re-exported upward as n_facts
+    levels = [
+        ("ets DIV 16", {"sum_tok": "n_tok"}),
+        ("CAST(doc_id AS LONG) DIV 4", {"sum_tok": "sum_tok",
+                                        "n_facts": "n_rows"}),
+        ("CAST(doc_id AS LONG) DIV 4", {"sum_tok": "sum_tok",
+                                        "n_facts": "n_facts"}),
+    ]
+    tables, tailers = [fact], []
+    for i, (grp, meas) in enumerate(levels):
+        mv = create_agg_mv(
+            spark, os.path.join(work, f"lvl{i + 1}"), grp, meas,
+            n_buckets=4,
+        )
+        tailers.append(CascadeTailer(
+            tables[-1], CdcEngine(spark, mv, collect_metrics=False),
+            os.path.join(work, f"cur{i + 1}.json"),
+            transform=agg_mv_transform(grp, meas),
+        ))
+        tables.append(mv)
+
+    def _ripple():
+        for t in tailers:
+            t.run_once()
+
+    feng.apply_epoch(fact_ev.filter(F.col("lsn") <= mid), epoch_id=1)
+    _ripple()
+    feng.apply_epoch(fact_ev.filter(F.col("lsn") > mid), epoch_id=2)
+    _ripple()
+    lvl3 = tables[-1]
+    return (
+        read_state(lvl3)
+        .filter(F.col("n_facts") > 0)
+        .select(
+            F.col("doc_id").cast("long").alias("bucket"),
+            "n_facts",
+            "sum_tok",
+        )
+    )
+
+
+_HYPERTABLE_ROLLUP_SQL = f"""
+WITH {_CHANGELOG_CTE},
+ev AS (
+  SELECT * FROM changelog
+  WHERE op IN ('I','U','D')
+    AND (op = 'D' OR (tokens IS NOT NULL AND n_tok = len(tokens)))
+),
+fin AS (
+  SELECT * FROM (
+    SELECT e.*, row_number() OVER (PARTITION BY doc_id ORDER BY stream_pos DESC) AS rn
+    FROM ev e) WHERE rn = 1 AND op <> 'D'
+)
+SELECT (f.lsn // 256)::BIGINT AS bucket, count(*)::BIGINT AS n_facts,
+       sum(f.n_tok)::BIGINT AS sum_tok
+FROM fin f GROUP BY 1
+"""
+
+
 def length_histogram_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Derived-group differential aggregate: an incrementally-
     maintained HISTOGRAM — the MV groups by an EXPRESSION over the
@@ -4737,6 +4842,7 @@ QUERIES: dict[str, callable] = {
     "full_outer_join_mv": full_outer_join_mv,
     "asof_join_mv": asof_join_mv,
     "range_join_mv": range_join_mv,
+    "hypertable_rollup_mv": hypertable_rollup_mv,
     "length_histogram_mv": length_histogram_mv,
     # returning from the r4 tail (driver-green r3, judge-local r4)
     "holder_detail_agg": relational.holder_detail_agg,
@@ -5056,6 +5162,7 @@ def oracle_sqls() -> dict[str, str]:
         "full_outer_join_mv": _FULL_OUTER_JOIN_MV_SQL,
         "asof_join_mv": _ASOF_JOIN_MV_SQL,
         "range_join_mv": _RANGE_JOIN_MV_SQL,
+        "hypertable_rollup_mv": _HYPERTABLE_ROLLUP_SQL,
         "length_histogram_mv": _LEN_HIST_MV_SQL,
         "minmax_policy_table": _MINMAX_POLICY_SQL,
         "corpus_splits": _corpus_splits_sql(),
