@@ -98,6 +98,12 @@ HEADLINE_QUERIES = [
     # and the three-stage join→group-by differential cascade
     "nm_join_mv",
     "join_agg_cascade_mv",
+    # round 5, final additions: the 3-level rollup cascade represents
+    # the temporal/interval MV wave (asof/range join MVs are the same
+    # hop structure as incremental_join_mv, already benched; their
+    # build-demo gates cost 26-37s warm at sf0.1 — measured, left out
+    # of HEADLINE per the round-4 "bench hops, not table builds" rule)
+    "hypertable_rollup_mv",
 ]
 
 
