@@ -113,6 +113,23 @@ _SEP = "\x1f"
 _NULL = "\x00"
 
 
+MV_KEEP_VERSIONS = 50
+
+
+def _maybe_gc(tables, keep: int | None = None) -> None:
+    """Amortized version retention for the tables an MV OWNS (its Z-set
+    outputs and side indexes — never its inputs): once a table holds
+    more than 2×keep manifests, trim to the last ``keep``. Every pinned
+    read (``version_at``) targets cursor-adjacent versions, so keep=50
+    leaves orders of magnitude of margin; without this, a long-running
+    hop loop accumulates manifests and dead delta files O(hops)."""
+    if keep is None:
+        keep = MV_KEEP_VERSIONS
+    for t in tables:
+        if len(t.versions()) > 2 * keep:
+            t.gc(keep_last_versions=keep)
+
+
 def _sign():
     return F.when(
         F.col("_change_type").isin("insert", "update_postimage"), F.lit(1)
@@ -547,6 +564,7 @@ class JoinMV(_PairCursor):
             },
         )
         self._commit_cursor(a1, b1)
+        _maybe_gc([self.mv] + ([self.index.table] if self.index else []))
         for df in cached:
             df.unpersist()
         return metrics if metrics is not None else {"deduped_range": [a0, a1, b0, b1]}
@@ -726,6 +744,7 @@ class GeneralJoinMV(_PairCursor):
             },
         )
         self._commit_cursor(a1, b1)
+        _maybe_gc([self.mv, self.idx_a.table, self.idx_b.table])
         # trailing advance: next hop's B@old is this hop's B@new
         self.idx_b.catch_up(b1)
         for df in cached:
@@ -921,6 +940,7 @@ class LeftJoinMV(_PairCursor):
                 },
             )
         self._commit_cursor(a1, b1)
+        _maybe_gc([self.mv, self.idx.table])  # inner GCs its own
         for df in cached:
             df.unpersist()
         return metrics if metrics is not None else {
@@ -1142,6 +1162,7 @@ class FullOuterJoinMV(_PairCursor):
                 },
             )
         self._commit_cursor(a1, b1)
+        _maybe_gc([self.mv])  # left GCs its own + the index
         for df in cached:
             df.unpersist()
         return metrics if metrics is not None else {
@@ -1432,6 +1453,7 @@ class AsofJoinMV(_PairCursor):
                 },
             )
         self._commit_cursor(a1, b1)
+        _maybe_gc([self.mv, self.idx.table])
         for df in cached:
             df.unpersist()
         return metrics if metrics is not None else {
@@ -1664,6 +1686,7 @@ class RangeJoinMV(_PairCursor):
                 },
             )
         self._commit_cursor(a1, b1)
+        _maybe_gc([self.mv, self.idx_a.table, self.idx_b.table])
         for df in cached:
             df.unpersist()
         return metrics if metrics is not None else {

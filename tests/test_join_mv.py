@@ -369,3 +369,50 @@ def test_join_mv_across_upstream_reorg(spark, tmp_path):
         feng.apply_epoch(df, epoch_id=i)
         jm.run_once()
         assert _got(jm) == _recompute(fact, dim)
+
+
+def test_join_mv_version_retention(spark, tmp_path, monkeypatch):
+    """A long hop loop must not accumulate manifests/files O(hops): the
+    MV GCs the tables it OWNS (Z-set output + side index) once they
+    exceed 2x the retention window, and correctness + resume survive
+    because every pinned read targets cursor-adjacent versions."""
+    import blockchain_etl_spark.streaming.join_mv as jmv
+
+    monkeypatch.setattr(jmv, "MV_KEEP_VERSIONS", 2)
+    fact = SnapshotTable.create(
+        spark, str(tmp_path / "fact"), TARGET_SCHEMA, key="doc_id", n_buckets=4
+    )
+    dim = SnapshotTable.create(
+        spark, str(tmp_path / "dim"), DIM_SCHEMA, key="doc_id", n_buckets=2
+    )
+    feng = CdcEngine(spark, fact, collect_metrics=False)
+    deng = CdcEngine(spark, dim, collect_metrics=False)
+    jm = JoinMV(
+        spark, fact, dim, str(tmp_path / "jm"), join_col="source",
+        fact_cols=["n_tok"], dim_cols=["weight"], n_buckets=2, indexed=True,
+    )
+    deng.apply_epoch(spark.createDataFrame(
+        [(0, 1, 0, "U", None, "s1", 10)], DIM_EV), epoch_id=0)
+    for i in range(7):
+        feng.apply_epoch(events_to_df(spark, [
+            _frow(i, i + 1, 0, "I", f"d{i}", [i], "s1"),
+        ]), epoch_id=i)
+        jm.run_once()
+    # retention engaged: owned tables trimmed, inputs untouched
+    assert len(jm.mv.versions()) <= 5           # 2*keep + the hop's commit
+    assert len(jm.index.table.versions()) <= 5
+    assert len(fact.versions()) == 8            # inputs never GC'd (create + 7)
+    # correctness after GC, including a both-sided hop (pinned probes)
+    deng.apply_epoch(spark.createDataFrame(
+        [(1, 2, 0, "U", None, "s1", 11)], DIM_EV), epoch_id=1)
+    feng.apply_epoch(events_to_df(spark, [
+        _frow(7, 9, 0, "I", "d7", [7], "s1"),
+    ]), epoch_id=7)
+    assert jm.run_once() is not None
+    assert _got(jm) == _recompute(fact, dim)
+    # a fresh instance still resumes from the (trimmed) ledger
+    jm2 = JoinMV(
+        spark, fact, dim, str(tmp_path / "jm"), join_col="source",
+        fact_cols=["n_tok"], dim_cols=["weight"], n_buckets=2, indexed=True,
+    )
+    assert jm2.run_once() is None
