@@ -1186,6 +1186,147 @@ FROM fin f GROUP BY 1
 """
 
 
+def scd2_asof_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The leak-free feature-snapshot pipeline: dim CDF → SCD-2
+    historyize (append-only liveness-flagged history rows per hop) →
+    incremental AS-OF join, so every fact row carries the dim row AS IT
+    WAS at the fact's event time — deletes visible as dead markers
+    (null payload), later rebirths only affecting later facts. Two dim
+    commits (create-all at v1; reweight cp%3 / delete cp%4 at v2) each
+    ripple through one historyize hop; fact ts = event lsn, so facts at
+    lsn 1 see v1 payloads and lsn ≥ 2 see v2 where the key changed.
+    Oracle: windowed arg-max over a reconstructed two-version
+    history."""
+    import os
+
+    import pyspark.sql.types as T
+
+    from blockchain_etl_spark.cdc.apply import CdcEngine
+    from blockchain_etl_spark.streaming.cascade import CascadeTailer
+    from blockchain_etl_spark.streaming.history import (
+        create_history_table,
+        history_transform,
+    )
+    from blockchain_etl_spark.streaming.join_mv import AsofJoinMV
+    from blockchain_etl_spark.tables.snapshot import SnapshotTable
+
+    ev, mid = _changelog_valid(spark, sf_dir)
+    work = _pid_scoped_gate_dir("scd2-asof-gate")
+    fact_schema = T.StructType([
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("ets", T.LongType()),
+        T.StructField("n_tok", T.IntegerType()),
+        T.StructField("lsn", T.LongType()),
+        T.StructField("seq", T.IntegerType()),
+        T.StructField("updated_epoch", T.LongType()),
+        T.StructField("deleted", T.BooleanType()),
+    ])
+    fact = SnapshotTable.create(
+        spark, os.path.join(work, "fact"), fact_schema, key="doc_id",
+        n_buckets=16,
+    )
+    feng = CdcEngine(spark, fact, mode="cow", collect_metrics=False)
+    dim_schema = T.StructType([
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("weight", T.LongType()),
+        T.StructField("lsn", T.LongType()),
+        T.StructField("seq", T.IntegerType()),
+        T.StructField("updated_epoch", T.LongType()),
+        T.StructField("deleted", T.BooleanType()),
+    ])
+    dim = SnapshotTable.create(
+        spark, os.path.join(work, "dim"), dim_schema, key="doc_id", n_buckets=4
+    )
+    deng = CdcEngine(spark, dim, mode="cow", collect_metrics=False)
+    hist = create_history_table(
+        spark, os.path.join(work, "hist"), dim, ["weight"], n_buckets=4
+    )
+    tailer = CascadeTailer(
+        dim, CdcEngine(spark, hist, collect_metrics=False),
+        os.path.join(work, "hist_cursor.json"),
+        transform=history_transform(["weight"]),
+    )
+    jm = AsofJoinMV(
+        spark, fact, hist, os.path.join(work, "asof"), join_col="source",
+        ts_col="ets", hist_key_col="k", hist_ts_col="vf",
+        fact_cols=["n_tok"], dim_cols=["is_live", "weight"], n_buckets=8,
+    )
+    fact_ev = ev.select(
+        "stream_pos", "lsn", "seq", "op", "rollback_to_lsn", "doc_id",
+        "source", F.col("lsn").alias("ets"), "n_tok",
+    )
+    srcs = ev.filter(F.col("source").isNotNull()).select("source").distinct()
+    ln = F.length("source")
+    la = F.ascii(F.substring("source", -1, 1))
+
+    def _dim_ev(df, lsn, seq, op, weight_col):
+        return df.select(
+            F.lit(lsn).cast("long").alias("stream_pos"),
+            F.lit(lsn).cast("long").alias("lsn"),
+            F.lit(seq).cast("int").alias("seq"),
+            F.lit(op).alias("op"),
+            F.lit(None).cast("long").alias("rollback_to_lsn"),
+            F.col("source").alias("doc_id"),
+            weight_col.cast("long").alias("weight"),
+        )
+
+    # dim v1: every source at len*10 → historyize hop (vf=1)
+    deng.apply_epoch(_dim_ev(srcs, 1, 0, "U", ln * 10), epoch_id=1)
+    tailer.run_once()
+    feng.apply_epoch(fact_ev.filter(F.col("lsn") <= mid), epoch_id=1)
+    jm.run_once()
+    # dim v2: cp%4==0 deleted, cp%3==0 reweighted (+5) → hop (vf=2)
+    deng.apply_epoch(
+        _dim_ev(srcs.filter(la % 4 == 0), 2, 0, "D", F.lit(None)).unionByName(
+            _dim_ev(srcs.filter(la % 3 == 0), 2, 1, "U", ln * 10 + 5)
+        ),
+        epoch_id=2,
+    )
+    tailer.run_once()
+    feng.apply_epoch(fact_ev.filter(F.col("lsn") > mid), epoch_id=2)
+    jm.run_once()
+    return jm.state().select(
+        "fact_id", "source", "ets", "n_tok", "vf", "is_live", "weight"
+    )
+
+
+_SCD2_ASOF_SQL = f"""
+WITH {_CHANGELOG_CTE},
+ev AS (
+  SELECT * FROM changelog
+  WHERE op IN ('I','U','D')
+    AND (op = 'D' OR (tokens IS NOT NULL AND n_tok = len(tokens)))
+),
+fin AS (
+  SELECT * FROM (
+    SELECT e.*, row_number() OVER (PARTITION BY doc_id ORDER BY stream_pos DESC) AS rn
+    FROM ev e) WHERE rn = 1 AND op <> 'D'
+),
+srcs AS (SELECT DISTINCT source FROM ev WHERE source IS NOT NULL),
+hist AS (
+  SELECT source AS k, (1)::BIGINT AS vf, TRUE AS is_live,
+         (length(source) * 10)::BIGINT AS weight
+  FROM srcs
+  UNION ALL
+  SELECT source, (2)::BIGINT,
+         ascii(right(source, 1)) % 3 = 0,
+         CASE WHEN ascii(right(source, 1)) % 3 = 0
+              THEN (length(source) * 10 + 5)::BIGINT ELSE NULL END
+  FROM srcs
+  WHERE ascii(right(source, 1)) % 4 = 0 OR ascii(right(source, 1)) % 3 = 0
+),
+resolved AS (
+  SELECT f.doc_id AS fact_id, f.source, f.lsn AS ets, f.n_tok,
+         h.vf, h.is_live, h.weight,
+         row_number() OVER (PARTITION BY f.doc_id ORDER BY h.vf DESC) AS rn2
+  FROM fin f LEFT JOIN hist h ON f.source = h.k AND h.vf <= f.lsn
+)
+SELECT fact_id, source, ets, n_tok, vf, is_live, weight
+FROM resolved WHERE rn2 = 1
+"""
+
+
 def length_histogram_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Derived-group differential aggregate: an incrementally-
     maintained HISTOGRAM — the MV groups by an EXPRESSION over the
@@ -4843,6 +4984,7 @@ QUERIES: dict[str, callable] = {
     "asof_join_mv": asof_join_mv,
     "range_join_mv": range_join_mv,
     "hypertable_rollup_mv": hypertable_rollup_mv,
+    "scd2_asof_pipeline": scd2_asof_pipeline,
     "length_histogram_mv": length_histogram_mv,
     # returning from the r4 tail (driver-green r3, judge-local r4)
     "holder_detail_agg": relational.holder_detail_agg,
@@ -5163,6 +5305,7 @@ def oracle_sqls() -> dict[str, str]:
         "asof_join_mv": _ASOF_JOIN_MV_SQL,
         "range_join_mv": _RANGE_JOIN_MV_SQL,
         "hypertable_rollup_mv": _HYPERTABLE_ROLLUP_SQL,
+        "scd2_asof_pipeline": _SCD2_ASOF_SQL,
         "length_histogram_mv": _LEN_HIST_MV_SQL,
         "minmax_policy_table": _MINMAX_POLICY_SQL,
         "corpus_splits": _corpus_splits_sql(),

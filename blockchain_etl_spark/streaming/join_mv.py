@@ -1204,6 +1204,31 @@ class FullOuterJoinMV(_PairCursor):
         )
         return inner.unionByName(u_fact).unionByName(u_dim)
 
+    def right_state(self) -> DataFrame:
+        """The RIGHT OUTER view — inner tuples ∪ dim-unmatched rows —
+        for free from the same maintained pieces."""
+        from blockchain_etl_spark.cdc.apply import read_state
+
+        ftypes = {f.name: f.dataType for f in self.fact.manifest().schema().fields}
+        dtypes = {f.name: f.dataType for f in self.dim.manifest().schema().fields}
+        inner = self.left.inner.state().select(
+            self.fact_id_col, self.join_col, *self.fact_cols,
+            F.col(self.join_col).cast(dtypes[self.dim_key])
+            .alias(self.dim_id_col),
+            *self.dim_cols,
+        )
+        u_dim = (
+            read_state(self.mv)
+            .filter(F.col("n_rows") > 0)
+            .select(
+                F.lit(None).cast(ftypes[self.fact_key]).alias(self.fact_id_col),
+                F.lit(None).cast(ftypes[self.join_col]).alias(self.join_col),
+                *[F.lit(None).cast(ftypes[c]).alias(c) for c in self.fact_cols],
+                *self.ub_cols,
+            )
+        )
+        return inner.unionByName(u_dim)
+
 
 class AsofJoinMV(_PairCursor):
     """Incrementally-maintained LEFT AS-OF join: each fact row is

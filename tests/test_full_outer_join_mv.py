@@ -76,6 +76,10 @@ def test_full_outer_join_mv_three_regions(spark, tmp_path):
         ("c", None): (None, 3, None),
         (None, "s7"): (None, None, 70),
     }
+    # the RIGHT OUTER view: inner ∪ dim-unmatched, fact orphans gone
+    assert {
+        (r["fact_id"], r["dim_id"]) for r in jm.right_state().collect()
+    } == {("a", "s1"), (None, "s7")}
 
     # hop 2, both sides: dim s9 arrives (b's fact tuple flips matched,
     # NOT a dim-unmatched insert — cross-term: ΔB row lands while a0's
