@@ -136,6 +136,20 @@ def _sign():
     ).otherwise(F.lit(-1))
 
 
+def _empty_signed(spark: SparkSession, mv_table, out_cols: list[str]) -> DataFrame:
+    """A zero-row frame shaped like a join leg's output (``out_cols`` in
+    the MV's own column types plus ``_sign``) — the all-null-join-value
+    hop still commits, so cursor lineage advances."""
+    mtypes = {f.name: f.dataType for f in mv_table.manifest().schema().fields}
+    return spark.createDataFrame(
+        [],
+        T.StructType(
+            [T.StructField(c, mtypes[c]) for c in out_cols]
+            + [T.StructField("_sign", T.IntegerType())]
+        ),
+    )
+
+
 def _tuple_hash(cols: list[str]):
     return F.md5(
         F.concat_ws(_SEP, *[
@@ -534,7 +548,13 @@ class JoinMV(_PairCursor):
                 )
             )
         lsn = a1 + b1
-        out = legs[0] if len(legs) == 1 else legs[0].unionByName(legs[1])
+        if not legs:
+            # a hop can be all-null join values on the only changed side
+            # (nothing to join) — still commit zero rows so the cursor
+            # lineage advances (version_at pins depend on it)
+            out = _empty_signed(self.spark, self.mv, self.out_cols)
+        else:
+            out = legs[0] if len(legs) == 1 else legs[0].unionByName(legs[1])
         folded = (
             out.groupBy(_tuple_hash(self.out_cols).alias("doc_id"))
             .agg(
