@@ -99,3 +99,73 @@ def test_full_outer_random_walk(spark, tmp_path):
         )
         # the mirrors sanity-check the generator itself
         assert len([1 for (f, d) in got if f is not None]) == len(live_facts)
+
+
+def test_asof_random_walk(spark, tmp_path):
+    """As-of MV vs windowed recompute under random interleaving: fact
+    churn (inserts / ts moves / deletes), history appends at RANDOM
+    valid-froms (backfills land between existing breakpoints), and
+    occasional history retractions — the non-bilinear re-resolve leg
+    under adversarial schedules."""
+    from tests.test_asof_join_mv import (
+        FACT_EV, FACT_SCHEMA, HIST_EV, HIST_SCHEMA, _recompute, _got,
+    )
+    from blockchain_etl_spark.streaming.join_mv import AsofJoinMV
+
+    rng = random.Random(77)
+    fact = SnapshotTable.create(
+        spark, str(tmp_path / "fact"), FACT_SCHEMA, key="doc_id", n_buckets=4
+    )
+    hist = SnapshotTable.create(
+        spark, str(tmp_path / "hist"), HIST_SCHEMA, key="doc_id",
+        n_buckets=2, bucket_key="hk",
+    )
+    feng = CdcEngine(spark, fact, collect_metrics=False)
+    heng = CdcEngine(spark, hist, collect_metrics=False)
+    jm = AsofJoinMV(
+        spark, fact, hist, str(tmp_path / "asof"), join_col="k",
+        ts_col="ets", hist_key_col="hk", hist_ts_col="vf",
+        fact_cols=["val"], dim_cols=["weight"], n_buckets=2,
+    )
+    ks = ["k1", "k2", "k3"]
+    live_facts: dict[str, tuple] = {}
+    live_hist: set[tuple] = set()
+    for hop in range(8):
+        lsn = hop + 1
+        frows = []
+        for seq in range(rng.randint(1, 3)):
+            d = f"f{rng.randint(0, 9)}"
+            if d in live_facts and rng.random() < 0.3:
+                frows.append((lsn, lsn, seq, "D", None, d, None, None, None))
+                del live_facts[d]
+            else:
+                k = rng.choice(ks + [None])
+                t = rng.choice([None, rng.randint(0, 40)])
+                op = "U" if d in live_facts else "I"
+                frows.append((lsn, lsn, seq, op, None, d, k, t, rng.randint(1, 9)))
+                live_facts[d] = (k, t)
+        hrows = []
+        for seq in range(rng.randint(0, 2)):
+            k = rng.choice(ks)
+            if live_hist and rng.random() < 0.25:
+                kk, vf = rng.choice(sorted(live_hist))
+                hrows.append((lsn, lsn, seq, "D", None, f"{kk}@{vf}", kk, vf, None))
+                live_hist.discard((kk, vf))
+            else:
+                vf = rng.randint(0, 40)  # backfills welcome
+                if (k, vf) in live_hist:
+                    continue
+                hrows.append((lsn, lsn, seq, "I", None, f"{k}@{vf}", k, vf,
+                              vf * 100 + len(k)))
+                live_hist.add((k, vf))
+        if frows:
+            feng.apply_epoch(spark.createDataFrame(frows, FACT_EV), epoch_id=hop)
+        if hrows:
+            heng.apply_epoch(spark.createDataFrame(hrows, HIST_EV), epoch_id=hop)
+        jm.run_once()
+        got, ref = _got(jm), _recompute(fact, hist)
+        assert got == ref, (
+            f"divergence at hop {hop}:"
+            f"\nonly-mv={set(got.items()) - set(ref.items())}"
+            f"\nonly-ref={set(ref.items()) - set(got.items())}"
+        )
