@@ -205,12 +205,14 @@ def main(argv=None):
                     help="fact⋈dim only: maintain a fact-side secondary "
                     "index so the dim-delta leg probes index buckets "
                     "instead of scanning fact state")
-    sp.add_argument("--how", choices=["inner", "left", "full_outer", "asof"],
+    sp.add_argument("--how",
+                    choices=["inner", "left", "full_outer", "asof", "range"],
                     default="inner",
                     help="fact⋈dim only: outer joins keep unmatched rows "
                     "null-extended via differentially-maintained "
                     "unmatched-side Z-sets; asof is the point-in-time "
-                    "join (latest B row at-or-before each A row's ts)")
+                    "join (latest B row at-or-before each A row's ts); "
+                    "range is the interval join (A value in B's [lo, hi))")
     sp.add_argument("--ts-col", default=None,
                     help="asof only: A's event-time column")
     sp.add_argument("--hist-key-col", default=None,
@@ -218,6 +220,24 @@ def main(argv=None):
                     "is a surrogate history-row id)")
     sp.add_argument("--hist-ts-col", default=None,
                     help="asof only: B's valid-from column")
+    sp.add_argument("--lo-col", default=None, help="range only: B's lower bound")
+    sp.add_argument("--hi-col", default=None,
+                    help="range only: B's exclusive upper bound")
+    sp.add_argument("--cell-size", type=int, default=None,
+                    help="range only: grid cell width (near the median "
+                    "interval width); --a-join-col is A's VALUE column")
+    sp.add_argument("--buckets", type=int, default=8)
+
+    sp = sub.add_parser("historyize", help="SCD-2 from the change feed: "
+                        "maintain an append-only liveness-flagged history "
+                        "table of --src-table (one row per key per hop), "
+                        "the shape mv-join --how asof consumes; rerun → "
+                        "no-op (exactly-once cascade hop)")
+    sp.add_argument("--src-table", required=True)
+    sp.add_argument("--hist-table", required=True)
+    sp.add_argument("--cursor", required=True)
+    sp.add_argument("--payload-cols", default="",
+                    help="comma-separated source payload columns to carry")
     sp.add_argument("--buckets", type=int, default=8)
 
     sp = sub.add_parser("changes", help="incremental change-log between two "
@@ -359,6 +379,17 @@ def main(argv=None):
                             hist_ts_col=args.hist_ts_col,
                             fact_cols=a_cols, dim_cols=b_cols,
                             n_buckets=args.buckets)
+        elif args.how == "range":
+            from blockchain_etl_spark.streaming.join_mv import RangeJoinMV
+
+            for req in ("lo_col", "hi_col", "cell_size"):
+                if getattr(args, req) is None:
+                    raise SystemExit(f"--how range requires --{req.replace('_','-')}")
+            mv = RangeJoinMV(spark, a, b, args.root,
+                             val_col=args.a_join_col, lo_col=args.lo_col,
+                             hi_col=args.hi_col, fact_cols=a_cols,
+                             dim_cols=b_cols, cell_size=args.cell_size,
+                             n_buckets=args.buckets)
         elif args.b_join_col in (None, b.manifest().key):
             if args.how == "left":
                 mv = LeftJoinMV(spark, a, b, args.root,
@@ -406,6 +437,32 @@ def main(argv=None):
         print(json.dumps({
             "src_version": src.current_version(),
             "dst_version": dst.current_version(),
+            "metrics": metrics,
+        }, default=str))
+        return 0
+
+    if args.cmd == "historyize":
+        from blockchain_etl_spark.streaming.cascade import CascadeTailer
+        from blockchain_etl_spark.streaming.history import (
+            create_history_table,
+            history_transform,
+        )
+
+        src = SnapshotTable(spark, args.src_table)
+        payload = [c for c in args.payload_cols.split(",") if c]
+        hist = SnapshotTable(spark, args.hist_table)
+        if not hist.exists():
+            hist = create_history_table(
+                spark, args.hist_table, src, payload, n_buckets=args.buckets
+            )
+        engine = CdcEngine(spark, hist, collect_metrics=False)
+        metrics = CascadeTailer(
+            src, engine, args.cursor, transform=history_transform(payload)
+        ).run_once()
+        print(json.dumps({
+            "src_version": src.current_version(),
+            "hist_version": hist.current_version(),
+            "history_rows": read_state(hist).count(),
             "metrics": metrics,
         }, default=str))
         return 0
