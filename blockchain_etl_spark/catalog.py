@@ -3484,6 +3484,102 @@ FROM agg WHERE last_op <> 'D'
 """
 
 
+def kmv_policy_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approx-COUNT(DISTINCT) as a MERGEABLE column policy (``kmv<k>``,
+    the bottom-k sketch of Bar-Yossef et al. 2002; ≙ the reference's
+    holder/uniqueness counter hooks, postgres_hooks.py:43-96, where the
+    exact ``add`` counter over-counts revisits): each event carries a
+    single-hash sketch of its user; the engine's policy fold unions
+    sketches per key across two MOR epochs with a compaction between —
+    deterministic (md5, no RNG), so the oracle rebuilds the identical
+    sketch and the identical floor'd estimate as one grouped aggregate
+    over the flat event stream. Tombstoned keys carry their sketch
+    across delete→reinsert like ``add`` totals."""
+    import pyspark.sql.types as T
+
+    from blockchain_etl_spark.cdc.apply import CdcEngine, read_state
+    from blockchain_etl_spark.functions.sketch import (
+        kmv_estimate,
+        kmv_item,
+    )
+    from blockchain_etl_spark.tables.snapshot import SnapshotTable
+
+    k = 32
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    eid = F.col("event_id")
+    op = F.when(eid % 37 == 5, F.lit("D")).otherwise(F.lit("I"))
+    non_d = op != "D"
+    # the distinct entity: a synthetic visitor id with cardinality well
+    # above k in some groups (estimator path) and below in none-to-few
+    ev = e.select(
+        eid.cast("long").alias("stream_pos"),
+        eid.cast("long").alias("lsn"),
+        F.lit(0).cast("int").alias("seq"),
+        op.alias("op"),
+        F.lit(None).cast("long").alias("rollback_to_lsn"),
+        F.concat(F.lit("k-"), (F.col("user_id") % 24).cast("string")).alias("doc_id"),
+        F.when(non_d, F.lit(1)).cast("long").alias("n_events"),
+        F.when(non_d, kmv_item(F.floor(F.col("value") * 1000).cast("long"))).alias(
+            "uniq"
+        ),
+    )
+    mid = e.agg(F.max("event_id")).first()[0] // 2
+    schema = T.StructType([
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("uniq", T.ArrayType(T.StringType())),
+        T.StructField("lsn", T.LongType()),
+        T.StructField("seq", T.IntegerType()),
+        T.StructField("updated_epoch", T.LongType()),
+        T.StructField("deleted", T.BooleanType()),
+    ])
+    path = _pid_scoped_gate_dir("kmv-policy-gate")
+    table = SnapshotTable.create(
+        spark, path, schema, key="doc_id", n_buckets=8,
+        policies={"n_events": "add", "uniq": f"kmv{k}"},
+    )
+    eng = CdcEngine(spark, table, mode="mor", collect_metrics=False)
+    eng.apply_epoch(ev.filter(F.col("lsn") <= mid), epoch_id=1)
+    table.compact()  # sketch union must survive base+delta recombination
+    eng.apply_epoch(ev.filter(F.col("lsn") > mid), epoch_id=2)
+    st = read_state(table)
+    return st.select(
+        "doc_id",
+        "n_events",
+        F.size("uniq").cast("long").alias("n_sketch"),
+        kmv_estimate(F.col("uniq"), k).alias("est_distinct"),
+        F.concat_ws(",", "uniq").alias("sketch_csv"),
+    )
+
+
+def _kmv_policy_sql() -> str:
+    from blockchain_etl_spark.functions.sketch import kmv_estimate_sql
+
+    k = 32
+    est = kmv_estimate_sql("uniq", k)
+    return f"""
+WITH ev AS (
+  SELECT event_id AS eid,
+         'k-' || (user_id % 24)::VARCHAR AS doc_id,
+         CASE WHEN event_id % 37 = 5 THEN 'D' ELSE 'I' END AS op,
+         md5(floor(value * 1000)::BIGINT::VARCHAR) AS h
+  FROM events
+),
+agg AS (
+  SELECT doc_id,
+         sum(CASE WHEN op <> 'D' THEN 1 END)::BIGINT AS n_events,
+         list_slice(list_sort(list_distinct(list(h) FILTER (WHERE op <> 'D'))),
+                    1, {k}) AS uniq,
+         arg_max(op, eid) AS last_op
+  FROM ev GROUP BY doc_id
+)
+SELECT doc_id, n_events, len(uniq)::BIGINT AS n_sketch,
+       {est} AS est_distinct,
+       array_to_string(uniq, ',') AS sketch_csv
+FROM agg WHERE last_op <> 'D'
+"""
+
+
 def nft_tokenid_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """≙ EthNftTokenidAdapter (eth_nft_tokenid_adapter.py:188-313 +
     postgres_hooks.py:12-40): per (token_address, token_id) turnover /
@@ -4965,6 +5061,7 @@ QUERIES: dict[str, callable] = {
     "bpe_encode": bpe_encode,
     "holder_policy_table": holder_policy_table,
     "minmax_policy_table": minmax_policy_table,
+    "kmv_policy_table": kmv_policy_table,
     "nft_tokenid_stats": nft_tokenid_stats,
     "pii_redact": pii_redact,
     "lsh_index_probe": dedup.lsh_index_probe,
@@ -5308,6 +5405,7 @@ def oracle_sqls() -> dict[str, str]:
         "scd2_asof_pipeline": _SCD2_ASOF_SQL,
         "length_histogram_mv": _LEN_HIST_MV_SQL,
         "minmax_policy_table": _MINMAX_POLICY_SQL,
+        "kmv_policy_table": _kmv_policy_sql(),
         "corpus_splits": _corpus_splits_sql(),
         "explode_tokens": _EXPLODE_TOKENS_SQL,
         "decimal_vsum": _DECIMAL_VSUM_SQL,

@@ -212,8 +212,12 @@ def dedup_policy_fold(
         F.max(F.struct(sp, *[F.col(c) for c in carry])).alias("_w"),
         F.max(sp).alias("_sp"),
     ]
+    from blockchain_etl_spark.functions.sketch import kmv_agg, kmv_k
+
     for c, p in pol.items():
-        if p == "add":
+        if (k := kmv_k(p)) is not None:
+            aggs.append(kmv_agg(c, k).alias(c))
+        elif p == "add":
             aggs.append(F.sum(c).cast(dtypes[c]).alias(c))
         elif p == "min":
             aggs.append(F.min(c).alias(c))
@@ -779,7 +783,11 @@ class CdcEngine:
                     .otherwise(t_)
                     .alias(c)
                 )
-            if p == "add":
+            from blockchain_etl_spark.functions.sketch import kmv_k, kmv_merge_pair
+
+            if (k := kmv_k(p)) is not None:
+                e = kmv_merge_pair(t_, s_, k)
+            elif p == "add":
                 zero = F.lit(0).cast(ptypes[c])
                 e = (F.coalesce(t_, zero) + F.coalesce(s_, zero)).cast(ptypes[c])
             elif p == "min":

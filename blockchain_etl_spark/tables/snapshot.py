@@ -169,14 +169,31 @@ class SnapshotTable:
         bucket_key: str | None = None,
     ) -> "SnapshotTable":
         if policies:
-            fields = {f.name for f in schema.fields}
+            from blockchain_etl_spark.functions.sketch import kmv_k
+
+            fields = {f.name: f.dataType for f in schema.fields}
             bad = {
                 c: p
                 for c, p in policies.items()
-                if c not in fields or p not in ("add", "min", "max", "first", "last")
+                if c not in fields
+                or (
+                    p not in ("add", "min", "max", "first", "last")
+                    and kmv_k(p) is None
+                )
             }
             if bad:
                 raise ValueError(f"invalid merge policies: {bad}")
+            bad_kmv = {
+                c: p
+                for c, p in policies.items()
+                if kmv_k(p) is not None
+                and fields[c] != T.ArrayType(T.StringType(), True)
+                and fields[c] != T.ArrayType(T.StringType(), False)
+            }
+            if bad_kmv:
+                raise ValueError(
+                    f"kmv policy columns must be array<string>: {bad_kmv}"
+                )
         if bucket_key == key:
             bucket_key = None  # the default layout, not a secondary index
         if bucket_key is not None and bucket_key not in {
@@ -521,8 +538,12 @@ class SnapshotTable:
         aggs = [
             F.max(F.struct(*order, *[F.col(c) for c in plain])).alias("_w")
         ]
+        from blockchain_etl_spark.functions.sketch import kmv_agg, kmv_k
+
         for c, p in pol.items():
-            if p == "add":
+            if (k := kmv_k(p)) is not None:
+                aggs.append(kmv_agg(c, k).alias(c))
+            elif p == "add":
                 aggs.append(F.sum(c).cast(dtypes[c]).alias(c))
             elif p == "min":
                 aggs.append(F.min(c).alias(c))

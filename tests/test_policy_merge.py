@@ -328,3 +328,183 @@ def test_minmax_cdf_pandas_resolver_matches_batch(spark, tmp_path):
     }
     assert stream == batch
     assert batch
+
+
+# ------------------------------------------------------------------- kmv
+# KMV distinct-count sketch policy: union of per-event single-hash
+# sketches, k smallest kept — associative/commutative/idempotent, so
+# in-batch fold, MOR resolver, COW merge, compaction, and the CDF
+# pandas resolver must all land on the identical sketch.
+import hashlib
+
+
+def _md5(v: str) -> str:
+    return hashlib.md5(v.encode()).hexdigest()
+
+
+KMV_K = 2
+KMV_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.StringType()),
+    T.StructField("uniq", T.ArrayType(T.StringType())),
+    T.StructField("lsn", T.LongType()),
+    T.StructField("seq", T.IntegerType()),
+    T.StructField("updated_epoch", T.LongType()),
+    T.StructField("deleted", T.BooleanType()),
+])
+KMV_POLICIES = {"uniq": f"kmv{KMV_K}"}
+KMV_EV = T.StructType([
+    T.StructField("stream_pos", T.LongType()),
+    T.StructField("lsn", T.LongType()),
+    T.StructField("seq", T.IntegerType()),
+    T.StructField("op", T.StringType()),
+    T.StructField("rollback_to_lsn", T.LongType()),
+    T.StructField("doc_id", T.StringType()),
+    T.StructField("uniq", T.ArrayType(T.StringType())),
+])
+
+
+def _kmv_epochs():
+    # a: 3 distinct values (v1 twice — idempotent) + a null; k=2 keeps
+    # the 2 smallest hashes. b: value, tombstone, reinsert — the sketch
+    # CARRIES across delete→reinsert like 'add' totals.
+    return [
+        [
+            (0, 10, 0, "I", None, "a", [_md5("v1")]),
+            (1, 11, 0, "U", None, "a", [_md5("v2")]),
+            (1, 11, 0, "U", None, "a", [_md5("v2")]),  # redelivery
+            (2, 12, 0, "I", None, "b", [_md5("w1")]),
+        ],
+        [
+            (3, 13, 0, "U", None, "a", [_md5("v3")]),
+            (4, 14, 0, "U", None, "a", None),  # null contributes nothing
+            (5, 15, 0, "D", None, "b", None),
+        ],
+        [
+            (6, 16, 0, "I", None, "b", [_md5("w2")]),
+        ],
+    ]
+
+
+KMV_EXPECT = {
+    "a": sorted({_md5("v1"), _md5("v2"), _md5("v3")})[:KMV_K],
+    "b": sorted({_md5("w1"), _md5("w2")})[:KMV_K],
+}
+
+
+def _kmv_state(table):
+    return {
+        r["doc_id"]: list(r["uniq"]) for r in read_state(table).collect()
+    }
+
+
+@pytest.mark.parametrize("mode", ["mor", "cow"])
+def test_kmv_policy_mor_and_cow_agree(spark, tmp_path, mode):
+    t = SnapshotTable.create(
+        spark, str(tmp_path / mode), KMV_SCHEMA, n_buckets=4,
+        policies=KMV_POLICIES,
+    )
+    eng = CdcEngine(spark, t, mode=mode, collect_metrics=False)
+    for i, rows in enumerate(_kmv_epochs()):
+        eng.apply_epoch(spark.createDataFrame(rows, KMV_EV), i)
+    assert _kmv_state(t) == KMV_EXPECT
+
+
+def test_kmv_policy_compaction_preserves_sketch(spark, tmp_path):
+    t = SnapshotTable.create(
+        spark, str(tmp_path / "t"), KMV_SCHEMA, n_buckets=4,
+        policies=KMV_POLICIES,
+    )
+    eng = CdcEngine(spark, t, mode="mor", collect_metrics=False)
+    epochs = _kmv_epochs()
+    eng.apply_epoch(spark.createDataFrame(epochs[0], KMV_EV), 0)
+    t.compact()
+    for i, rows in enumerate(epochs[1:], start=1):
+        eng.apply_epoch(spark.createDataFrame(rows, KMV_EV), i)
+    assert _kmv_state(t) == KMV_EXPECT
+    t.compact()
+    assert _kmv_state(t) == KMV_EXPECT
+
+
+def test_kmv_cdf_pandas_resolver_matches_batch(spark, tmp_path):
+    from blockchain_etl_spark.sources.table_changes_source import (
+        TableChangesDataSource,
+    )
+
+    t = SnapshotTable.create(
+        spark, str(tmp_path / "t"), KMV_SCHEMA, n_buckets=4,
+        policies=KMV_POLICIES,
+    )
+    eng = CdcEngine(spark, t, mode="mor", collect_metrics=False)
+    for i, rows in enumerate(_kmv_epochs()):
+        eng.apply_epoch(spark.createDataFrame(rows, KMV_EV), i)
+    v0, v1 = 1, t.current_version()
+    batch = {
+        (r["_change_type"], r["doc_id"]): tuple(r["uniq"] or [])
+        for r in t.read_changes(v0, v1).collect()
+    }
+    spark.dataSource.register(TableChangesDataSource)
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    (
+        spark.readStream.format("table_changes")
+        .option("path", str(tmp_path / "t"))
+        .option("start_version", v0)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    stream = {
+        (r["_change_type"], r["doc_id"]): tuple(r["uniq"] or [])
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    assert stream == batch
+    assert batch
+
+
+def test_kmv_policy_requires_array_string_column(spark, tmp_path):
+    with pytest.raises(ValueError, match="array<string>"):
+        SnapshotTable.create(
+            spark, str(tmp_path / "bad"), MM_SCHEMA, n_buckets=4,
+            policies={"lo": "kmv8"},
+        )
+    with pytest.raises(ValueError, match="invalid merge policies"):
+        SnapshotTable.create(
+            spark, str(tmp_path / "bad2"), KMV_SCHEMA, n_buckets=4,
+            policies={"uniq": "kmv0"},
+        )
+
+
+def test_kmv_estimator_exact_below_k_and_deterministic(spark):
+    from blockchain_etl_spark.functions.sketch import (
+        kmv_estimate, kmv_estimate_sql, kmv_item, kmv_truncate,
+    )
+    import duckdb
+
+    k = 16
+    values = [f"u-{i}" for i in range(200)]
+    df = spark.createDataFrame([(v,) for v in values], ["v"])
+    sk = df.select(kmv_item(F.col("v")).alias("s")).agg(
+        kmv_truncate(F.flatten(F.collect_list("s")), k).alias("uniq")
+    )
+    row = sk.select(
+        F.size("uniq").alias("n"), kmv_estimate(F.col("uniq"), k).alias("est")
+    ).first()
+    assert row["n"] == k
+    # (k-1)/U with 200 true distinct: expect the right order of magnitude
+    assert 60 <= row["est"] <= 700
+    # the DuckDB twin computes the identical estimate from the same sketch
+    sketch = sk.first()["uniq"]
+    est_sql = kmv_estimate_sql("sk", k)
+    got = duckdb.sql(
+        f"SELECT {est_sql} AS est FROM (SELECT {sketch!r}::VARCHAR[] AS sk)"
+    ).fetchone()[0]
+    assert got == row["est"]
+    # below k the estimate IS the exact count
+    small = spark.createDataFrame([(f"x{i}",) for i in range(5)], ["v"])
+    sk2 = small.select(kmv_item(F.col("v")).alias("s")).agg(
+        kmv_truncate(F.flatten(F.collect_list("s")), k).alias("uniq")
+    )
+    assert sk2.select(kmv_estimate(F.col("uniq"), k)).first()[0] == 5
