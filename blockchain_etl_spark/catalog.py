@@ -378,6 +378,44 @@ FROM fin GROUP BY source
 """
 
 
+def pipeline_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consistent cross-DAG time travel: after TWO ingest+hop rounds,
+    pin the whole docs→doc_stats→source_stats closure at the FIRST
+    barrier (every entity's hop cursor aligned at the same upstream
+    version) and read the derived table as of that moment — later
+    commits invisible, no table read at a version its siblings don't
+    match (the multi-table consistency the reference gets for free from
+    one Postgres transaction per batch, re-established here across
+    independent table commits). Oracle: the stats recomputed over only
+    the first half of the event stream."""
+    pipe = _pipeline_gate(
+        spark, sf_dir, "pipeline-snapshot-gate", ["source_stats"]
+    )
+    first_barrier = min(pipe.consistent_barriers())
+    pins = pipe.snapshot(at_src_version=first_barrier)
+    return pipe.state_at("source_stats", pins).select(
+        F.col("doc_id").alias("source"), "n_docs", "total_tokens"
+    )
+
+
+_PIPELINE_SNAPSHOT_SQL = f"""
+WITH {_CHANGELOG_CTE},
+ev AS (
+  SELECT * FROM changelog
+  WHERE op IN ('I','U','D')
+    AND (op = 'D' OR (tokens IS NOT NULL AND n_tok = len(tokens)))
+),
+mx AS (SELECT max(lsn) // 2 AS mid FROM ev),
+s0 AS (
+  SELECT * FROM (
+    SELECT e.*, row_number() OVER (PARTITION BY doc_id ORDER BY stream_pos DESC) AS rn
+    FROM ev e, mx WHERE e.lsn <= mx.mid) WHERE rn = 1 AND op <> 'D'
+)
+SELECT source, count(*)::BIGINT AS n_docs, sum(n_tok)::BIGINT AS total_tokens
+FROM s0 GROUP BY source
+"""
+
+
 def incremental_agg_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Differential aggregate maintenance (the Materialize/DBSP shape;
     ≙ the reference's downstream per-source stat tables re-aggregated
@@ -1183,6 +1221,100 @@ fin AS (
 SELECT (f.lsn // 256)::BIGINT AS bucket, count(*)::BIGINT AS n_facts,
        sum(f.n_tok)::BIGINT AS sum_tok
 FROM fin f GROUP BY 1
+"""
+
+
+def gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled hourly series with LOCF (TimescaleDB's
+    ``time_bucket_gapfill`` + ``locf``; ≙ the reference's per-block
+    windows read as regular series by the alert adapter,
+    eth_alert_adapter.py — empty hours must exist for "per hour" rules
+    to fire). Dense grid per key from ``sequence()+explode`` of one
+    min/max row; ONE shuffle on the series key shared by the join and
+    the LOCF window; integer measures (cents) so any partitioning
+    reproduces the oracle bit-for-bit."""
+    from blockchain_etl_spark.operators import timeseries as TS
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    us = F.unix_micros(F.col("ts").cast("timestamp_ltz"))
+    prepared = e.select(
+        (F.col("user_id") % 16).alias("series_key"),
+        F.floor(us / F.lit(1000000.0)).alias("sec"),
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    out = TS.gapfill_locf(prepared, "series_key", "sec", "cents", step=3600)
+    # doubles on BOTH sides: pandas turns nullable ints into float64
+    # asymmetrically (DuckDB's window output lands float64 even with
+    # zero nulls) and the gate hashes dtype-strict — exact values, all
+    # well under 2^53
+    return out.select(
+        "series_key",
+        "bucket",
+        F.col("measure").cast("double").alias("measure"),
+        F.col("filled").cast("double").alias("filled"),
+        "is_gap",
+    )
+
+
+_GAPFILL_LOCF_SQL = """
+WITH obs AS (
+  SELECT user_id % 16 AS series_key,
+         (epoch_us(ts) // 1000000 // 3600) * 3600 AS bucket,
+         sum(floor(value * 100)::BIGINT) AS measure
+  FROM events GROUP BY 1, 2
+),
+rng AS (SELECT series_key, min(bucket) AS lo, max(bucket) AS hi FROM obs GROUP BY 1),
+grid AS (
+  SELECT series_key, unnest(generate_series(lo, hi, 3600)) AS bucket FROM rng
+)
+SELECT g.series_key, g.bucket, o.measure::DOUBLE AS measure,
+       (last_value(o.measure IGNORE NULLS) OVER (
+         PARTITION BY g.series_key ORDER BY g.bucket
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::DOUBLE AS filled,
+       o.measure IS NULL AS is_gap
+FROM grid g LEFT JOIN obs o USING (series_key, bucket)
+"""
+
+
+def time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-key time-weighted average over a left-closed step
+    function (TimescaleDB ``time_weight('locf', ...)``): each event's
+    value holds until the next event, TWA = Σ v·Δt / span. Integer
+    numerator/denominator (cents × seconds) with a (ts, event_id)
+    total order so equal-timestamp ties are deterministic; one shuffle
+    on the key, lead() and the aggregate share it."""
+    from blockchain_etl_spark.operators import timeseries as TS
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    us = F.unix_micros(F.col("ts").cast("timestamp_ltz"))
+    prepared = e.select(
+        (F.col("user_id") % 16).alias("series_key"),
+        F.floor(us / F.lit(1000000.0)).alias("sec"),
+        F.col("event_id").alias("eid"),
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    return TS.time_weighted_avg(prepared, "series_key", "sec", "cents", "eid")
+
+
+_TIME_WEIGHTED_AVG_SQL = """
+WITH ev AS (
+  SELECT user_id % 16 AS series_key,
+         epoch_us(ts) // 1000000 AS sec,
+         event_id AS eid,
+         floor(value * 100)::BIGINT AS cents
+  FROM events
+),
+stepped AS (
+  SELECT series_key, sec, cents,
+         lead(sec) OVER (PARTITION BY series_key ORDER BY sec, eid) AS next_sec
+  FROM ev
+)
+SELECT series_key,
+       sum(cents * (next_sec - sec))::BIGINT AS twa_num,
+       (max(next_sec) - min(sec))::BIGINT AS twa_den,
+       floor(sum(cents * (next_sec - sec)) / (max(next_sec) - min(sec)))::BIGINT AS twa
+FROM stepped WHERE next_sec IS NOT NULL
+GROUP BY series_key
 """
 
 
@@ -5081,6 +5213,9 @@ QUERIES: dict[str, callable] = {
     "asof_join_mv": asof_join_mv,
     "range_join_mv": range_join_mv,
     "hypertable_rollup_mv": hypertable_rollup_mv,
+    "gapfill_locf": gapfill_locf,
+    "time_weighted_avg": time_weighted_avg,
+    "pipeline_snapshot": pipeline_snapshot,
     "scd2_asof_pipeline": scd2_asof_pipeline,
     "length_histogram_mv": length_histogram_mv,
     # returning from the r4 tail (driver-green r3, judge-local r4)
@@ -5402,6 +5537,9 @@ def oracle_sqls() -> dict[str, str]:
         "asof_join_mv": _ASOF_JOIN_MV_SQL,
         "range_join_mv": _RANGE_JOIN_MV_SQL,
         "hypertable_rollup_mv": _HYPERTABLE_ROLLUP_SQL,
+        "gapfill_locf": _GAPFILL_LOCF_SQL,
+        "time_weighted_avg": _TIME_WEIGHTED_AVG_SQL,
+        "pipeline_snapshot": _PIPELINE_SNAPSHOT_SQL,
         "scd2_asof_pipeline": _SCD2_ASOF_SQL,
         "length_histogram_mv": _LEN_HIST_MV_SQL,
         "minmax_policy_table": _MINMAX_POLICY_SQL,

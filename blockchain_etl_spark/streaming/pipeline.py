@@ -505,3 +505,79 @@ class EntityPipeline:
 
     def state(self, name: str) -> DataFrame:
         return read_state(self.tables[name])
+
+    # -------------------------------------------------- consistent snapshot
+    def _hop_versions(self, name: str) -> dict[int, int]:
+        """upstream-version → this entity's hop-commit version, read
+        off the destination's manifest lineage (every cascade hop —
+        including a zero-row one — stamps ``cascade_to_version`` into
+        the atomic commit). Driver-side manifest walk, bounded by the
+        table's retained version history (``gc`` keeps the newest N —
+        older barriers age out of pinnability with their manifests)."""
+        t = self.tables[name]
+        out: dict[int, int] = {}
+        for v in t.versions():
+            got = t.manifest(v).lineage.get(CascadeTailer._CURSOR_KEY)
+            if got is not None:
+                out[int(got)] = v
+        return out
+
+    def consistent_barriers(self) -> dict[int, dict[str, int]]:
+        """Source versions at which the WHOLE requested closure is
+        mutually consistent, each mapped to its per-entity version
+        vector ``{entity: pinned_version}``.
+
+        A source version V is a barrier iff every entity has a hop
+        commit whose upstream cursor equals its parent's pin —
+        transitively down the tree (parent pin of a root child is V
+        itself; of a derived child, the parent's own pinned version).
+        A hop that batched several upstream commits skips the interior
+        versions: they are real source states but no derived version
+        corresponds to them, so they are correctly NOT barriers."""
+        maps = {name: self._hop_versions(name) for name in self.order}
+        candidates: set[int] = set()
+        for name in self.order:
+            if self.registry[name].upstream == ROOT:
+                candidates |= set(maps[name])
+        out: dict[int, dict[str, int]] = {}
+        for v in sorted(candidates):
+            vec: dict[str, int] = {}
+            for name in self.order:
+                up = self.registry[name].upstream
+                parent_pin = v if up == ROOT else vec.get(up)
+                pinned = None if parent_pin is None else maps[name].get(parent_pin)
+                if pinned is None:
+                    vec = {}
+                    break
+                vec[name] = pinned
+            if vec:
+                out[v] = vec
+        return out
+
+    def snapshot(self, at_src_version: int | None = None) -> dict[str, int]:
+        """Pin a cross-entity consistent read: the newest barrier ≤
+        ``at_src_version`` (default: the newest barrier at all). The
+        returned vector includes the source pin under ``ROOT``; feed
+        the entity versions to :meth:`state_at`. Raises if no barrier
+        qualifies (e.g. the pipeline never ran, or the manifests aged
+        out)."""
+        barriers = self.consistent_barriers()
+        ok = [
+            v
+            for v in barriers
+            if at_src_version is None or v <= at_src_version
+        ]
+        if not ok:
+            raise LookupError(
+                f"no consistent barrier at or below {at_src_version!r} "
+                f"(known barriers: {sorted(barriers)})"
+            )
+        v = max(ok)
+        return {ROOT: v, **barriers[v]}
+
+    def state_at(self, name: str, pins: dict[str, int]) -> DataFrame:
+        """Entity state at a snapshot vector from :meth:`snapshot` —
+        the same logical read as :meth:`state`, version-pinned."""
+        if name == ROOT:
+            return read_state(self.tables[ROOT], version=pins[ROOT])
+        return read_state(self.tables[name], version=pins[name])

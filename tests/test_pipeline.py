@@ -348,3 +348,61 @@ def test_band_index_tracks_updates_and_deletes(spark, tmp_path):
     pipe.run_once()
     assert set(bands()) == {f"x#b{b}" for b in range(MH_BANDS)}
     assert all(m is None for m in pipe.run_once().values())
+
+
+def test_consistent_snapshot_pins_whole_dag(spark, tmp_path):
+    """Cross-entity consistent read: barriers exist exactly at the
+    source versions where every hop in the closure committed; pinned
+    states reproduce what state() showed AT that moment, immune to
+    later commits; interior versions of a batched hop are not
+    barriers."""
+    from blockchain_etl_spark.streaming.pipeline import ROOT
+
+    root = SnapshotTable.create(
+        spark, str(tmp_path / "docs"), TARGET_SCHEMA, n_buckets=4
+    )
+    eng = CdcEngine(spark, root, collect_metrics=False)
+    epochs = generate_changelog(seed=11, n_epochs=3, p_reorg_epoch=0.0)
+    pipe = EntityPipeline(
+        spark, root, str(tmp_path), ["source_stats", "long_docs"]
+    )
+
+    # epoch 0 → hop; epochs 1+2 → ONE batched hop (interior version
+    # of the root is then un-pinnable, by design)
+    eng.apply_epoch(events_to_df(spark, epochs[0]), epoch_id=0)
+    pipe.run_once()
+    v_first = root.current_version()
+    mid_stats = {
+        (r["doc_id"], r["n_docs"], r["total_tokens"])
+        for r in pipe.state("source_stats").collect()
+    }
+    eng.apply_epoch(events_to_df(spark, epochs[1]), epoch_id=1)
+    v_interior = root.current_version()
+    eng.apply_epoch(events_to_df(spark, epochs[2]), epoch_id=2)
+    pipe.run_once()
+    v_last = root.current_version()
+
+    barriers = pipe.consistent_barriers()
+    assert set(barriers) == {v_first, v_last}
+    assert v_interior not in barriers
+
+    # pin at the first barrier: every entity reads as of THAT moment
+    pins = pipe.snapshot(at_src_version=v_first)
+    assert pins[ROOT] == v_first
+    pinned_stats = {
+        (r["doc_id"], r["n_docs"], r["total_tokens"])
+        for r in pipe.state_at("source_stats", pins).collect()
+    }
+    assert pinned_stats == mid_stats
+    # the pinned source state matches an engine re-read at that version
+    assert (
+        pipe.state_at(ROOT, pins).count()
+        == root.read(version=v_first).filter("NOT deleted").select("doc_id")
+        .distinct().count()
+    )
+    # and the DEFAULT snapshot is the newest barrier
+    assert pipe.snapshot()[ROOT] == v_last
+    # interior version → floors down to the previous barrier
+    assert pipe.snapshot(at_src_version=v_interior)[ROOT] == v_first
+    with pytest.raises(LookupError):
+        pipe.snapshot(at_src_version=v_first - 1)
