@@ -3616,6 +3616,85 @@ FROM agg WHERE last_op <> 'D'
 """
 
 
+def clustered_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable chunking end to end (≙ the reference's blknum-ranged
+    DB scans, eth_alert_adapter.py:113-168, served there by a Postgres
+    index; TimescaleDB chunk-exclusion shape): an engine table declared
+    ``cluster_by=ets, cluster_slab`` ingests two MOR epochs and
+    compacts — the rewrite splits every hash bucket into slab-wide
+    chunk files — then a time-ranged read prunes to the touched chunks
+    via manifest zone maps alone and returns the mid-window state. The
+    oracle replays last-writer state over the flat stream with the same
+    time filter. Values are updated ACROSS epochs while ``ets`` stays
+    immutable per key — the winner-safety contract the pruning rides."""
+    import pyspark.sql.types as T
+
+    from blockchain_etl_spark.cdc.apply import CdcEngine, read_state
+    from blockchain_etl_spark.tables.snapshot import SnapshotTable
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    eid = F.col("event_id")
+    op = F.when(eid % 41 == 7, F.lit("D")).otherwise(F.lit("I"))
+    non_d = op != "D"
+    # event time: immutable per key (derived from the key), spread over
+    # 0..9959 at every SF (event_id-derived keys — user_id cardinality
+    # is only 15 at sf0.001)
+    key_n = F.col("event_id") % 120
+    ets = ((key_n * 83) % 9960).cast("long")
+    ev = e.select(
+        eid.cast("long").alias("stream_pos"),
+        eid.cast("long").alias("lsn"),
+        F.lit(0).cast("int").alias("seq"),
+        op.alias("op"),
+        F.lit(None).cast("long").alias("rollback_to_lsn"),
+        F.concat(F.lit("c-"), key_n.cast("string")).alias("doc_id"),
+        ets.alias("ets"),
+        F.when(non_d, F.floor(F.col("value") * 100)).cast("long").alias("val"),
+    )
+    mid = e.agg(F.max("event_id")).first()[0] // 2
+    schema = T.StructType([
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("ets", T.LongType()),
+        T.StructField("val", T.LongType()),
+        T.StructField("lsn", T.LongType()),
+        T.StructField("seq", T.IntegerType()),
+        T.StructField("updated_epoch", T.LongType()),
+        T.StructField("deleted", T.BooleanType()),
+    ])
+    path = _pid_scoped_gate_dir("clustered-scan-gate")
+    table = SnapshotTable.create(
+        spark, path, schema, key="doc_id", n_buckets=8,
+        cluster_by="ets", cluster_slab=1000,
+    )
+    eng = CdcEngine(spark, table, mode="mor", collect_metrics=False)
+    eng.apply_epoch(ev.filter(F.col("lsn") <= mid), epoch_id=1)
+    table.compact()  # chunk-splitting rewrite
+    eng.apply_epoch(ev.filter(F.col("lsn") > mid), epoch_id=2)
+    lo, hi = 2000, 4999  # 3 of 10 slabs
+    return read_state(table, cluster_range=(lo, hi)).select(
+        "doc_id", "ets", "val"
+    )
+
+
+_CLUSTERED_SCAN_SQL = """
+WITH ev AS (
+  SELECT event_id AS eid,
+         'c-' || (event_id % 120)::VARCHAR AS doc_id,
+         (((event_id % 120) * 83) % 9960)::BIGINT AS ets,
+         CASE WHEN event_id % 41 = 7 THEN 'D' ELSE 'I' END AS op,
+         CASE WHEN event_id % 41 <> 7
+              THEN floor(value * 100)::BIGINT END AS val
+  FROM events
+),
+fin AS (
+  SELECT * FROM (
+    SELECT e.*, row_number() OVER (PARTITION BY doc_id ORDER BY eid DESC) AS rn
+    FROM ev e) WHERE rn = 1 AND op <> 'D'
+)
+SELECT doc_id, ets, val FROM fin WHERE ets BETWEEN 2000 AND 4999
+"""
+
+
 def kmv_policy_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approx-COUNT(DISTINCT) as a MERGEABLE column policy (``kmv<k>``,
     the bottom-k sketch of Bar-Yossef et al. 2002; ≙ the reference's
@@ -5194,6 +5273,7 @@ QUERIES: dict[str, callable] = {
     "holder_policy_table": holder_policy_table,
     "minmax_policy_table": minmax_policy_table,
     "kmv_policy_table": kmv_policy_table,
+    "clustered_scan": clustered_scan,
     "nft_tokenid_stats": nft_tokenid_stats,
     "pii_redact": pii_redact,
     "lsh_index_probe": dedup.lsh_index_probe,
@@ -5544,6 +5624,7 @@ def oracle_sqls() -> dict[str, str]:
         "length_histogram_mv": _LEN_HIST_MV_SQL,
         "minmax_policy_table": _MINMAX_POLICY_SQL,
         "kmv_policy_table": _kmv_policy_sql(),
+        "clustered_scan": _CLUSTERED_SCAN_SQL,
         "corpus_splits": _corpus_splits_sql(),
         "explode_tokens": _EXPLODE_TOKENS_SQL,
         "decimal_vsum": _DECIMAL_VSUM_SQL,

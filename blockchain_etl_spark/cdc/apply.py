@@ -65,6 +65,7 @@ def read_state(
     buckets: list[int] | None = None,
     columns: list[str] | None = None,
     key_range: tuple[str, str] | None = None,
+    cluster_range: tuple[int, int] | None = None,
 ) -> DataFrame:
     """Logical table state: tombstones filtered out. ``buckets`` prunes
     the read to the hash buckets of interest (point-lookup path: compute
@@ -74,7 +75,11 @@ def read_state(
     SnapshotTable.read)."""
     return (
         table.read(
-            version=version, buckets=buckets, columns=columns, key_range=key_range
+            version=version,
+            buckets=buckets,
+            columns=columns,
+            key_range=key_range,
+            cluster_range=cluster_range,
         )
         .filter(~F.col("deleted"))
         .drop("deleted")
@@ -316,7 +321,8 @@ class CdcEngine:
         # hash to the null bucket instead of its key's bucket, and a
         # later bucket-pruned read would miss the tombstone (silent key
         # resurrection). Reject instead; rejects are counted and DLQ'd.
-        bk = self.table.manifest().bucket_key
+        m = self.table.manifest()
+        bk = m.bucket_key
         if bk is not None:
             if bk not in df.columns:
                 raise ValueError(
@@ -324,6 +330,18 @@ class CdcEngine:
                     f"must carry the bucket_key column {bk!r}"
                 )
             base = base & F.col(bk).isNotNull()
+        # cluster_by (hypertable chunking) has the same contract for the
+        # same reason: a tombstone without its key's cluster value would
+        # land outside the key's chunk and a later chunk-pruned read
+        # could miss it (silent resurrection)
+        cb = m.cluster_by
+        if cb is not None:
+            if cb not in df.columns:
+                raise ValueError(
+                    f"events for cluster-chunked table {self.table.path} "
+                    f"must carry the cluster_by column {cb!r}"
+                )
+            base = base & F.col(cb).isNotNull()
         return base
 
     # ------------------------------------------------------------------ api
@@ -772,10 +790,12 @@ class CdcEngine:
             p = pol.get(c)
             s_, t_ = F.col(f"s.{c}"), F.col(f"t.{c}")
             if p is None:
-                if c == m.bucket_key:
-                    # the bucket routing column must survive deletes: a
-                    # tombstone written without it would land in the
-                    # null bucket, away from its key's live rows
+                if c == m.bucket_key or c == m.cluster_by:
+                    # the routing columns must survive deletes: a
+                    # tombstone without its bucket_key would land in the
+                    # null bucket away from its key's live rows; one
+                    # without its cluster value would land outside its
+                    # key's chunk and be pruned away by cluster_range
                     return F.when(takes_s, F.coalesce(s_, t_)).otherwise(t_).alias(c)
                 return (
                     F.when(tag.isin("insert", "update"), s_)

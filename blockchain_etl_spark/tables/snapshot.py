@@ -51,6 +51,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 _BUCKET_COL = "_bucket"
+_SLAB_COL = "_slab"
 
 
 class CommitConflictError(RuntimeError):
@@ -62,7 +63,9 @@ class CommitConflictError(RuntimeError):
 _STATS_COLS = ("lsn", "deleted")
 
 
-def _footer_stats(path: str, key: str | None = None) -> dict[str, Any] | None:
+def _footer_stats(
+    path: str, key: str | None = None, cluster: str | None = None
+) -> dict[str, Any] | None:
     """Per-file zone map read from the parquet footer — driver-side, no
     data pages touched (the same cost class as Iceberg collecting column
     metrics at write time). Records ``lsn: [min, max]``, ``deleted_any``,
@@ -71,7 +74,11 @@ def _footer_stats(path: str, key: str | None = None) -> dict[str, Any] | None:
     try:
         import pyarrow.parquet as pq
 
-        want = set(_STATS_COLS) | ({key} if key else set())
+        want = (
+            set(_STATS_COLS)
+            | ({key} if key else set())
+            | ({cluster} if cluster else set())
+        )
         md = pq.ParquetFile(path).metadata
         mins: dict[str, Any] = {}
         maxs: dict[str, Any] = {}
@@ -94,6 +101,8 @@ def _footer_stats(path: str, key: str | None = None) -> dict[str, Any] | None:
             stats["deleted_any"] = bool(maxs["deleted"])
         if key and key in mins:
             stats["key"] = [str(mins[key]), str(maxs[key])]
+        if cluster and cluster in mins:
+            stats["cluster"] = [int(mins[cluster]), int(maxs[cluster])]
         return stats or None
     except Exception:  # noqa: BLE001 — stats are an optimization, never fatal
         return None
@@ -135,6 +144,20 @@ class Manifest:
     # resolution inside a pruned read stays complete), and EVERY event —
     # including deletes — carries it non-null.
     bucket_key: str | None = None
+    # HYPERTABLE CHUNKING (≙ TimescaleDB chunks / Iceberg days()
+    # partitioning, under the hash buckets): a declared integral
+    # cluster column (typically event time). Every file's manifest
+    # entry carries its zone map for this column, and rewrites split
+    # each bucket's base data into ``cluster_slab``-wide chunk FILES —
+    # so ``read(cluster_range=...)`` prunes files and a time-ranged
+    # scan of a long-lived table opens only the touched chunks (one
+    # base file per bucket would otherwise span the whole history and
+    # be unprunable). Contract (the caller's, validated where cheap):
+    # the value is functionally determined by the key, immutable, and
+    # non-null on EVERY event including deletes — a tombstone outside
+    # its key's chunk could otherwise be pruned away (resurrection).
+    cluster_by: str | None = None
+    cluster_slab: int | None = None
 
     def bucket_col(self) -> str:
         """The column rows are hash-bucketed by (key unless overridden)."""
@@ -167,6 +190,8 @@ class SnapshotTable:
         n_buckets: int = 32,
         policies: dict[str, str] | None = None,
         bucket_key: str | None = None,
+        cluster_by: str | None = None,
+        cluster_slab: int | None = None,
     ) -> "SnapshotTable":
         if policies:
             from blockchain_etl_spark.functions.sketch import kmv_k
@@ -202,6 +227,23 @@ class SnapshotTable:
             raise ValueError(
                 f"bucket_key {bucket_key!r} is not a column of the schema"
             )
+        if cluster_slab is not None and cluster_by is None:
+            raise ValueError("cluster_slab requires cluster_by")
+        if cluster_by is not None:
+            ftypes = {f.name: f.dataType for f in schema.fields}
+            if cluster_by not in ftypes:
+                raise ValueError(
+                    f"cluster_by {cluster_by!r} is not a column of the schema"
+                )
+            if not isinstance(
+                ftypes[cluster_by], (T.LongType, T.IntegerType)
+            ):
+                raise ValueError(
+                    f"cluster_by {cluster_by!r} must be an integral column "
+                    f"(got {ftypes[cluster_by].simpleString()})"
+                )
+            if cluster_slab is not None and int(cluster_slab) <= 0:
+                raise ValueError(f"cluster_slab must be positive, got {cluster_slab}")
         os.makedirs(os.path.join(path, "data"), exist_ok=True)
         os.makedirs(os.path.join(path, "manifests"), exist_ok=True)
         t = cls(spark, path)
@@ -213,6 +255,8 @@ class SnapshotTable:
             schemas={"0": json.dumps(schema.jsonValue())},
             policies=dict(policies or {}),
             bucket_key=bucket_key,
+            cluster_by=cluster_by,
+            cluster_slab=int(cluster_slab) if cluster_slab is not None else None,
         )
         try:
             t._write_manifest(m)
@@ -238,6 +282,9 @@ class SnapshotTable:
                 ex.key != key
                 or ex.n_buckets != n_buckets
                 or ex.bucket_key != bucket_key
+                or ex.cluster_by != cluster_by
+                or ex.cluster_slab
+                != (int(cluster_slab) if cluster_slab is not None else None)
                 or ex.policies != dict(policies or {})
                 or ex.schemas[str(ex.schema_version)]
                 != json.dumps(schema.jsonValue())
@@ -399,6 +446,7 @@ class SnapshotTable:
         min_lsn_exclusive: int | None = None,
         columns: list[str] | None = None,
         key_range: tuple[str, str] | None = None,
+        cluster_range: tuple[int, int] | None = None,
     ) -> DataFrame:
         """Read a snapshot, optionally pruned to a set of buckets.
 
@@ -452,6 +500,26 @@ class SnapshotTable:
                 if not (f.get("stats") or {}).get("key")
                 or not (f["stats"]["key"][1] < lo or f["stats"]["key"][0] > hi)
             ]
+        if cluster_range is not None:
+            # hypertable chunk pruning: winner-safe under the cluster_by
+            # contract (the value is immutable per key and non-null on
+            # every row, tombstones included — so a key whose value is
+            # in range has ALL its rows in surviving files, and partially
+            # read out-of-range keys are removed by the row filter below)
+            if m.cluster_by is None:
+                raise ValueError(
+                    f"{self.path} has no cluster_by column — cluster_range "
+                    f"pruning needs one declared at create()"
+                )
+            clo, chi = cluster_range
+            files = [
+                f
+                for f in files
+                if not (f.get("stats") or {}).get("cluster")
+                or not (
+                    f["stats"]["cluster"][1] < clo or f["stats"]["cluster"][0] > chi
+                )
+            ]
         if min_lsn_exclusive is not None and not m.policies:
             # winner-safe ONLY for last-writer tables: a policy table's
             # fold (e.g. an "add" running total) depends on EVERY delta
@@ -495,12 +563,23 @@ class SnapshotTable:
             out = out.unionByName(p)
         if columns is not None:
             must = {m.key, "lsn", "seq", "updated_epoch", "deleted"}
+            if cluster_range is not None:
+                must.add(m.cluster_by)
             keep = [
                 f.name for f in cur.fields if f.name in must or f.name in set(columns)
             ]
             out = out.select(keep)
         if has_delta and resolve:
             out = self._resolve_last_writer(out, m)
+        if cluster_range is not None:
+            # row-level completion of the file prune: out-of-range keys
+            # whose files survived (zones overlap) drop here, AFTER the
+            # winner per key is resolved — never from partial row sets
+            out = out.filter(
+                F.col(m.cluster_by).between(
+                    F.lit(int(cluster_range[0])), F.lit(int(cluster_range[1]))
+                )
+            )
         return out
 
     def _resolve_last_writer(self, df: DataFrame, m: Manifest) -> DataFrame:
@@ -588,6 +667,8 @@ class SnapshotTable:
         key: str,
         sort_cols: list[str] | None = None,
         bucket_on: str | None = None,
+        cluster: str | None = None,
+        slab: int | None = None,
     ) -> list[dict[str, Any]]:
         """Write rows partitioned by bucket; return file entries.
 
@@ -604,10 +685,19 @@ class SnapshotTable:
         w = df.withColumn(
             _BUCKET_COL, bucket_expr(bucket_on or key, n_buckets)
         ).repartition(_BUCKET_COL)
+        part_cols = [_BUCKET_COL]
+        if cluster is not None and slab:
+            # hypertable chunking: one FILE per (bucket, slab) — the slab
+            # id is a derived copy, so the cluster column itself stays in
+            # the data pages (partitionBy drops only the derived column)
+            w = w.withColumn(
+                _SLAB_COL, F.floor(F.col(cluster) / F.lit(int(slab))).cast("long")
+            )
+            part_cols.append(_SLAB_COL)
         if sort_cols:
-            w = w.sortWithinPartitions(_BUCKET_COL, *sort_cols)
+            w = w.sortWithinPartitions(*part_cols, *sort_cols)
         (
-            w.write.partitionBy(_BUCKET_COL)
+            w.write.partitionBy(*part_cols)
             .mode("overwrite")
             .parquet(out)
         )
@@ -616,23 +706,27 @@ class SnapshotTable:
             if not bdir.startswith(f"{_BUCKET_COL}="):
                 continue
             b = int(bdir.split("=", 1)[1])
-            for fn in os.listdir(os.path.join(out, bdir)):
-                if fn.endswith(".parquet"):
-                    entries.append(
-                        {
-                            "path": f"data/{commit_dir}/{bdir}/{fn}",
-                            "bucket": b,
-                            "schema_version": None,  # stamped by caller
-                            "_full": os.path.join(out, bdir, fn),
-                        }
-                    )
+            for dirpath, _dirs, fns in os.walk(os.path.join(out, bdir)):
+                for fn in fns:
+                    if fn.endswith(".parquet"):
+                        full = os.path.join(dirpath, fn)
+                        entries.append(
+                            {
+                                "path": os.path.relpath(full, self.path),
+                                "bucket": b,
+                                "schema_version": None,  # stamped by caller
+                                "_full": full,
+                            }
+                        )
         # footer stats are pure I/O — a thread pool keeps commit latency
         # flat as bucket count grows (a 4096-bucket commit would other-
         # wise serialize thousands of footer reads on the driver)
         from concurrent.futures import ThreadPoolExecutor
 
         with ThreadPoolExecutor(max_workers=16) as pool:
-            stats = list(pool.map(lambda e: _footer_stats(e["_full"], key), entries))
+            stats = list(
+                pool.map(lambda e: _footer_stats(e["_full"], key, cluster), entries)
+            )
         for e, st in zip(entries, stats):
             e["stats"] = st
             del e["_full"]
@@ -641,7 +735,10 @@ class SnapshotTable:
     def overwrite(self, df: DataFrame, lineage: dict[str, Any] | None = None) -> int:
         """Replace the whole table content (bootstrap / tests)."""
         m = self.manifest()
-        entries = self._write_data(df, m.n_buckets, m.key, bucket_on=m.bucket_col())
+        entries = self._write_data(
+            df, m.n_buckets, m.key, bucket_on=m.bucket_col(),
+            cluster=m.cluster_by, slab=m.cluster_slab,
+        )
         for e in entries:
             e["schema_version"] = m.schema_version
         new = Manifest(
@@ -657,6 +754,8 @@ class SnapshotTable:
             lineage=lineage or {},
             policies=m.policies,
             bucket_key=m.bucket_key,
+            cluster_by=m.cluster_by,
+            cluster_slab=m.cluster_slab,
         )
         self._write_manifest(new)
         return new.version
@@ -686,7 +785,10 @@ class SnapshotTable:
             sv += 1
             schemas[str(sv)] = json.dumps(new_schema.jsonValue())
 
-        entries = self._write_data(df, m.n_buckets, m.key, bucket_on=m.bucket_col())
+        entries = self._write_data(
+            df, m.n_buckets, m.key, bucket_on=m.bucket_col(),
+            cluster=m.cluster_by, slab=m.cluster_slab,
+        )
         bset = set(buckets)
         for e in entries:
             e["schema_version"] = sv
@@ -712,6 +814,8 @@ class SnapshotTable:
             lineage=lineage or {},
             policies=m.policies,
             bucket_key=m.bucket_key,
+            cluster_by=m.cluster_by,
+            cluster_slab=m.cluster_slab,
         )
         self._write_manifest(new)
         return new.version
@@ -737,7 +841,10 @@ class SnapshotTable:
         if new_schema is not None and json.dumps(new_schema.jsonValue()) != m.schemas[str(sv)]:
             sv += 1
             schemas[str(sv)] = json.dumps(new_schema.jsonValue())
-        entries = self._write_data(df, m.n_buckets, m.key, bucket_on=m.bucket_col())
+        entries = self._write_data(
+            df, m.n_buckets, m.key, bucket_on=m.bucket_col(),
+            cluster=m.cluster_by,
+        )
         for e in entries:
             e["schema_version"] = sv
             e["kind"] = "delta"
@@ -758,6 +865,8 @@ class SnapshotTable:
             lineage=lineage or {},
             policies=m.policies,
             bucket_key=m.bucket_key,
+            cluster_by=m.cluster_by,
+            cluster_slab=m.cluster_slab,
         )
         self._write_manifest(new)
         return new.version
@@ -786,6 +895,8 @@ class SnapshotTable:
             m.key,
             sort_cols=[m.key, "lsn", "seq"] if cluster else None,
             bucket_on=m.bucket_col(),
+            cluster=m.cluster_by,
+            slab=m.cluster_slab,
         )
         tset = set(targets)
         for e in entries:
@@ -805,6 +916,8 @@ class SnapshotTable:
             lineage={"compaction": {"buckets": targets}},
             policies=m.policies,
             bucket_key=m.bucket_key,
+            cluster_by=m.cluster_by,
+            cluster_slab=m.cluster_slab,
         )
         self._write_manifest(new)
         return new.version
@@ -823,7 +936,10 @@ class SnapshotTable:
         if n_buckets == m.n_buckets:
             return m.version
         full = self.read(resolve=True)  # keep tombstone rows
-        entries = self._write_data(full, n_buckets, m.key, bucket_on=m.bucket_col())
+        entries = self._write_data(
+            full, n_buckets, m.key, bucket_on=m.bucket_col(),
+            cluster=m.cluster_by, slab=m.cluster_slab,
+        )
         for e in entries:
             e["schema_version"] = m.schema_version
             e["kind"] = "base"
@@ -840,6 +956,8 @@ class SnapshotTable:
             lineage={"rebucket": {"from": m.n_buckets, "to": n_buckets}},
             policies=m.policies,
             bucket_key=m.bucket_key,
+            cluster_by=m.cluster_by,
+            cluster_slab=m.cluster_slab,
         )
         self._write_manifest(new)
         return new.version
@@ -890,6 +1008,8 @@ class SnapshotTable:
             lineage={"cloned_from": self.path, "source_version": m.version},
             policies=m.policies,
             bucket_key=m.bucket_key,
+            cluster_by=m.cluster_by,
+            cluster_slab=m.cluster_slab,
         )
         t._write_manifest(new)
         uid_tmp = os.path.join(dst_path, "manifests", f"TABLE_ID.tmp-{uuid.uuid4().hex}")
@@ -922,6 +1042,8 @@ class SnapshotTable:
             lineage={**(lineage or {}), "rollback_of": cur.version, "rollback_to": version},
             policies=old.policies,
             bucket_key=old.bucket_key,
+            cluster_by=old.cluster_by,
+            cluster_slab=old.cluster_slab,
         )
         self._write_manifest(new)
         return new.version

@@ -50,8 +50,17 @@ def main(argv=None):
     sp.add_argument("--policies", default=None,
                     help='column merge policies as JSON, e.g. '
                          '\'{"n_xfers": "add", "first_seen": "first"}\' '
-                         '(add | min | max | first | last; '
+                         '(add | min | max | first | last | kmv<k>; '
                          'default last-writer rows)')
+    sp.add_argument("--cluster-by", default=None,
+                    help="integral column for hypertable chunking: base "
+                         "rewrites split each bucket into cluster-slab-"
+                         "wide chunk files and time-ranged reads prune "
+                         "them via manifest zone maps (value must be "
+                         "immutable per key and non-null on every event)")
+    sp.add_argument("--cluster-slab", type=int, default=None,
+                    help="chunk width in cluster_by units (requires "
+                         "--cluster-by)")
 
     sp = sub.add_parser("tail")
     sp.add_argument("--landing", required=True)
@@ -269,10 +278,13 @@ def main(argv=None):
     if args.cmd == "init":
         pol = json.loads(args.policies) if args.policies else None
         SnapshotTable.create(
-            spark, args.table, TARGET_SCHEMA, n_buckets=args.buckets, policies=pol
+            spark, args.table, TARGET_SCHEMA, n_buckets=args.buckets, policies=pol,
+            cluster_by=args.cluster_by, cluster_slab=args.cluster_slab,
         )
         print(json.dumps({"created": args.table, "buckets": args.buckets,
-                          "policies": pol or {}}))
+                          "policies": pol or {},
+                          "cluster_by": args.cluster_by,
+                          "cluster_slab": args.cluster_slab}))
         return 0
 
     if args.cmd in ("tail", "stream"):

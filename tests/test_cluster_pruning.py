@@ -1,0 +1,169 @@
+"""Hypertable chunking: a declared integral cluster column (event
+time) makes base rewrites split each bucket into slab-wide chunk FILES
+with manifest zone maps, and ``read(cluster_range=...)`` prunes files —
+a time-ranged scan of a long table opens only the touched chunks.
+Winner-safety rides the immutable-per-key / non-null contract (same
+shape as bucket_key): tombstones carry the value, so a delete can
+never be pruned away from its key's chunk."""
+
+import pyspark.sql.types as T
+import pytest
+from pyspark.sql import functions as F
+
+from blockchain_etl_spark.cdc.apply import CdcEngine, read_state
+from blockchain_etl_spark.tables.snapshot import SnapshotTable
+
+SCHEMA = T.StructType([
+    T.StructField("doc_id", T.StringType()),
+    T.StructField("ets", T.LongType()),
+    T.StructField("val", T.LongType()),
+    T.StructField("lsn", T.LongType()),
+    T.StructField("seq", T.IntegerType()),
+    T.StructField("updated_epoch", T.LongType()),
+    T.StructField("deleted", T.BooleanType()),
+])
+EV = T.StructType([
+    T.StructField("stream_pos", T.LongType()),
+    T.StructField("lsn", T.LongType()),
+    T.StructField("seq", T.IntegerType()),
+    T.StructField("op", T.StringType()),
+    T.StructField("rollback_to_lsn", T.LongType()),
+    T.StructField("doc_id", T.StringType()),
+    T.StructField("ets", T.LongType()),
+    T.StructField("val", T.LongType()),
+])
+
+SLAB = 100
+
+
+def _mk(spark, tmp_path, mode="mor", n_buckets=4):
+    t = SnapshotTable.create(
+        spark, str(tmp_path / f"t-{mode}"), SCHEMA, n_buckets=n_buckets,
+        cluster_by="ets", cluster_slab=SLAB,
+    )
+    return t, CdcEngine(spark, t, mode=mode, collect_metrics=False)
+
+
+def _events(spark, n=60, lsn0=0):
+    # key k-i lives forever at ets = i*17 % 600 (immutable per key)
+    rows = [
+        (lsn0 + i, lsn0 + i, 0, "I", None, f"k-{i:03d}", (i * 17) % 600, i)
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, EV)
+
+
+def _range_files(table, lo, hi):
+    m = table.manifest()
+    keep = [
+        f for f in m.files
+        if not (f.get("stats") or {}).get("cluster")
+        or not (f["stats"]["cluster"][1] < lo or f["stats"]["cluster"][0] > hi)
+    ]
+    return len(keep), len(m.files)
+
+
+@pytest.mark.parametrize("mode", ["mor", "cow"])
+def test_cluster_range_read_matches_full_filter(spark, tmp_path, mode):
+    t, eng = _mk(spark, tmp_path, mode)
+    eng.apply_epoch(_events(spark, 60), 0)
+    if mode == "mor":
+        t.compact()
+    eng.apply_epoch(_events(spark, 20, lsn0=100), 1)  # updates same keys
+    lo, hi = 100, 299
+    full = {
+        (r["doc_id"], r["ets"], r["val"])
+        for r in read_state(t).filter(F.col("ets").between(lo, hi)).collect()
+    }
+    pruned = {
+        (r["doc_id"], r["ets"], r["val"])
+        for r in read_state(t, cluster_range=(lo, hi)).collect()
+    }
+    assert pruned == full and full
+
+
+def test_chunked_rewrite_prunes_files(spark, tmp_path):
+    t, eng = _mk(spark, tmp_path, "mor")
+    eng.apply_epoch(_events(spark, 120), 0)
+    t.compact()
+    # 600-wide ets span / 100-wide slabs → ~6 chunk files per bucket
+    m = t.manifest()
+    per_bucket: dict[int, int] = {}
+    for f in m.files:
+        per_bucket[f["bucket"]] = per_bucket.get(f["bucket"], 0) + 1
+    assert max(per_bucket.values()) >= 4
+    # a one-slab range opens a small fraction of the files
+    kept, total = _range_files(t, 100, 199)
+    assert kept <= total // 3
+    # every file carries a cluster zone map
+    assert all((f.get("stats") or {}).get("cluster") for f in m.files)
+
+
+def test_tombstone_survives_chunk_pruning(spark, tmp_path):
+    """Delete a key, compact, then read ITS chunk with pruning — the
+    tombstone's carried ets keeps it inside the key's chunk, so the key
+    stays deleted (no resurrection through a pruned read)."""
+    t, eng = _mk(spark, tmp_path, "mor")
+    eng.apply_epoch(_events(spark, 60), 0)
+    t.compact()
+    victim, vets = "k-001", 17
+    d = [(200, 200, 0, "D", None, victim, vets, None)]
+    eng.apply_epoch(spark.createDataFrame(d, EV), 1)
+    rng = (0, 99)  # the victim's chunk
+    got = {
+        r["doc_id"] for r in read_state(t, cluster_range=rng).collect()
+    }
+    assert victim not in got
+    # and after folding the tombstone into the chunked base layout too
+    t.compact()
+    got2 = {
+        r["doc_id"] for r in read_state(t, cluster_range=rng).collect()
+    }
+    assert victim not in got2
+
+
+def test_cow_tombstone_carries_cluster_value(spark, tmp_path):
+    t, eng = _mk(spark, tmp_path, "cow")
+    eng.apply_epoch(_events(spark, 10), 0)
+    d = [(200, 200, 0, "D", None, "k-002", 34, None)]
+    eng.apply_epoch(spark.createDataFrame(d, EV), 1)
+    tomb = (
+        t.read(resolve=True)
+        .filter(F.col("doc_id") == "k-002")
+        .select("ets", "deleted")
+        .first()
+    )
+    assert tomb["deleted"] is True and tomb["ets"] == 34
+
+
+def test_null_cluster_value_rejected(spark, tmp_path):
+    t = SnapshotTable.create(
+        spark, str(tmp_path / "t"), SCHEMA, n_buckets=4,
+        cluster_by="ets", cluster_slab=SLAB,
+    )
+    eng = CdcEngine(spark, t, mode="mor", collect_metrics=True)
+    ok = _events(spark, 5)
+    bad = spark.createDataFrame(
+        [(900, 900, 0, "I", None, "k-bad", None, 1)], EV
+    )
+    metrics = eng.apply_epoch(ok.unionByName(bad), 0)
+    assert metrics["n_rejected"] == 1
+    assert read_state(t).filter("doc_id = 'k-bad'").count() == 0
+
+
+def test_create_validation(spark, tmp_path):
+    with pytest.raises(ValueError, match="integral"):
+        SnapshotTable.create(
+            spark, str(tmp_path / "a"), SCHEMA, cluster_by="doc_id"
+        )
+    with pytest.raises(ValueError, match="requires cluster_by"):
+        SnapshotTable.create(
+            spark, str(tmp_path / "b"), SCHEMA, cluster_slab=10
+        )
+    with pytest.raises(ValueError, match="positive"):
+        SnapshotTable.create(
+            spark, str(tmp_path / "c"), SCHEMA, cluster_by="ets", cluster_slab=0
+        )
+    with pytest.raises(ValueError, match="no cluster_by"):
+        t = SnapshotTable.create(spark, str(tmp_path / "d"), SCHEMA)
+        t.read(cluster_range=(0, 10))
