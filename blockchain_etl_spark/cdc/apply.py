@@ -602,6 +602,59 @@ class CdcEngine:
         self._log_metrics(metrics)
         return metrics
 
+    def backfill_epoch(
+        self,
+        events_df: DataFrame,
+        epoch_id: int,
+        lineage_extra: dict[str, Any] | None = None,
+    ) -> dict[str, Any] | None:
+        """Bulk load of FINALIZED history below the committed watermark
+        — the gap-fill path (history that predates the stream cursor,
+        or a range the retention GC already pruned from the change log;
+        ≙ the reference re-running an export over an old block range
+        into a live table, where the Postgres upsert just takes it).
+
+        Rides ``apply_epoch`` unchanged, because the engine's ordinary
+        semantics already make it safe for last-writer tables: per-key
+        (lsn, seq) dominance means an old row for a present key loses
+        as stale and an absent key inserts; the committed watermark
+        never regresses (monotone clamp), so the redelivery guard and
+        reorg-depth reasoning of the LIVE stream are untouched. What
+        this method adds is the CONTRACT:
+
+        - refused for policy tables — there, a row at or below the
+          watermark is indistinguishable from an at-least-once replay,
+          and folding it would double-count (apply_epoch silently drops
+          such rows; a backfill that silently does nothing is worse
+          than an error);
+        - refused if the batch carries reorg markers — backfill is for
+          finalized history; rollbacks belong to the live stream.
+
+        Visibility: version-domain consumers (``read_changes``, cascade
+        hops, MVs) SEE the backfill as an ordinary commit diff;
+        WAL-position deltas (``read_since_lsn``) correctly do NOT —
+        the rows' lsns are historical, below the requested floor."""
+        m = self.table.manifest()
+        if m.policies:
+            raise ValueError(
+                f"backfill into policy table {self.table.path} is unsafe: "
+                "rows at/below the watermark are indistinguishable from "
+                "redelivery and would double-count the folds — load into "
+                "a last-writer staging table and re-derive instead"
+            )
+        if "op" in events_df.columns and events_df.filter(
+            F.col("op") == "R"
+        ).limit(1).count():
+            raise ValueError(
+                "backfill batches must not carry reorg markers (op='R') — "
+                "backfill is for finalized history"
+            )
+        return self.apply_epoch(
+            events_df, epoch_id, lineage_extra={
+                **(lineage_extra or {}), "backfill": True,
+            },
+        )
+
     # ------------------------------------------------------------- lineage
     def _metrics_path(self) -> str:
         import os

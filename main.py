@@ -105,6 +105,19 @@ def main(argv=None):
     sp.add_argument("--table", required=True)
     sp.add_argument("--buckets", type=int, default=64)
 
+    sp = sub.add_parser("backfill", help="bulk-load FINALIZED history "
+                        "below the committed watermark into a live table "
+                        "(gap fill after retention / pre-cursor history): "
+                        "old rows lose to present keys, absent keys insert, "
+                        "the watermark never moves; refused for policy "
+                        "tables and reorg-marked batches")
+    sp.add_argument("--events", required=True,
+                    help="parquet dir of EVENT_SCHEMA rows to load")
+    sp.add_argument("--table", required=True)
+    sp.add_argument("--epoch-id", type=int, required=True,
+                    help="idempotency key: redelivering the same backfill "
+                         "with the same id is a no-op")
+
     sp = sub.add_parser("reconcile")
     sp.add_argument("--table", required=True)
     sp.add_argument("--store", required=True)
@@ -490,6 +503,24 @@ def main(argv=None):
         ).withColumn("deleted", F.lit(False))
         table.overwrite(final.select([f.name for f in TARGET_SCHEMA.fields]))
         print(json.dumps({"rows": table.read().count()}))
+        return 0
+
+    if args.cmd == "backfill":
+        from blockchain_etl_spark.cdc.apply import CdcEngine
+
+        table = SnapshotTable(spark, args.table)
+        if not table.exists():
+            print(json.dumps({"error": f"no table at {args.table}"}))
+            return 2
+        eng = CdcEngine(spark, table, collect_metrics=False)
+        events = spark.read.parquet(args.events)
+        metrics = eng.backfill_epoch(events, epoch_id=args.epoch_id)
+        print(json.dumps({
+            "backfilled": metrics is not None,
+            "metrics": metrics,
+            "watermark": table.manifest().watermark,
+            "version": table.current_version(),
+        }, default=str))
         return 0
 
     if args.cmd == "reconcile":
