@@ -1020,6 +1020,97 @@ class SnapshotTable:
         os.replace(uid_tmp, os.path.join(dst_path, "manifests", "TABLE_ID"))
         return t
 
+    def publish_from(self, stage: "SnapshotTable") -> int:
+        """Write-audit-publish (the Iceberg WAP pattern; ≙ the
+        reference's staged external-table load with done/fail dirs,
+        postgres_utils.py:197-306 — but atomic): adopt a staged clone's
+        commits into this table in ONE manifest swap.
+
+        Flow: ``stage = table.clone_at(stage_path)`` (hardlink fork) →
+        ingest/compact/evolve into the stage → run audits against the
+        stage's state → ``table.publish_from(stage)``. Readers of this
+        table never see an unaudited commit; a failed audit is "delete
+        the stage dir", with zero effect here.
+
+        Guarantees:
+        - **fast-forward only**: refuses (CommitConflictError) if this
+          table advanced past the fork point — the audit no longer
+          covers current state; re-fork and re-audit.
+        - **atomic**: data files are adopted by hardlink (same-volume;
+          copy fallback) BEFORE the manifest commit; the publish is the
+          usual CAS manifest swap, so a crash mid-adopt retries
+          idempotently and concurrent writers lose cleanly.
+        - **exactly-once composes**: the stage's ``applied_epochs``
+          ledger and watermark ride the published manifest, so a
+          tailer redelivering a staged epoch to the published table is
+          a no-op, and re-publishing the SAME stage head is too.
+        - the whole staged history squashes into one commit — CDF
+          readers see the net diff (the same shape a multi-version
+          ``read_changes`` range produces)."""
+        s_head = stage.manifest()
+        lin0 = stage.manifest(0).lineage or {}
+        if os.path.realpath(str(lin0.get("cloned_from", ""))) != os.path.realpath(
+            self.path
+        ):
+            raise ValueError(
+                f"stage {stage.path} was not cloned from {self.path} — "
+                "publish_from only adopts commits staged on a clone of "
+                "this table"
+            )
+        base = int(lin0["source_version"])
+        token = {"stage_uid": stage.table_uid(), "stage_version": s_head.version}
+        cur = self.manifest()
+        if cur.lineage.get("published") == token:
+            return cur.version  # redelivered publish — already adopted
+        if cur.version != base:
+            raise CommitConflictError(
+                f"{self.path} advanced to v{cur.version} since the stage "
+                f"forked at v{base} — the audit no longer covers current "
+                "state; re-fork and re-audit"
+            )
+        if s_head.version == 0:
+            return cur.version  # nothing staged
+        for f in s_head.files:
+            src = os.path.join(stage.path, f["path"])
+            dst = os.path.join(self.path, f["path"])
+            if os.path.exists(dst):
+                continue  # shared since the fork (clone hardlinked it)
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            try:
+                os.link(src, dst)
+            except FileExistsError:
+                pass  # crash-retry of a previous adopt — idempotent
+            except OSError:
+                shutil.copy2(src, dst)
+        new = Manifest(
+            version=cur.version + 1,
+            key=s_head.key,
+            n_buckets=s_head.n_buckets,
+            schema_version=s_head.schema_version,
+            schemas=s_head.schemas,
+            files=[dict(f) for f in s_head.files],
+            watermark=s_head.watermark,
+            applied_epochs=s_head.applied_epochs,
+            parent=cur.version,
+            lineage={
+                "published": token,
+                "staged_from": stage.path,
+                "staged_commits": s_head.version,
+            },
+            policies=s_head.policies,
+            bucket_key=s_head.bucket_key,
+            cluster_by=s_head.cluster_by,
+            cluster_slab=s_head.cluster_slab,
+        )
+        try:
+            self._write_manifest(new)
+        except CommitConflictError:
+            cur2 = self.manifest()
+            if cur2.lineage.get("published") == token:
+                return cur2.version  # a competitor published this stage
+            raise
+        return new.version
+
     def rollback_to_version(self, version: int, lineage: dict[str, Any] | None = None) -> int:
         """Commit a new manifest pointing at an old snapshot (time travel).
 

@@ -163,6 +163,13 @@ def main(argv=None):
     sp.add_argument("--dst", required=True)
     sp.add_argument("--version", type=int, default=None)
 
+    sp = sub.add_parser("publish", help="write-audit-publish: atomically "
+                        "adopt the commits staged on a clone (made with "
+                        "`clone`) back into the source table — fast-"
+                        "forward only, exactly-once, one manifest swap")
+    sp.add_argument("--table", required=True, help="the table to publish INTO")
+    sp.add_argument("--stage", required=True, help="the audited clone")
+
     sp = sub.add_parser("vacuum")
     sp.add_argument("--table", required=True)
     sp.add_argument("--older-than-lsn", type=int, required=True)
@@ -572,6 +579,11 @@ def main(argv=None):
         c = table.clone_at(args.dst, version=args.version)
         print(json.dumps({"cloned": args.dst,
                           "source_version": c.manifest().lineage["source_version"]}))
+    elif args.cmd == "publish":
+        stage = SnapshotTable(spark, args.stage)
+        v = table.publish_from(stage)
+        print(json.dumps({"published": True, "version": v,
+                          "rows": table.read().filter("NOT deleted").count()}))
     elif args.cmd == "vacuum":
         v = table.vacuum_tombstones(args.older_than_lsn)
         print(json.dumps({"version": v}))
