@@ -104,6 +104,11 @@ HEADLINE_QUERIES = [
     # build-demo gates cost 26-37s warm at sf0.1 — measured, left out
     # of HEADLINE per the round-4 "bench hops, not table builds" rule)
     "hypertable_rollup_mv",
+    # round 5, continuation wave: pure-query time-series rows (the
+    # kmv/clustered_scan/pipeline_snapshot/backfill/WAP gates are
+    # table-BUILD demos — parity-only, same rule as asof/range)
+    "gapfill_locf",
+    "time_weighted_avg",
 ]
 
 
