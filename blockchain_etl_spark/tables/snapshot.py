@@ -1020,6 +1020,62 @@ class SnapshotTable:
         os.replace(uid_tmp, os.path.join(dst_path, "manifests", "TABLE_ID"))
         return t
 
+    def drop_chunks(self, below: int) -> int:
+        """Time-based retention for a cluster-chunked table (TimescaleDB
+        ``drop_chunks`` / Delta ``REPLACE WHERE`` delete, by manifest
+        math alone): commit a manifest that excludes every file whose
+        cluster zone map proves ALL its rows sit below ``below`` —
+        dropping a month of history is a metadata operation, zero
+        rewrite, files reclaimed by gc(). ≙ the reference's ledger TTL
+        (load.py:45) applied to the table itself.
+
+        Best-effort by FILE, exact after compaction: un-slabbed delta
+        files mixing retained and expired rows survive whole (the
+        immutable-per-key contract means a RETAINED key never loses
+        rows — only files wholly below the bound drop); the next
+        ``compact()`` re-slabs survivors so the following drop is
+        exact. Files without stats are kept, conservatively.
+
+        Change-feed honesty: the retention commit is an ordinary
+        commit — ``read_changes`` spanning it reports the expired keys
+        as deletes. Downstream MVs therefore RETRACT expired history;
+        consumers that must keep lifetime aggregates across retention
+        (the continuous-aggregate contract) should hop PAST their
+        cursor before the source drops, or read the level above."""
+        m = self.manifest()
+        if m.cluster_by is None:
+            raise ValueError(
+                f"{self.path} has no cluster_by column — drop_chunks "
+                "retention needs hypertable chunking declared at create()"
+            )
+        keep, dropped = [], 0
+        for f in m.files:
+            cz = (f.get("stats") or {}).get("cluster")
+            if cz and cz[1] < below:
+                dropped += 1
+            else:
+                keep.append(f)
+        if not dropped:
+            return m.version
+        new = Manifest(
+            version=m.version + 1,
+            key=m.key,
+            n_buckets=m.n_buckets,
+            schema_version=m.schema_version,
+            schemas=m.schemas,
+            files=keep,
+            watermark=m.watermark,
+            applied_epochs=m.applied_epochs,
+            parent=m.version,
+            lineage={"drop_chunks": {"below": int(below), "files": dropped}},
+            policies=m.policies,
+            bucket_key=m.bucket_key,
+            cluster_by=m.cluster_by,
+            cluster_slab=m.cluster_slab,
+        )
+        self._write_manifest(new)
+        return new.version
+
     def publish_from(self, stage: "SnapshotTable") -> int:
         """Write-audit-publish (the Iceberg WAP pattern; ≙ the
         reference's staged external-table load with done/fail dirs,

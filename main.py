@@ -170,6 +170,14 @@ def main(argv=None):
     sp.add_argument("--table", required=True, help="the table to publish INTO")
     sp.add_argument("--stage", required=True, help="the audited clone")
 
+    sp = sub.add_parser("drop-chunks", help="time-based retention on a "
+                        "cluster-chunked table: drop every file wholly "
+                        "below the bound by manifest math (zero rewrite; "
+                        "gc reclaims the files)")
+    sp.add_argument("--table", required=True)
+    sp.add_argument("--below", type=int, required=True,
+                    help="cluster_by bound; files whose zone max < below drop")
+
     sp = sub.add_parser("vacuum")
     sp.add_argument("--table", required=True)
     sp.add_argument("--older-than-lsn", type=int, required=True)
@@ -188,6 +196,11 @@ def main(argv=None):
                     help="comma-separated requested entities; upstream "
                     "deps materialize automatically, the rest is pruned")
     sp.add_argument("--buckets", type=int, default=8)
+    sp.add_argument("--snapshot-at", type=int, default=None,
+                    help="instead of running a hop: print the consistent "
+                         "cross-entity version vector pinned at the newest "
+                         "barrier <= this source version (use -1 for the "
+                         "newest barrier), plus per-entity pinned row counts")
 
     sp = sub.add_parser("cascade", help="apply an upstream table's new "
                         "commits to a downstream table (table-to-table hop)")
@@ -362,6 +375,16 @@ def main(argv=None):
         src = SnapshotTable(spark, args.src_table)
         pipe = EntityPipeline(spark, src, args.root,
                               args.entities.split(","), n_buckets=args.buckets)
+        if args.snapshot_at is not None:
+            at = None if args.snapshot_at < 0 else args.snapshot_at
+            pins = pipe.snapshot(at_src_version=at)
+            print(json.dumps({
+                "barriers": sorted(pipe.consistent_barriers()),
+                "pins": pins,
+                "rows": {e: pipe.state_at(e, pins).count()
+                         for e in pins},
+            }, default=str))
+            return 0
         metrics = pipe.run_once()
         print(json.dumps({
             "materialized": pipe.order,
@@ -579,6 +602,12 @@ def main(argv=None):
         c = table.clone_at(args.dst, version=args.version)
         print(json.dumps({"cloned": args.dst,
                           "source_version": c.manifest().lineage["source_version"]}))
+    elif args.cmd == "drop-chunks":
+        before = len(table.manifest().files)
+        v = table.drop_chunks(args.below)
+        print(json.dumps({"version": v,
+                          "files_dropped": before - len(table.manifest().files),
+                          "rows": table.read().filter("NOT deleted").count()}))
     elif args.cmd == "publish":
         stage = SnapshotTable(spark, args.stage)
         v = table.publish_from(stage)

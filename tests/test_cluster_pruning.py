@@ -167,3 +167,59 @@ def test_create_validation(spark, tmp_path):
     with pytest.raises(ValueError, match="no cluster_by"):
         t = SnapshotTable.create(spark, str(tmp_path / "d"), SCHEMA)
         t.read(cluster_range=(0, 10))
+
+
+def test_drop_chunks_retention_is_manifest_math(spark, tmp_path):
+    """Expiring old slabs drops whole files with zero rewrite: state
+    loses exactly the keys wholly below the bound, retained keys keep
+    every row, and gc reclaims the dropped files."""
+    import os
+
+    t, eng = _mk(spark, tmp_path, "mor")
+    eng.apply_epoch(_events(spark, 120), 0)
+    t.compact()  # slab-aligned base layout
+    files_before = len(t.manifest().files)
+    keep_expected = {
+        r["doc_id"] for r in read_state(t).filter("ets >= 200").collect()
+    }
+    drop_expected = {
+        r["doc_id"] for r in read_state(t).filter("ets < 200").collect()
+    }
+    assert keep_expected and drop_expected
+
+    v = t.drop_chunks(below=200)
+    assert v == t.current_version()
+    assert len(t.manifest().files) < files_before
+    got = {r["doc_id"] for r in read_state(t).collect()}
+    assert got == keep_expected
+    # idempotent: nothing left below the bound → no new version
+    assert t.drop_chunks(below=200) == v
+    # the dropped files become unreferenced and gc can reclaim them
+    recl = t.gc(keep_last_versions=1)
+    assert recl["files_removed"] >= 1
+
+
+def test_drop_chunks_keeps_mixed_delta_files_whole(spark, tmp_path):
+    """An un-slabbed delta file mixing retained and expired rows must
+    survive whole — a retained key never loses rows (exactness returns
+    after the next compaction re-slabs)."""
+    t, eng = _mk(spark, tmp_path, "mor")
+    eng.apply_epoch(_events(spark, 60), 0)  # delta files span slabs
+    state_before = {
+        (r["doc_id"], r["val"]) for r in read_state(t).filter("ets >= 100").collect()
+    }
+    t.drop_chunks(below=100)
+    after = {
+        (r["doc_id"], r["val"]) for r in read_state(t).filter("ets >= 100").collect()
+    }
+    assert after == state_before  # retained keys untouched
+    t.compact()
+    v2 = t.drop_chunks(below=100)
+    assert read_state(t).filter("ets < 100").count() == 0
+    assert v2 == t.current_version()
+
+
+def test_drop_chunks_requires_cluster_by(spark, tmp_path):
+    t = SnapshotTable.create(spark, str(tmp_path / "plain"), SCHEMA)
+    with pytest.raises(ValueError, match="no cluster_by"):
+        t.drop_chunks(below=10)
