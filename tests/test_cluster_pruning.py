@@ -223,3 +223,23 @@ def test_drop_chunks_requires_cluster_by(spark, tmp_path):
     t = SnapshotTable.create(spark, str(tmp_path / "plain"), SCHEMA)
     with pytest.raises(ValueError, match="no cluster_by"):
         t.drop_chunks(below=10)
+
+
+def test_drop_chunks_is_honest_in_the_change_feed(spark, tmp_path):
+    """read_changes spanning a retention commit reports the expired
+    keys as deletes — downstream consumers see the truth, not a silent
+    disappearance."""
+    t, eng = _mk(spark, tmp_path, "mor")
+    eng.apply_epoch(_events(spark, 60), 0)
+    t.compact()
+    v0 = t.current_version()
+    expired = {
+        r["doc_id"] for r in read_state(t).filter("ets < 100").collect()
+    }
+    t.drop_chunks(below=100)
+    changed = {
+        (r["_change_type"], r["doc_id"])
+        for r in t.read_changes(v0, t.current_version()).collect()
+    }
+    assert {("delete", k) for k in expired} <= changed
+    assert not any(ct != "delete" for ct, _ in changed)

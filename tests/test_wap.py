@@ -72,3 +72,44 @@ def test_publish_rejects_foreign_stage_and_empty_stage(spark, tmp_path):
     # a stage with nothing committed publishes as a no-op
     stage = t.clone_at(str(tmp_path / "stage"))
     assert t.publish_from(stage) == t.current_version()
+
+
+def test_publish_race_one_winner(spark, tmp_path):
+    """Two stages forked from the same base racing to publish: exactly
+    one wins; the loser gets CommitConflictError (its audit no longer
+    covers current state) and the table holds exactly the winner's
+    rows."""
+    import threading
+
+    t, _eng, epochs = _mk(spark, tmp_path)
+    base_v = t.current_version()
+    stages = []
+    for i, ep in enumerate((epochs[1], epochs[2])):
+        s = t.clone_at(str(tmp_path / f"stage{i}"))
+        CdcEngine(spark, s, mode="mor", collect_metrics=False).apply_epoch(
+            events_to_df(spark, ep), 10 + i
+        )
+        stages.append(s)
+
+    results: dict[int, object] = {}
+    barrier = threading.Barrier(2)
+
+    def worker(i):
+        barrier.wait()
+        try:
+            results[i] = t.publish_from(stages[i])
+        except (CommitConflictError, ValueError) as e:  # noqa: PERF203
+            results[i] = e
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in (0, 1)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+
+    winners = [i for i, r in results.items() if isinstance(r, int)]
+    losers = [i for i, r in results.items() if isinstance(r, CommitConflictError)]
+    assert len(winners) == 1 and len(losers) == 1
+    assert t.current_version() == base_v + 1
+    win_state = {r["doc_id"] for r in read_state(stages[winners[0]]).collect()}
+    assert {r["doc_id"] for r in read_state(t).collect()} == win_state
