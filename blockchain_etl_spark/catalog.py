@@ -3695,6 +3695,217 @@ SELECT doc_id, ets, val FROM fin WHERE ets BETWEEN 2000 AND 4999
 """
 
 
+def chunk_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """drop_chunks retention end to end (TimescaleDB ``drop_chunks``;
+    ≙ the reference's ledger TTL, load.py:45, applied to the table):
+    a chunked table ingests, compacts (slab-aligned layout), then
+    expires every chunk below a slab-aligned bound by MANIFEST MATH —
+    zero rewrite — and the surviving state must equal the oracle's
+    last-writer replay filtered to the retained window. The bound is
+    slab-aligned so the file-granular drop is exact."""
+    import pyspark.sql.types as T
+
+    from blockchain_etl_spark.cdc.apply import CdcEngine, read_state
+    from blockchain_etl_spark.tables.snapshot import SnapshotTable
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    eid = F.col("event_id")
+    op = F.when(eid % 41 == 7, F.lit("D")).otherwise(F.lit("I"))
+    non_d = op != "D"
+    key_n = F.col("event_id") % 120
+    ets = ((key_n * 83) % 9960).cast("long")
+    ev = e.select(
+        eid.cast("long").alias("stream_pos"),
+        eid.cast("long").alias("lsn"),
+        F.lit(0).cast("int").alias("seq"),
+        op.alias("op"),
+        F.lit(None).cast("long").alias("rollback_to_lsn"),
+        F.concat(F.lit("c-"), key_n.cast("string")).alias("doc_id"),
+        ets.alias("ets"),
+        F.when(non_d, F.floor(F.col("value") * 100)).cast("long").alias("val"),
+    )
+    schema = T.StructType([
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("ets", T.LongType()),
+        T.StructField("val", T.LongType()),
+        T.StructField("lsn", T.LongType()),
+        T.StructField("seq", T.IntegerType()),
+        T.StructField("updated_epoch", T.LongType()),
+        T.StructField("deleted", T.BooleanType()),
+    ])
+    path = _pid_scoped_gate_dir("chunk-retention-gate")
+    table = SnapshotTable.create(
+        spark, path, schema, key="doc_id", n_buckets=8,
+        cluster_by="ets", cluster_slab=1000,
+    )
+    eng = CdcEngine(spark, table, mode="mor", collect_metrics=False)
+    eng.apply_epoch(ev, epoch_id=1)
+    table.compact()  # slab-aligned chunk layout
+    table.drop_chunks(below=4000)
+    return read_state(table).select("doc_id", "ets", "val")
+
+
+_CHUNK_RETENTION_SQL = """
+WITH ev AS (
+  SELECT event_id AS eid,
+         'c-' || (event_id % 120)::VARCHAR AS doc_id,
+         (((event_id % 120) * 83) % 9960)::BIGINT AS ets,
+         CASE WHEN event_id % 41 = 7 THEN 'D' ELSE 'I' END AS op,
+         CASE WHEN event_id % 41 <> 7
+              THEN floor(value * 100)::BIGINT END AS val
+  FROM events
+),
+fin AS (
+  SELECT * FROM (
+    SELECT e.*, row_number() OVER (PARTITION BY doc_id ORDER BY eid DESC) AS rn
+    FROM ev e) WHERE rn = 1 AND op <> 'D'
+)
+SELECT doc_id, ets, val FROM fin WHERE ets >= 4000
+"""
+
+
+def backfill_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Historical backfill below the committed watermark (≙ re-running
+    an export over an old block range into a live Postgres table —
+    the upsert just takes it): the LIVE half of the stream (shifted to
+    high lsns) commits first and fixes the watermark; the HISTORICAL
+    half then loads through ``backfill_epoch`` with its original low
+    lsns — absent keys insert, keys the live stream already wrote keep
+    their live values (stale history loses), and the watermark never
+    moves. Oracle: last-writer over the UNION of both halves in lsn
+    order — i.e. load order must not matter."""
+    import pyspark.sql.types as T
+
+    from blockchain_etl_spark.cdc.apply import CdcEngine, read_state
+    from blockchain_etl_spark.tables.snapshot import SnapshotTable
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    eid = F.col("event_id")
+    op = F.when(eid % 43 == 9, F.lit("D")).otherwise(F.lit("I"))
+    non_d = op != "D"
+    mid = e.agg(F.max("event_id")).first()[0] // 2
+    # live half rides a +10^6 lsn shift (a stream that started at the
+    # midpoint); the historical half keeps original lsns
+    lsn = F.when(eid > mid, eid + 1000000).otherwise(eid).cast("long")
+    ev = e.select(
+        lsn.alias("stream_pos"),
+        lsn.alias("lsn"),
+        F.lit(0).cast("int").alias("seq"),
+        op.alias("op"),
+        F.lit(None).cast("long").alias("rollback_to_lsn"),
+        F.concat(F.lit("b-"), (eid % 150).cast("string")).alias("doc_id"),
+        F.when(non_d, F.floor(F.col("value") * 100)).cast("long").alias("val"),
+        F.when(non_d, F.col("event_type")).alias("etype"),
+    )
+    schema = T.StructType([
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("val", T.LongType()),
+        T.StructField("etype", T.StringType()),
+        T.StructField("lsn", T.LongType()),
+        T.StructField("seq", T.IntegerType()),
+        T.StructField("updated_epoch", T.LongType()),
+        T.StructField("deleted", T.BooleanType()),
+    ])
+    path = _pid_scoped_gate_dir("backfill-gate")
+    table = SnapshotTable.create(spark, path, schema, key="doc_id", n_buckets=8)
+    eng = CdcEngine(spark, table, mode="mor", collect_metrics=False)
+    eng.apply_epoch(ev.filter(F.col("lsn") > 1000000), epoch_id=1)  # live first
+    wm = dict(table.manifest().watermark)
+    eng.backfill_epoch(ev.filter(F.col("lsn") <= 1000000), epoch_id=2)
+    assert dict(table.manifest().watermark) == wm, "backfill moved the watermark"
+    return read_state(table).select("doc_id", "val", "etype")
+
+
+_BACKFILL_SQL = """
+WITH ev AS (
+  SELECT CASE WHEN event_id > (SELECT max(event_id) // 2 FROM events)
+              THEN event_id + 1000000 ELSE event_id END AS lsn,
+         'b-' || (event_id % 150)::VARCHAR AS doc_id,
+         CASE WHEN event_id % 43 = 9 THEN 'D' ELSE 'I' END AS op,
+         CASE WHEN event_id % 43 <> 9
+              THEN floor(value * 100)::BIGINT END AS val,
+         CASE WHEN event_id % 43 <> 9 THEN event_type END AS etype
+  FROM events
+),
+fin AS (
+  SELECT * FROM (
+    SELECT e.*, row_number() OVER (PARTITION BY doc_id ORDER BY lsn DESC) AS rn
+    FROM ev e) WHERE rn = 1 AND op <> 'D'
+)
+SELECT doc_id, val, etype FROM fin
+"""
+
+
+def wap_publish_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-audit-publish end to end (≙ the reference's staged
+    external-table load with done/fail dirs, postgres_utils.py:197-306,
+    made atomic): epoch 1 lands in the base table; epoch 2 is staged on
+    a hardlink CLONE, compacted there, audited (row-count sanity), and
+    adopted by ``publish_from`` in one CAS manifest swap — the oracle's
+    last-writer replay over the FULL stream must match the published
+    state, proving the staged path loses nothing."""
+    import pyspark.sql.types as T
+
+    from blockchain_etl_spark.cdc.apply import CdcEngine, read_state
+    from blockchain_etl_spark.tables.snapshot import SnapshotTable
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    eid = F.col("event_id")
+    op = F.when(eid % 39 == 3, F.lit("D")).otherwise(F.lit("I"))
+    non_d = op != "D"
+    ev = e.select(
+        eid.cast("long").alias("stream_pos"),
+        eid.cast("long").alias("lsn"),
+        F.lit(0).cast("int").alias("seq"),
+        op.alias("op"),
+        F.lit(None).cast("long").alias("rollback_to_lsn"),
+        F.concat(F.lit("w-"), (eid % 130).cast("string")).alias("doc_id"),
+        F.when(non_d, F.floor(F.col("value") * 100)).cast("long").alias("val"),
+    )
+    mid = e.agg(F.max("event_id")).first()[0] // 2
+    schema = T.StructType([
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("val", T.LongType()),
+        T.StructField("lsn", T.LongType()),
+        T.StructField("seq", T.IntegerType()),
+        T.StructField("updated_epoch", T.LongType()),
+        T.StructField("deleted", T.BooleanType()),
+    ])
+    import os as _os
+
+    work = _pid_scoped_gate_dir("wap-publish-gate")
+    table = SnapshotTable.create(
+        spark, _os.path.join(work, "base"), schema, key="doc_id", n_buckets=8
+    )
+    eng = CdcEngine(spark, table, mode="mor", collect_metrics=False)
+    eng.apply_epoch(ev.filter(F.col("lsn") <= mid), epoch_id=1)
+    stage = table.clone_at(_os.path.join(work, "stage"))
+    s_eng = CdcEngine(spark, stage, mode="mor", collect_metrics=False)
+    s_eng.apply_epoch(ev.filter(F.col("lsn") > mid), epoch_id=2)
+    stage.compact()
+    assert read_state(stage).limit(1).count() == 1  # the "audit"
+    table.publish_from(stage)
+    return read_state(table).select("doc_id", "val")
+
+
+_WAP_PUBLISH_SQL = """
+WITH ev AS (
+  SELECT event_id AS eid,
+         'w-' || (event_id % 130)::VARCHAR AS doc_id,
+         CASE WHEN event_id % 39 = 3 THEN 'D' ELSE 'I' END AS op,
+         CASE WHEN event_id % 39 <> 3
+              THEN floor(value * 100)::BIGINT END AS val
+  FROM events
+),
+fin AS (
+  SELECT * FROM (
+    SELECT e.*, row_number() OVER (PARTITION BY doc_id ORDER BY eid DESC) AS rn
+    FROM ev e) WHERE rn = 1 AND op <> 'D'
+)
+SELECT doc_id, val FROM fin
+"""
+
+
 def kmv_policy_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approx-COUNT(DISTINCT) as a MERGEABLE column policy (``kmv<k>``,
     the bottom-k sketch of Bar-Yossef et al. 2002; ≙ the reference's
@@ -5274,6 +5485,9 @@ QUERIES: dict[str, callable] = {
     "minmax_policy_table": minmax_policy_table,
     "kmv_policy_table": kmv_policy_table,
     "clustered_scan": clustered_scan,
+    "chunk_retention": chunk_retention,
+    "backfill_gap_fill": backfill_gap_fill,
+    "wap_publish_table": wap_publish_table,
     "nft_tokenid_stats": nft_tokenid_stats,
     "pii_redact": pii_redact,
     "lsh_index_probe": dedup.lsh_index_probe,
@@ -5625,6 +5839,9 @@ def oracle_sqls() -> dict[str, str]:
         "minmax_policy_table": _MINMAX_POLICY_SQL,
         "kmv_policy_table": _kmv_policy_sql(),
         "clustered_scan": _CLUSTERED_SCAN_SQL,
+        "chunk_retention": _CHUNK_RETENTION_SQL,
+        "backfill_gap_fill": _BACKFILL_SQL,
+        "wap_publish_table": _WAP_PUBLISH_SQL,
         "corpus_splits": _corpus_splits_sql(),
         "explode_tokens": _EXPLODE_TOKENS_SQL,
         "decimal_vsum": _DECIMAL_VSUM_SQL,
