@@ -243,3 +243,45 @@ def test_drop_chunks_is_honest_in_the_change_feed(spark, tmp_path):
     }
     assert {("delete", k) for k in expired} <= changed
     assert not any(ct != "delete" for ct, _ in changed)
+
+
+def test_cdf_stream_over_chunked_table_matches_batch(spark, tmp_path):
+    """The table_changes streaming source diffs per-bucket FILE SETS —
+    the chunked layout (several base files per bucket) and a retention
+    commit in range must both stream the same rows the batch
+    read_changes computes."""
+    from blockchain_etl_spark.sources.table_changes_source import (
+        TableChangesDataSource,
+    )
+
+    t, eng = _mk(spark, tmp_path, "mor")
+    eng.apply_epoch(_events(spark, 60), 0)
+    t.compact()  # chunk-splitting rewrite
+    v0 = t.current_version()
+    eng.apply_epoch(_events(spark, 20, lsn0=100), 1)  # updates
+    t.drop_chunks(below=100)  # retention inside the streamed range
+
+    batch = {
+        (r["_change_type"], r["doc_id"], r["val"])
+        for r in t.read_changes(v0, t.current_version()).collect()
+    }
+    spark.dataSource.register(TableChangesDataSource)
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    (
+        spark.readStream.format("table_changes")
+        .option("path", str(tmp_path / "t-mor"))
+        .option("start_version", v0)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    stream = {
+        (r["_change_type"], r["doc_id"], r["val"])
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    assert stream == batch
+    assert any(ct == "delete" for ct, _k, _v in batch)  # retention visible
