@@ -1048,6 +1048,17 @@ class SnapshotTable:
                 f"{self.path} has no cluster_by column — drop_chunks "
                 "retention needs hypertable chunking declared at create()"
             )
+        if m.policies:
+            # a policy table's accumulated columns are lifetime state: a
+            # key dropped by retention that later re-inserts would
+            # silently restart its totals from zero — the same contract
+            # vacuum_tombstones protects. Expire policy tables by
+            # deriving a retained replica instead.
+            raise ValueError(
+                f"drop_chunks on policy table {self.path} would silently "
+                "reset lifetime policy folds for keys that re-insert — "
+                "refused (derive a retained replica instead)"
+            )
         keep, dropped = [], 0
         for f in m.files:
             cz = (f.get("stats") or {}).get("cluster")

@@ -185,6 +185,9 @@ def main(argv=None):
     sp = sub.add_parser("show")
     sp.add_argument("--table", required=True)
     sp.add_argument("--what", choices=["state", "manifest", "metrics"], default="manifest")
+    sp.add_argument("--at-lsn", type=int, default=None,
+                    help="time travel: read the newest committed snapshot "
+                         "whose watermark lsn <= this bound (state/manifest)")
 
     sp = sub.add_parser("pipeline", help="fan a source table into derived "
                         "entity tables through the dependency DAG "
@@ -667,14 +670,20 @@ def main(argv=None):
             "counts": counts,
         }))
     elif args.cmd == "show":
+        at_version = None
+        if getattr(args, "at_lsn", None) is not None:
+            at_version = table.latest_version_at_or_before(args.at_lsn)
+            if at_version is None:
+                print(json.dumps({"error": f"no snapshot at or before lsn {args.at_lsn}"}))
+                return 2
         if args.what == "state":
-            st = read_state(table)
+            st = read_state(table, version=at_version)
             st.show(50, truncate=60)
-            print(json.dumps({"rows": st.count()}))
+            print(json.dumps({"rows": st.count(), "version": at_version}))
         elif args.what == "metrics":
             CdcEngine(spark, table).read_metrics().show(50, truncate=120)
         else:
-            m = table.manifest()
+            m = table.manifest(at_version)
             print(json.dumps({
                 "version": m.version, "watermark": m.watermark,
                 "applied_epochs": m.applied_epochs[-20:],

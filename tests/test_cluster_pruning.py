@@ -285,3 +285,12 @@ def test_cdf_stream_over_chunked_table_matches_batch(spark, tmp_path):
     }
     assert stream == batch
     assert any(ct == "delete" for ct, _k, _v in batch)  # retention visible
+
+
+def test_drop_chunks_refuses_policy_tables(spark, tmp_path):
+    t = SnapshotTable.create(
+        spark, str(tmp_path / "pol"), SCHEMA, n_buckets=2,
+        cluster_by="ets", cluster_slab=SLAB, policies={"val": "add"},
+    )
+    with pytest.raises(ValueError, match="policy table"):
+        t.drop_chunks(below=100)
