@@ -5476,6 +5476,12 @@ QUERIES: dict[str, callable] = {
     # pii_redact) and rows with only ONE driver-green round stay in;
     # rows driver-green 2+ consecutive rounds rotate to the tail (the
     # local parity suite still covers every row).
+    # Late-round-5 note: the 8 continuation rows (kmv_policy_table …
+    # pipeline_snapshot) take window slots and displace the TAIL of the
+    # returning set (item_id_stamping … token_counts, positions 50-57) —
+    # those are driver-green r3 + judge-local r4 and re-enter in r6; a
+    # first driver check for new engine capabilities outranks a third
+    # look at stable projection rows.
     "cdc_replay_final_state": cdc_replay_final_state,
     # new this round
     "nft_orderbook": nft_orderbook,
