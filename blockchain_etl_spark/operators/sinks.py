@@ -152,6 +152,73 @@ class PubSubSink:
         )
 
 
+class SlackWebhookSink:
+    """≙ the reference's Slack alert notifications
+    (blockchainetl/jobs/exporters/alert_exporter.py side outputs →
+    chat): alert rows POST to an incoming-webhook URL as JSON, one
+    message per row, via stdlib ``urllib`` — no client library, so the
+    transport is REAL in this image and tested against a local HTTP
+    double (unlike the jar-gated Kafka leg).
+
+    Driver-side by design: alerts are the rare human-bound side output
+    of the rule engine, so the sink collects with a hard cap
+    (``max_alerts``) and posts sequentially — a rule alerting on every
+    row is a broken rule, and the cap turns an alert flood into one
+    truncation notice instead of a webhook DoS. Each failure surfaces
+    (no silent drops); set ``fail_fast=False`` to post best-effort and
+    report the error count."""
+
+    def __init__(
+        self,
+        webhook_url: str,
+        max_alerts: int = 200,
+        timeout_s: float = 10.0,
+        fail_fast: bool = True,
+    ):
+        self.webhook_url = webhook_url
+        self.max_alerts = max_alerts
+        self.timeout_s = timeout_s
+        self.fail_fast = fail_fast
+
+    def _post(self, payload: dict) -> None:
+        import json as _json
+        import urllib.request
+
+        req = urllib.request.Request(
+            self.webhook_url,
+            data=_json.dumps(payload).encode("utf-8"),
+            headers={"Content-Type": "application/json"},
+            method="POST",
+        )
+        with urllib.request.urlopen(req, timeout=self.timeout_s) as resp:
+            resp.read()
+
+    def write(self, df: DataFrame, entity: str) -> dict[str, int]:
+        import json as _json
+
+        rows = df.limit(self.max_alerts + 1).collect()
+        truncated = len(rows) > self.max_alerts
+        rows = rows[: self.max_alerts]
+        n_posted, n_failed = 0, 0
+        for r in rows:
+            body = _json.dumps(r.asDict(recursive=True), default=str, sort_keys=True)
+            try:
+                self._post({"text": f"[{entity}] {body}"})
+                n_posted += 1
+            except Exception:
+                if self.fail_fast:
+                    raise
+                n_failed += 1
+        if truncated:
+            self._post(
+                {"text": f"[{entity}] alert flood: more than "
+                         f"{self.max_alerts} rows this batch — truncated "
+                         f"(check the rule)"}
+            )
+        return {"posted": n_posted, "failed": n_failed,
+                "truncated": int(truncated)}
+
+
 class JsonlSink:
     """Composite JSONL file sink (≙ composite_item_exporter +
     jsonl converters: one JSON object per line, per-entity directory)."""

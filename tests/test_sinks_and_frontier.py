@@ -148,3 +148,54 @@ def test_shard_sink_stripes_balances_and_orders(spark, tmp_path):
     assert counts[-1] - counts[0] <= 1  # balanced ±1
     allpos = sorted(p for v in seen.values() for _, p in v)
     assert allpos == list(range(203))  # union is the full permutation
+
+
+def test_slack_webhook_sink_posts_real_http(spark):
+    """The Slack transport is REAL (stdlib urllib), verified against a
+    local HTTP double: one JSON message per alert row, a flood past the
+    cap posts a truncation notice, and transport failures surface."""
+    import http.server
+    import json
+    import threading
+
+    from blockchain_etl_spark.operators.sinks import SlackWebhookSink
+
+    got = []
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def do_POST(self):
+            n = int(self.headers.get("Content-Length", 0))
+            got.append(json.loads(self.rfile.read(n)))
+            self.send_response(200)
+            self.end_headers()
+            self.wfile.write(b"ok")
+
+        def log_message(self, *a):  # quiet
+            pass
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    th = threading.Thread(target=srv.serve_forever, daemon=True)
+    th.start()
+    url = f"http://127.0.0.1:{srv.server_address[1]}/hook"
+    try:
+        df = spark.createDataFrame(
+            [("a", 1), ("b", 2), ("c", 3)], ["doc_id", "severity"]
+        )
+        sink = SlackWebhookSink(url, max_alerts=2)
+        out = sink.write(df, "alerts")
+        assert out == {"posted": 2, "failed": 0, "truncated": 1}
+        texts = [g["text"] for g in got]
+        assert len(texts) == 3  # 2 alerts + 1 flood notice
+        assert all(t.startswith("[alerts] ") for t in texts)
+        assert any('"doc_id": "a"' in t for t in texts)
+        assert "alert flood" in texts[-1]
+
+        # transport failure surfaces (fail_fast default)
+        srv.shutdown()
+        import pytest as _pytest
+
+        with _pytest.raises(Exception):
+            SlackWebhookSink(url, timeout_s=2).write(df.limit(1), "alerts")
+    finally:
+        srv.shutdown()
+        srv.server_close()
