@@ -391,8 +391,8 @@ def pipeline_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipe = _pipeline_gate(
         spark, sf_dir, "pipeline-snapshot-gate", ["source_stats"]
     )
-    first_barrier = min(pipe.consistent_barriers())
-    pins = pipe.snapshot(at_src_version=first_barrier)
+    barriers = pipe.consistent_barriers()  # one manifest walk, reused
+    pins = pipe.snapshot(at_src_version=min(barriers), barriers=barriers)
     return pipe.state_at("source_stats", pins).select(
         F.col("doc_id").alias("source"), "n_docs", "total_tokens"
     )
@@ -1315,6 +1315,7 @@ SELECT series_key,
        floor(sum(cents * (next_sec - sec)) / (max(next_sec) - min(sec)))::BIGINT AS twa
 FROM stepped WHERE next_sec IS NOT NULL
 GROUP BY series_key
+HAVING max(next_sec) > min(sec)
 """
 
 

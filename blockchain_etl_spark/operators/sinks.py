@@ -210,11 +210,16 @@ class SlackWebhookSink:
                     raise
                 n_failed += 1
         if truncated:
-            self._post(
-                {"text": f"[{entity}] alert flood: more than "
-                         f"{self.max_alerts} rows this batch — truncated "
-                         f"(check the rule)"}
-            )
+            try:
+                self._post(
+                    {"text": f"[{entity}] alert flood: more than "
+                             f"{self.max_alerts} rows this batch — truncated "
+                             f"(check the rule)"}
+                )
+            except Exception:
+                if self.fail_fast:
+                    raise
+                n_failed += 1
         return {"posted": n_posted, "failed": n_failed,
                 "truncated": int(truncated)}
 

@@ -107,6 +107,10 @@ def time_weighted_avg(
             F.min("ts").alias("_t0"),
             F.max("next_ts").alias("_t1"),
         )
+        # a key whose observations all share one instant spans no time —
+        # no average exists (same as a single-observation key); without
+        # this, the ANSI session kills the WHOLE job with DIVIDE_BY_ZERO
+        .filter(F.col("_t1") > F.col("_t0"))
         .select(
             "series_key",
             "twa_num",

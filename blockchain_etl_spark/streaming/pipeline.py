@@ -554,14 +554,21 @@ class EntityPipeline:
                 out[v] = vec
         return out
 
-    def snapshot(self, at_src_version: int | None = None) -> dict[str, int]:
+    def snapshot(
+        self,
+        at_src_version: int | None = None,
+        barriers: dict[int, dict[str, int]] | None = None,
+    ) -> dict[str, int]:
         """Pin a cross-entity consistent read: the newest barrier ≤
         ``at_src_version`` (default: the newest barrier at all). The
         returned vector includes the source pin under ``ROOT``; feed
         the entity versions to :meth:`state_at`. Raises if no barrier
         qualifies (e.g. the pipeline never ran, or the manifests aged
-        out)."""
-        barriers = self.consistent_barriers()
+        out). Pass a precomputed ``barriers`` dict (one
+        :meth:`consistent_barriers` call walks every retained manifest
+        of every entity) when the caller already holds one."""
+        if barriers is None:
+            barriers = self.consistent_barriers()
         ok = [
             v
             for v in barriers

@@ -108,6 +108,16 @@ def _footer_stats(
         return None
 
 
+def cluster_zone_overlaps(f: dict[str, Any], lo: int, hi: int) -> bool:
+    """File-level chunk-pruning predicate: True iff the file can hold a
+    row whose cluster value falls in ``[lo, hi]`` — files without a
+    cluster zone map conservatively overlap everything. THE single copy
+    of the rule: ``read()``, ``drop_chunks()``, the tests, and the IO
+    bench all call it, so a change here changes all of them together."""
+    cz = (f.get("stats") or {}).get("cluster")
+    return not cz or not (cz[1] < lo or cz[0] > hi)
+
+
 def bucket_expr(key_col: str, n_buckets: int):
     """Bucket id of a key — MUST match everywhere (write, prune, merge)."""
     return F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_buckets)).cast("int")
@@ -512,14 +522,7 @@ class SnapshotTable:
                     f"pruning needs one declared at create()"
                 )
             clo, chi = cluster_range
-            files = [
-                f
-                for f in files
-                if not (f.get("stats") or {}).get("cluster")
-                or not (
-                    f["stats"]["cluster"][1] < clo or f["stats"]["cluster"][0] > chi
-                )
-            ]
+            files = [f for f in files if cluster_zone_overlaps(f, clo, chi)]
         if min_lsn_exclusive is not None and not m.policies:
             # winner-safe ONLY for last-writer tables: a policy table's
             # fold (e.g. an "add" running total) depends on EVERY delta
@@ -580,6 +583,10 @@ class SnapshotTable:
                     F.lit(int(cluster_range[0])), F.lit(int(cluster_range[1]))
                 )
             )
+            if columns is not None and m.cluster_by not in set(columns):
+                # the cluster column was carried only for this filter —
+                # don't leak it into the caller's requested projection
+                out = out.drop(m.cluster_by)
         return out
 
     def _resolve_last_writer(self, df: DataFrame, m: Manifest) -> DataFrame:
@@ -1059,13 +1066,42 @@ class SnapshotTable:
                 "reset lifetime policy folds for keys that re-insert — "
                 "refused (derive a retained replica instead)"
             )
-        keep, dropped = [], 0
+        # Winner-safety: keys are bucket-local and carry ONE immutable
+        # cluster value, but a FILE's zone spans many keys — so a file
+        # wholly below the bound can still hold the NEWEST row of a key
+        # whose older rows sit in a surviving, overlapping file (e.g. a
+        # tombstone delta dropped while the pre-delete base row stays →
+        # resurrection). A file may therefore only drop if its zone lies
+        # strictly below EVERY surviving file's zone in its bucket: the
+        # per-bucket effective horizon is min(below, min surviving
+        # zone-min); a survivor without a zone map pins the horizon (no
+        # drops in that bucket). Slab-aligned bounds after compact()
+        # make the horizon == below, i.e. the drop stays exact there.
+        by_bucket: dict[int, list[dict[str, Any]]] = {}
         for f in m.files:
-            cz = (f.get("stats") or {}).get("cluster")
-            if cz and cz[1] < below:
-                dropped += 1
+            by_bucket.setdefault(f["bucket"], []).append(f)
+        keep, dropped = [], 0
+        for fs in by_bucket.values():
+            survivors = [
+                f
+                for f in fs
+                if not (f.get("stats") or {}).get("cluster")
+                or f["stats"]["cluster"][1] >= below
+            ]
+            if any(not (f.get("stats") or {}).get("cluster") for f in survivors):
+                horizon = None  # unknown surviving span → keep the bucket
             else:
-                keep.append(f)
+                horizon = min(
+                    (f["stats"]["cluster"][0] for f in survivors),
+                    default=below,
+                )
+                horizon = min(horizon, below)
+            for f in fs:
+                cz = (f.get("stats") or {}).get("cluster")
+                if horizon is not None and cz and cz[1] < horizon:
+                    dropped += 1
+                else:
+                    keep.append(f)
         if not dropped:
             return m.version
         new = Manifest(

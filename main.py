@@ -380,9 +380,10 @@ def main(argv=None):
                               args.entities.split(","), n_buckets=args.buckets)
         if args.snapshot_at is not None:
             at = None if args.snapshot_at < 0 else args.snapshot_at
-            pins = pipe.snapshot(at_src_version=at)
+            barriers = pipe.consistent_barriers()  # one walk, reused
+            pins = pipe.snapshot(at_src_version=at, barriers=barriers)
             print(json.dumps({
-                "barriers": sorted(pipe.consistent_barriers()),
+                "barriers": sorted(barriers),
                 "pins": pins,
                 "rows": {e: pipe.state_at(e, pins).count()
                          for e in pins},

@@ -54,12 +54,10 @@ def _events(spark, n=60, lsn0=0):
 
 
 def _range_files(table, lo, hi):
+    from blockchain_etl_spark.tables.snapshot import cluster_zone_overlaps
+
     m = table.manifest()
-    keep = [
-        f for f in m.files
-        if not (f.get("stats") or {}).get("cluster")
-        or not (f["stats"]["cluster"][1] < lo or f["stats"]["cluster"][0] > hi)
-    ]
+    keep = [f for f in m.files if cluster_zone_overlaps(f, lo, hi)]
     return len(keep), len(m.files)
 
 
@@ -294,3 +292,32 @@ def test_drop_chunks_refuses_policy_tables(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="policy table"):
         t.drop_chunks(below=100)
+
+
+def test_drop_chunks_never_resurrects_split_key_rows(spark, tmp_path):
+    """Review regression: a tombstone delta whose tiny zone sits wholly
+    below a NON-slab-aligned bound must not drop while the pre-delete
+    base row survives in an overlapping chunk file — the per-bucket
+    effective horizon keeps them together (resurrection impossible)."""
+    t, eng = _mk(spark, tmp_path, "mor", n_buckets=1)
+    rows = [
+        (0, 0, 0, "I", None, "k", 120, 1),
+        (1, 1, 0, "I", None, "k2", 180, 2),
+    ]
+    eng.apply_epoch(spark.createDataFrame(rows, EV), 0)
+    t.compact()  # one chunk file, zone [120, 180]
+    d = [(2, 2, 0, "D", None, "k", 120, None)]
+    eng.apply_epoch(spark.createDataFrame(d, EV), 1)  # delta zone [120,120]
+    v = t.drop_chunks(below=150)  # naive rule would drop ONLY the tombstone
+    got = {r["doc_id"] for r in read_state(t).collect()}
+    assert got == {"k2"}  # k stays deleted — no resurrection
+    if v > 2:  # if anything committed, the feed must still be delete-only
+        kinds = {r["_change_type"] for r in t.read_changes(2, v).collect()}
+        assert kinds <= {"delete"}
+
+
+def test_cluster_range_projection_does_not_leak_cluster_column(spark, tmp_path):
+    t, eng = _mk(spark, tmp_path, "mor")
+    eng.apply_epoch(_events(spark, 10), 0)
+    cols = t.read(columns=["val"], cluster_range=(0, 600)).columns
+    assert "ets" not in cols and "val" in cols

@@ -63,13 +63,11 @@ def _files_for_range(table, lo, hi, pruned: bool):
     at bench scale (the window's data fits one cache line of overheads)."""
     import pyarrow.parquet as pq
 
+    from blockchain_etl_spark.tables.snapshot import cluster_zone_overlaps
+
     m = table.manifest()
     kept = [
-        f
-        for f in m.files
-        if not pruned
-        or not (f.get("stats") or {}).get("cluster")
-        or not (f["stats"]["cluster"][1] < lo or f["stats"]["cluster"][0] > hi)
+        f for f in m.files if not pruned or cluster_zone_overlaps(f, lo, hi)
     ]
     rows = sum(
         pq.ParquetFile(os.path.join(table.path, f["path"])).metadata.num_rows
