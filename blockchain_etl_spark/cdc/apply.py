@@ -924,6 +924,7 @@ def merge_into(
     *,
     delete_where=None,
     epoch_id: int | None = None,
+    if_absent: bool = False,
 ) -> dict[str, Any] | None:
     """Delta-style batch ``MERGE INTO`` facade over the CDC apply path
     (the spark.sql equivalent of ``MERGE INTO t USING s ON t.k = s.k
@@ -959,8 +960,26 @@ def merge_into(
     merging into the same target row is order-undefined); the check is
     one cheap ``limit(1)`` aggregation. Scale: the merge itself is the
     engine's COW/MOR path — bucket-pruned full-outer join or blind
-    delta append, never a driver-side loop."""
+    delta append, never a driver-side loop.
+
+    ``if_absent=True`` is ``WHEN NOT MATCHED THEN INSERT`` alone — the
+    seed-from-a-state-dump path (≙ bootstrapping a reference table from
+    an export without clobbering rows the live stream already wrote):
+    source keys already present are dropped by a left-anti join against
+    CURRENT state before the merge, so existing values — including
+    policy folds — are untouched and only genuinely absent keys insert.
+    Expressed as a pre-filter rather than a low (lsn, seq) because two
+    successive if-absent merges must ALSO not overwrite each other, and
+    equal synthetic positions would tie-break by commit recency."""
     m = engine.table.manifest()
+    if if_absent:
+        if delete_where is not None:
+            raise ValueError(
+                "if_absent inserts absent keys only — delete_where "
+                "cannot apply (no matched rows are touched)"
+            )
+        existing = read_state(engine.table, columns=[]).select(m.key)
+        source = source.join(existing, m.key, "left_anti")
     key = m.key
     if key not in source.columns:
         raise ValueError(f"merge_into source lacks the table key column {key!r}")

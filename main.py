@@ -146,6 +146,9 @@ def main(argv=None):
                     help="idempotency token: redelivering the same id is "
                          "a no-op (default: next after the ledger max)")
     sp.add_argument("--mode", choices=["mor", "cow"], default="cow")
+    sp.add_argument("--if-absent", action="store_true",
+                    help="WHEN NOT MATCHED THEN INSERT only: seed from a "
+                         "state dump without touching existing keys")
 
     sp = sub.add_parser("lookup", help="single-key point read: bucket + "
                         "key-zone-map file pruning + row-group pushdown")
@@ -582,7 +585,8 @@ def main(argv=None):
         eng = CdcEngine(spark, table, mode=args.mode)
         src = spark.read.parquet(args.source)
         dw = F.expr(args.delete_where) if args.delete_where else None
-        metrics = merge_into(eng, src, delete_where=dw, epoch_id=args.epoch_id)
+        metrics = merge_into(eng, src, delete_where=dw, epoch_id=args.epoch_id,
+                             if_absent=args.if_absent)
         print(json.dumps(
             {"merged": metrics is not None, "metrics": metrics,
              "table_version": table.current_version()},

@@ -177,3 +177,38 @@ def test_merge_into_mor_engine(spark, tmp_path):
     )
     got = {r["doc_id"]: list(r["tokens"]) for r in read_state(t).collect()}
     assert got == {"a": [5]}
+
+
+def test_merge_if_absent_seeds_without_clobbering(spark, tmp_path):
+    """WHEN NOT MATCHED THEN INSERT alone: a state-dump seed inserts
+    only genuinely absent keys — live values survive, two successive
+    if-absent merges don't overwrite each other, redelivery no-ops,
+    and combining with delete_where is refused."""
+    t, eng = _mk(spark, tmp_path)
+    live = spark.createDataFrame([("k1", [1], 1, "live")], SRC)
+    merge_into(eng, live, epoch_id=1)
+
+    dump = spark.createDataFrame(
+        [("k1", [9], 1, "dump"), ("k2", [2, 2], 2, "dump")], SRC
+    )
+    m = merge_into(eng, dump, epoch_id=2, if_absent=True)
+    assert m["n_insert"] == 1 and m["n_update"] == 0
+    st = {r["doc_id"]: r["source"] for r in read_state(t).collect()}
+    assert st == {"k1": "live", "k2": "dump"}
+
+    # a second dump must not clobber the first dump's inserts either
+    dump2 = spark.createDataFrame(
+        [("k2", [7], 1, "dump2"), ("k3", [3], 1, "dump2")], SRC
+    )
+    merge_into(eng, dump2, epoch_id=3, if_absent=True)
+    st = {r["doc_id"]: r["source"] for r in read_state(t).collect()}
+    assert st == {"k1": "live", "k2": "dump", "k3": "dump2"}
+
+    # exactly-once on redelivery
+    assert merge_into(eng, dump2, epoch_id=3, if_absent=True) is None
+
+    with pytest.raises(ValueError, match="delete_where"):
+        merge_into(
+            eng, dump, epoch_id=4, if_absent=True,
+            delete_where=F.col("source") == "dump",
+        )
