@@ -978,6 +978,10 @@ def merge_into(
                 "if_absent inserts absent keys only — delete_where "
                 "cannot apply (no matched rows are touched)"
             )
+        if m.key not in source.columns:
+            raise ValueError(
+                f"merge_into source lacks the table key column {m.key!r}"
+            )
         existing = read_state(engine.table, columns=[]).select(m.key)
         source = source.join(existing, m.key, "left_anti")
     key = m.key

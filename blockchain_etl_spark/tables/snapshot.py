@@ -108,6 +108,9 @@ def _footer_stats(
         return None
 
 
+_CLUSTER_MAX = 2**62  # "+infinity" for half-open zone queries
+
+
 def cluster_zone_overlaps(f: dict[str, Any], lo: int, hi: int) -> bool:
     """File-level chunk-pruning predicate: True iff the file can hold a
     row whose cluster value falls in ``[lo, hi]`` — files without a
@@ -583,9 +586,15 @@ class SnapshotTable:
                     F.lit(int(cluster_range[0])), F.lit(int(cluster_range[1]))
                 )
             )
-            if columns is not None and m.cluster_by not in set(columns):
+            bookkeeping = {m.key, "lsn", "seq", "updated_epoch", "deleted"}
+            if (
+                columns is not None
+                and m.cluster_by not in set(columns)
+                and m.cluster_by not in bookkeeping
+            ):
                 # the cluster column was carried only for this filter —
                 # don't leak it into the caller's requested projection
+                # (but never drop an always-carried bookkeeping column)
                 out = out.drop(m.cluster_by)
         return out
 
@@ -1082,23 +1091,31 @@ class SnapshotTable:
             by_bucket.setdefault(f["bucket"], []).append(f)
         keep, dropped = [], 0
         for fs in by_bucket.values():
-            survivors = [
-                f
-                for f in fs
-                if not (f.get("stats") or {}).get("cluster")
-                or f["stats"]["cluster"][1] >= below
-            ]
-            if any(not (f.get("stats") or {}).get("cluster") for f in survivors):
-                horizon = None  # unknown surviving span → keep the bucket
-            else:
-                horizon = min(
-                    (f["stats"]["cluster"][0] for f in survivors),
-                    default=below,
-                )
-                horizon = min(horizon, below)
+            if any(not (f.get("stats") or {}).get("cluster") for f in fs):
+                keep.extend(fs)  # a zone-less file pins its whole bucket
+                continue
+            # effective horizon = the greatest cut H <= below that NO
+            # file's zone straddles (fixed point, not one pass: a file
+            # kept because its max >= H is itself a survivor whose min
+            # must also bound H — chained overlaps lower H transitively,
+            # or drops would split a key's rows across the cut). Every
+            # iteration lowers H to some straddler's zone-min, so it
+            # terminates in <= len(fs) steps.
+            horizon = int(below)
+            while True:
+                straddle = [
+                    f["stats"]["cluster"][0]
+                    for f in fs
+                    if f["stats"]["cluster"][0] < horizon
+                    <= f["stats"]["cluster"][1]
+                ]
+                if not straddle:
+                    break
+                horizon = min(straddle)
             for f in fs:
-                cz = (f.get("stats") or {}).get("cluster")
-                if horizon is not None and cz and cz[1] < horizon:
+                # drop == zone provably disjoint from [horizon, inf) —
+                # the SAME predicate read() prunes with
+                if not cluster_zone_overlaps(f, horizon, _CLUSTER_MAX):
                     dropped += 1
                 else:
                     keep.append(f)

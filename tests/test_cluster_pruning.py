@@ -321,3 +321,35 @@ def test_cluster_range_projection_does_not_leak_cluster_column(spark, tmp_path):
     eng.apply_epoch(_events(spark, 10), 0)
     cols = t.read(columns=["val"], cluster_range=(0, 600)).columns
     assert "ets" not in cols and "val" in cols
+
+
+def test_drop_chunks_horizon_is_a_fixed_point(spark, tmp_path):
+    """Second review regression: chained overlaps must lower the
+    horizon TRANSITIVELY. Three files S[~50..150], E[~40..80],
+    F[tombstone at 42] overlap pairwise in a chain; with below=100 a
+    one-pass horizon (min survivor zone-min = 50) would drop F (the
+    tombstone) while E (the base insert) survives — resurrecting the
+    key. The fixed point lowers H 100→50→40→<=42, so nothing drops."""
+    t = SnapshotTable.create(
+        spark, str(tmp_path / "t"), SCHEMA, n_buckets=1,
+        cluster_by="ets", cluster_slab=1000,  # wide slab: no auto-split
+    )
+    eng = CdcEngine(spark, t, mode="mor", collect_metrics=False)
+    # file E (one delta commit): zone [40, 80] — holds key kv's insert
+    e_rows = [(0, 0, 0, "I", None, "kv", 42, 1), (1, 1, 0, "I", None, "e2", 80, 2),
+              (2, 2, 0, "I", None, "e3", 40, 3)]
+    eng.apply_epoch(spark.createDataFrame(e_rows, EV), 0)
+    # file S: zone [50, 150]
+    s_rows = [(3, 3, 0, "I", None, "s1", 50, 4), (4, 4, 0, "I", None, "s2", 150, 5)]
+    eng.apply_epoch(spark.createDataFrame(s_rows, EV), 1)
+    # file F: zone [42, 45] — kv's TOMBSTONE (+ a filler at 45)
+    f_rows = [(5, 5, 0, "D", None, "kv", 42, None), (6, 6, 0, "I", None, "f2", 45, 6)]
+    eng.apply_epoch(spark.createDataFrame(f_rows, EV), 2)
+
+    v_before = t.current_version()
+    v = t.drop_chunks(below=100)
+    # the chain pins the horizon below every zone — nothing may drop
+    assert v == v_before
+    got = {r["doc_id"] for r in read_state(t).collect()}
+    assert "kv" not in got  # still deleted — no resurrection
+    assert {"e2", "e3", "s1", "s2", "f2"} <= got
