@@ -173,6 +173,13 @@ def main(argv=None):
     sp.add_argument("--table", required=True, help="the table to publish INTO")
     sp.add_argument("--stage", required=True, help="the audited clone")
 
+    sp = sub.add_parser("gc", help="reclaim storage: delete manifests older "
+                        "than the last N versions and data files no kept "
+                        "manifest references (keep N larger than the reorg "
+                        "lag in epochs — it bounds time travel)")
+    sp.add_argument("--table", required=True)
+    sp.add_argument("--keep-last-versions", type=int, default=50)
+
     sp = sub.add_parser("drop-chunks", help="time-based retention on a "
                         "cluster-chunked table: drop every file wholly "
                         "below the bound by manifest math (zero rewrite; "
@@ -610,6 +617,9 @@ def main(argv=None):
         c = table.clone_at(args.dst, version=args.version)
         print(json.dumps({"cloned": args.dst,
                           "source_version": c.manifest().lineage["source_version"]}))
+    elif args.cmd == "gc":
+        out = table.gc(keep_last_versions=args.keep_last_versions)
+        print(json.dumps({**out, "version": table.current_version()}))
     elif args.cmd == "drop-chunks":
         before = len(table.manifest().files)
         v = table.drop_chunks(args.below)
