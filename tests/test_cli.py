@@ -114,3 +114,83 @@ def test_cli_cascade(spark, tmp_path, capsys, monkeypatch):
                         "--cursor", cursor]) == 0
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["metrics"] is None
+
+
+def test_cli_round5_verbs(spark, tmp_path, capsys, monkeypatch):
+    """The continuation-wave verbs end to end through main():
+    backfill (watermark pinned, redelivery no-op), clone → publish
+    (WAP), gc, and show --at-lsn time travel."""
+    from blockchain_etl_spark.cdc.schema import EVENT_SCHEMA
+
+    monkeypatch.setattr(climod, "_spark", lambda args: spark)
+    epochs = generate_changelog(seed=77, n_epochs=2, p_reorg_epoch=0.0)
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    for i, ep in enumerate(epochs):
+        shifted = [
+            {**e, "lsn": e["lsn"] + 100, "stream_pos": e["stream_pos"] + 100}
+            for e in ep
+        ]
+        events_to_df(spark, shifted).coalesce(1).write.mode("overwrite").parquet(
+            str(landing / f"epoch-{i:08d}.parquet")
+        )
+    table = str(tmp_path / "t")
+
+    def _out():
+        return json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    assert climod.main(["init", "--table", table, "--buckets", "4"]) == 0
+    assert climod.main(["tail", "--landing", str(landing), "--table", table,
+                        "--store", str(tmp_path / "s")]) == 0
+    capsys.readouterr()
+
+    # --- backfill: low-lsn history, watermark pinned, redelivery no-op
+    old = spark.createDataFrame(
+        [(0, 5, 0, "I", "bf-key", [1, 2], 2, "srcH", None, "h1")], EVENT_SCHEMA
+    )
+    old.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "old.parquet"))
+    assert climod.main(["backfill", "--events", str(tmp_path / "old.parquet"),
+                        "--table", table, "--epoch-id", "9001"]) == 0
+    first = _out()
+    assert first["backfilled"] is True
+    wm = first["watermark"]
+    assert climod.main(["backfill", "--events", str(tmp_path / "old.parquet"),
+                        "--table", table, "--epoch-id", "9001"]) == 0
+    again = _out()
+    assert again["backfilled"] is False and again["watermark"] == wm
+
+    # --- WAP: clone, stage a merge, publish
+    stage = str(tmp_path / "stage")
+    assert climod.main(["clone", "--table", table, "--dst", stage]) == 0
+    capsys.readouterr()
+    src = spark.createDataFrame(
+        [("wap-key", [3], 1, "staged")],
+        "doc_id string, tokens array<int>, n_tok int, source string",
+    )
+    src.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "src.parquet"))
+    assert climod.main(["merge", "--table", stage,
+                        "--source", str(tmp_path / "src.parquet")]) == 0
+    capsys.readouterr()
+    assert climod.main(["publish", "--table", table, "--stage", stage]) == 0
+    pub = _out()
+    assert pub["published"] is True
+
+    from blockchain_etl_spark.cdc.apply import read_state
+    from blockchain_etl_spark.tables.snapshot import SnapshotTable
+
+    keys = {r["doc_id"] for r in read_state(SnapshotTable(spark, table)).collect()}
+    assert {"bf-key", "wap-key"} <= keys
+
+    # --- time travel: a bound below the live stream excludes it
+    assert climod.main(["show", "--table", table, "--what", "manifest",
+                        "--at-lsn", "99"]) == 0
+    man = _out()
+    assert man["watermark"]["lsn"] <= 99
+
+    # --- gc keeps the head working
+    assert climod.main(["gc", "--table", table,
+                        "--keep-last-versions", "2"]) == 0
+    out = _out()
+    assert out["manifests_removed"] >= 1
+    assert {r["doc_id"] for r in
+            read_state(SnapshotTable(spark, table)).collect()} == keys
