@@ -508,3 +508,59 @@ def test_kmv_estimator_exact_below_k_and_deterministic(spark):
         kmv_truncate(F.flatten(F.collect_list("s")), k).alias("uniq")
     )
     assert sk2.select(kmv_estimate(F.col("uniq"), k)).first()[0] == 5
+
+
+def test_kmv_random_sequence_matches_set_oracle(spark, tmp_path):
+    """Seeded random walk: I/U/D with random per-event values, random
+    epoch boundaries, occasional exact redelivery, compactions at
+    random points — the engine's kmv fold must equal the set oracle
+    (union of every value ever contributed per key, k smallest,
+    carried across delete→reinsert) at the end."""
+    import random
+
+    rng = random.Random(99)
+    k = 4
+    keys = [f"r{i}" for i in range(8)]
+    contributed: dict[str, set] = {d: set() for d in keys}
+    alive: dict[str, bool] = {}
+    events, pos = [], 0
+    for lsn in range(60):
+        d = rng.choice(keys)
+        if rng.random() < 0.15:
+            ev = (pos, lsn, 0, "D", None, d, None)
+            alive[d] = False
+        else:
+            val = f"v{rng.randrange(20)}"
+            h = _md5(val)
+            contributed[d].add(h)
+            alive[d] = True
+            ev = (pos, lsn, 0, "U" if d in alive else "I", None, d, [h])
+        events.append(ev)
+        pos += 1
+        if rng.random() < 0.1:
+            events.append(ev)  # exact redelivery (same pos/lsn/seq)
+
+    cuts = sorted(rng.sample(range(1, len(events)), 4))
+    epochs, prev = [], 0
+    for c in [*cuts, len(events)]:
+        epochs.append(events[prev:c])
+        prev = c
+
+    t = SnapshotTable.create(
+        spark, str(tmp_path / "t"), KMV_SCHEMA, n_buckets=4,
+        policies=KMV_POLICIES | {"uniq": f"kmv{k}"},
+    )
+    eng = CdcEngine(spark, t, mode="mor", collect_metrics=False)
+    for i, ep in enumerate(epochs):
+        eng.apply_epoch(spark.createDataFrame(ep, KMV_EV), i)
+        if rng.random() < 0.5:
+            t.compact()
+
+    expect = {
+        d: sorted(contributed[d])[:k]
+        for d in keys
+        if alive.get(d) and contributed[d]
+    }
+    # a key whose last op is D is hidden even though its sketch carries
+    got = _kmv_state(t)
+    assert got == expect
