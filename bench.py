@@ -108,6 +108,7 @@ HEADLINE_QUERIES = [
     # kmv/clustered_scan/pipeline_snapshot/backfill/WAP gates are
     # table-BUILD demos — parity-only, same rule as asof/range)
     "gapfill_locf",
+    "gapfill_interp",
     "time_weighted_avg",
 ]
 

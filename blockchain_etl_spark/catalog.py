@@ -1276,6 +1276,73 @@ FROM grid g LEFT JOIN obs o USING (series_key, bucket)
 """
 
 
+def gapfill_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled hourly series by LINEAR interpolation (TimescaleDB
+    ``interpolate``; the LOCF row's sibling): missing buckets take the
+    floor'd integer lerp of the bracketing observations — exact under
+    any partitioning; leading/trailing buckets without a bracketing
+    pair stay null. Same one-shuffle shape as gapfill_locf."""
+    from blockchain_etl_spark.operators import timeseries as TS
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    us = F.unix_micros(F.col("ts").cast("timestamp_ltz"))
+    prepared = e.select(
+        (F.col("user_id") % 16).alias("series_key"),
+        F.floor(us / F.lit(1000000.0)).alias("sec"),
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    out = TS.gapfill_interpolate(prepared, "series_key", "sec", "cents", step=3600)
+    return out.select(
+        "series_key",
+        "bucket",
+        F.col("measure").cast("double").alias("measure"),
+        F.col("filled").cast("double").alias("filled"),
+        "is_gap",
+    )
+
+
+_GAPFILL_INTERP_SQL = """
+WITH obs AS (
+  SELECT user_id % 16 AS series_key,
+         (epoch_us(ts) // 1000000 // 3600) * 3600 AS bucket,
+         sum(floor(value * 100)::BIGINT) AS measure
+  FROM events GROUP BY 1, 2
+),
+rng AS (SELECT series_key, min(bucket) AS lo, max(bucket) AS hi FROM obs GROUP BY 1),
+grid AS (
+  SELECT series_key, unnest(generate_series(lo, hi, 3600)) AS bucket FROM rng
+),
+j AS (
+  SELECT g.series_key, g.bucket, o.measure
+  FROM grid g LEFT JOIN obs o USING (series_key, bucket)
+),
+br AS (
+  SELECT series_key, bucket, measure,
+    last_value(CASE WHEN measure IS NOT NULL THEN bucket END IGNORE NULLS)
+      OVER wback AS pb,
+    last_value(CASE WHEN measure IS NOT NULL THEN measure END IGNORE NULLS)
+      OVER wback AS pv,
+    first_value(CASE WHEN measure IS NOT NULL THEN bucket END IGNORE NULLS)
+      OVER wfwd AS nb,
+    first_value(CASE WHEN measure IS NOT NULL THEN measure END IGNORE NULLS)
+      OVER wfwd AS nv
+  FROM j
+  WINDOW
+    wback AS (PARTITION BY series_key ORDER BY bucket
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+    wfwd AS (PARTITION BY series_key ORDER BY bucket
+             ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT series_key, bucket, measure::DOUBLE AS measure,
+       (CASE WHEN measure IS NOT NULL THEN measure
+             WHEN pv IS NOT NULL AND nv IS NOT NULL
+             THEN pv + floor(((nv - pv) * (bucket - pb))::DOUBLE / (nb - pb))::BIGINT
+        END)::DOUBLE AS filled,
+       measure IS NULL AS is_gap
+FROM br
+"""
+
+
 def time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact per-key time-weighted average over a left-closed step
     function (TimescaleDB ``time_weight('locf', ...)``): each event's
@@ -5515,6 +5582,7 @@ QUERIES: dict[str, callable] = {
     "range_join_mv": range_join_mv,
     "hypertable_rollup_mv": hypertable_rollup_mv,
     "gapfill_locf": gapfill_locf,
+    "gapfill_interp": gapfill_interp,
     "time_weighted_avg": time_weighted_avg,
     "pipeline_snapshot": pipeline_snapshot,
     "scd2_asof_pipeline": scd2_asof_pipeline,
@@ -5839,6 +5907,7 @@ def oracle_sqls() -> dict[str, str]:
         "range_join_mv": _RANGE_JOIN_MV_SQL,
         "hypertable_rollup_mv": _HYPERTABLE_ROLLUP_SQL,
         "gapfill_locf": _GAPFILL_LOCF_SQL,
+        "gapfill_interp": _GAPFILL_INTERP_SQL,
         "time_weighted_avg": _TIME_WEIGHTED_AVG_SQL,
         "pipeline_snapshot": _PIPELINE_SNAPSHOT_SQL,
         "scd2_asof_pipeline": _SCD2_ASOF_SQL,

@@ -77,6 +77,71 @@ def gapfill_locf(
     )
 
 
+def gapfill_interpolate(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str,
+    measure_col: str,
+    step: int,
+) -> DataFrame:
+    """Gap-filling by LINEAR interpolation (TimescaleDB
+    ``interpolate``): like :func:`gapfill_locf` but missing buckets take
+    the floor'd linear blend of the nearest observations on each side —
+    integer arithmetic throughout (``prev + (next-prev)*dist//span``),
+    so any partitioning reproduces the oracle bit-for-bit. Buckets
+    before the first / after the last observation have no bracketing
+    pair and stay null. Same single shuffle on the series key; the two
+    bracketing windows share its partitioning."""
+    k, t, v = F.col(key_col), F.col(ts_col), F.col(measure_col)
+    bucket = (F.floor(t / step) * step).cast("long")
+    obs = (
+        events.select(k.alias("series_key"), bucket.alias("bucket"), v.alias("_v"))
+        .groupBy("series_key", "bucket")
+        .agg(F.sum("_v").alias("measure"))
+    )
+    grid = (
+        obs.groupBy("series_key")
+        .agg(F.min("bucket").alias("_lo"), F.max("bucket").alias("_hi"))
+        .select(
+            "series_key",
+            F.explode(
+                F.sequence(F.col("_lo"), F.col("_hi"), F.lit(int(step)).cast("long"))
+            ).alias("bucket"),
+        )
+    )
+    j = grid.join(obs, ["series_key", "bucket"], "left")
+    back = (
+        Window.partitionBy("series_key")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fwd = (
+        Window.partitionBy("series_key")
+        .orderBy("bucket")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    pb = F.struct(F.col("bucket"), F.col("measure"))
+    prev = F.last(F.when(F.col("measure").isNotNull(), pb), ignorenulls=True).over(back)
+    nxt = F.first(F.when(F.col("measure").isNotNull(), pb), ignorenulls=True).over(fwd)
+    lerp = prev["measure"] + F.floor(
+        (nxt["measure"] - prev["measure"])
+        * (F.col("bucket") - prev["bucket"])
+        / (nxt["bucket"] - prev["bucket"])
+    ).cast("long")
+    filled = F.when(F.col("measure").isNotNull(), F.col("measure")).otherwise(
+        # needs a bracketing pair; zero-width spans can't occur on a gap
+        # row (a gap row is strictly between two observations)
+        F.when(prev.isNotNull() & nxt.isNotNull(), lerp)
+    )
+    return j.select(
+        "series_key",
+        "bucket",
+        "measure",
+        filled.alias("filled"),
+        F.col("measure").isNull().alias("is_gap"),
+    )
+
+
 def time_weighted_avg(
     events: DataFrame,
     key_col: str,

@@ -58,3 +58,30 @@ def test_gapfill_plan_has_single_exchange_on_key(spark):
     # the grid build, the join, and the LOCF window must share the
     # series-key partitioning — no exchange keyed off anything else
     assert "rangepartitioning" not in plan.lower()
+
+
+def test_gapfill_interpolate_exact_lerp_and_edges(spark):
+    from blockchain_etl_spark.operators.timeseries import gapfill_interpolate
+
+    # key "a": obs at buckets 0 (v=10) and 30 (v=40), step 10 →
+    # gaps at 10, 20 lerp to 20, 30; leading/trailing edges need no fill
+    rows = [("a", 5, 10), ("a", 31, 40), ("b", 12, 7)]
+    df = spark.createDataFrame(rows, ["k", "t", "v"])
+    got = {
+        (r["series_key"], r["bucket"]): (r["measure"], r["filled"], r["is_gap"])
+        for r in gapfill_interpolate(df, "k", "t", "v", step=10).collect()
+    }
+    assert got == {
+        ("a", 0): (10, 10, False),
+        ("a", 10): (None, 20, True),
+        ("a", 20): (None, 30, True),
+        ("a", 30): (40, 40, False),
+        ("b", 10): (7, 7, False),
+    }
+    # non-divisible span floors: obs 0 (v=0) and 30 (v=10) → 3, 6
+    df2 = spark.createDataFrame([("c", 0, 0), ("c", 30, 10)], ["k", "t", "v"])
+    got2 = {
+        r["bucket"]: r["filled"]
+        for r in gapfill_interpolate(df2, "k", "t", "v", step=10).collect()
+    }
+    assert got2 == {0: 0, 10: 3, 20: 6, 30: 10}
