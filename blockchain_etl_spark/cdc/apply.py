@@ -894,6 +894,15 @@ class CdcEngine:
                 for r in tagged.groupBy("_tag").agg(F.count("*").alias("n")).collect()
             }
         result = tagged.drop("_tag")
+        if m.zset_col is not None:
+            # Z-set GC at the COW rewrite (same rule as compact()): a
+            # non-tombstone group whose folded multiplicity is <= 0 is
+            # logically dead — dropping it here is dead↔absent to the
+            # change protocol, so the commit's logical diff is unchanged.
+            result = result.filter(
+                F.coalesce(F.col("deleted"), F.lit(False))
+                | (F.coalesce(F.col(m.zset_col), F.lit(0)) > 0)
+            )
 
         metrics = {
             "epoch_id": epoch_id,

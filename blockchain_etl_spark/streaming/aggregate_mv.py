@@ -25,9 +25,14 @@ NAMED ``doc_id`` (values arbitrary — here the group value); the MV
 follows it, and ``mv_state`` aliases the key back to the group name.
 
 Groups whose lifetime count returns to zero stay as zero-valued rows
-(the fold cannot know "this group is gone" without reading the MV —
-and MUST not, or the hop would cost O(MV)); ``mv_state`` filters them
-on read, the same way tombstones are filtered.
+in the hop itself (the fold cannot know "this group is gone" without
+reading the MV — and MUST not, or the hop would cost O(MV));
+``mv_state`` filters them on read, the same way tombstones are
+filtered. Tables created with ``zset=True`` additionally GC those dead
+groups at COMPACTION (``zset_col`` — the physical size then tracks
+live groups, not all-time groups, under churn), which is safe exactly
+when ``n_rows > 0`` is the group's liveness and downstream consumers
+use liveness/weighted algebra.
 
 Scale: the delta aggregation is one map-side-combined shuffle on the
 group key over the hop's change rows; hot groups partial-aggregate
@@ -112,11 +117,23 @@ def create_agg_mv(
     group_col: str,
     measures: dict[str, str] | None = None,
     n_buckets: int = 8,
+    zset: bool = False,
 ):
     """Create the MV's policy table: key column ``doc_id`` (the engine
     key-name convention) holding the group value as string, every
     aggregate column an ``add`` fold. ``group_col`` is accepted for
-    call-site symmetry; the stored key name is always ``doc_id``."""
+    call-site symmetry; the stored key name is always ``doc_id``.
+
+    ``zset=True`` declares ``n_rows`` a Z-set multiplicity
+    (``zset_col``): groups folded to zero are logically DEAD — read as
+    deletes in the change feed and physically dropped at compaction —
+    so the MV's size tracks live groups under churn. Opt in ONLY when
+    ``n_rows > 0`` IS the group's liveness AND every downstream
+    consumer uses liveness/weighted retraction algebra
+    (``zset_agg_transform`` / ``distinct_count_transform``). The
+    rollup-cascade shape must NOT set it: an intermediate level's
+    ``n_rows`` counts the level below's all-time rows (liveness rides
+    in ``n_facts``), and its CDF is consumed unweighted."""
     from blockchain_etl_spark.tables.snapshot import SnapshotTable
 
     cols = ["n_rows", *(measures or {})]
@@ -137,6 +154,7 @@ def create_agg_mv(
         key="doc_id",
         n_buckets=n_buckets,
         policies={c: "add" for c in cols},
+        zset_col="n_rows" if zset else None,
     )
 
 
@@ -200,10 +218,11 @@ def distinct_count_transform():
     transition, not the occurrence arithmetic: each CDF row adds
     ``sign * (n_rows > 0)`` — a post-image of a pair that just became
     live is +1, the pre-image of a pair that was live is -1, and a
-    pair whose count moved 3 → 2 nets to zero. Dead pairs are never
-    physically deleted from the pair MV (the fold cannot know without
-    reading it), so only insert/update rows ever arrive; the algebra
-    still covers ``delete`` (pre-image payload) for completeness."""
+    pair whose count moved 3 → 2 nets to zero. The pair MV is a Z-set
+    (``zset_col``): a pair dying reads as a ``delete`` carrying the
+    last live pre-image, a rebirth as an ``insert``, and compaction's
+    physical drop of a dead pair is invisible (dead↔absent) — the same
+    liveness algebra covers every case."""
 
     def _t(changes: DataFrame, _src, _v0: int, v1: int) -> DataFrame:
         sign = F.when(
@@ -231,7 +250,10 @@ def distinct_count_transform():
 def create_pair_mv(spark: SparkSession, path: str, n_buckets: int = 8):
     """Stage-1 table: key = composite (group, value) pair, ``n_rows``
     an ``add`` fold (occurrence count), ``grp`` a ``first`` fold (the
-    decoded group, immutable per key)."""
+    decoded group, immutable per key). A Z-set: a pair at zero
+    occurrences is dead (``n_rows > 0`` IS its liveness), stage 2's
+    liveness algebra reads the transition either way, and compaction
+    may drop dead pairs."""
     from blockchain_etl_spark.tables.snapshot import SnapshotTable
 
     schema = T.StructType(
@@ -248,6 +270,7 @@ def create_pair_mv(spark: SparkSession, path: str, n_buckets: int = 8):
     return SnapshotTable.create(
         spark, path, schema, key="doc_id", n_buckets=n_buckets,
         policies={"n_rows": "add", "grp": "first"},
+        zset_col="n_rows",
     )
 
 
@@ -406,7 +429,8 @@ class ZsetAggMV:
             SnapshotTable(spark, mv_path)
             if SnapshotTable(spark, mv_path).exists()
             else create_agg_mv(
-                spark, mv_path, group_col, measures, n_buckets=n_buckets
+                spark, mv_path, group_col, measures, n_buckets=n_buckets,
+                zset=True,  # n_rows = live tuple count IS group liveness
             )
         )
         self._hop = CascadeTailer(

@@ -233,6 +233,7 @@ class _SideIndex:
                 bucket_key=self.join_col,
                 policies={"n_rows": "add",
                           **{c: "first" for c in self.out_cols}},
+                zset_col="n_rows",
             )
         self.table = t
         self.engine = CdcEngine(spark, t, collect_metrics=False)
@@ -408,9 +409,16 @@ class JoinMV(_PairCursor):
     tuples carry the fact key, the join column, and the selected
     payload columns from each side (names must be disjoint).
 
-    ``indexed=True`` maintains a fact-side :class:`_SideIndex` so the
-    dim-delta leg probes only the index buckets of ΔB's keys instead
-    of scanning the fact table."""
+    ``indexed=True`` maintains a fact-side :class:`_SideIndex` from
+    the first hop, so the dim-delta leg probes only the index buckets
+    of ΔB's keys instead of scanning the fact table. With
+    ``indexed=False`` the index is AUTO-BUILT on the first hop that
+    actually sees a dim delta (seeding costs the one O(fact) read the
+    old silent fallback paid EVERY dim hop; the commit's lineage
+    records ``fact_index_autobuilt``) — there is no full-fact-scan
+    steady state either way; ``indexed=True`` merely moves the seeding
+    cost to the first hop and keeps the index warm for version-pinned
+    probes."""
 
     def __init__(
         self,
@@ -472,15 +480,21 @@ class JoinMV(_PairCursor):
                 spark, path, schema, key="doc_id", n_buckets=n_buckets,
                 policies={"n_rows": "add",
                           **{c: "first" for c in self.out_cols}},
+                zset_col="n_rows",
             )
         self.mv = t
         self.engine = CdcEngine(spark, t, collect_metrics=False)
+        self._idx_path = os.path.join(root, "idx_fact")
+        self._idx_buckets = n_buckets
+        # adopt an index that exists on disk even when indexed=False —
+        # a previous hop may have AUTO-BUILT it on a dim delta (below),
+        # and ignoring it would re-seed on every process restart
         self.index = (
             _SideIndex(
-                spark, fact_table, os.path.join(root, "idx_fact"), "fact",
+                spark, fact_table, self._idx_path, "fact",
                 join_col, self.fact_cols, n_buckets=n_buckets,
             )
-            if indexed
+            if indexed or SnapshotTable(spark, self._idx_path).exists()
             else None
         )
 
@@ -505,6 +519,22 @@ class JoinMV(_PairCursor):
         b1 = self.dim.current_version()
         if a1 <= a0 and b1 <= b0:
             return None
+        auto_indexed = False
+        if b1 > b0 and self.index is None:
+            # A dim delta on a non-indexed MV used to fall back to a
+            # FULL fact-state read — O(fact) per dim hop, forever, and
+            # silently. Seeding the fact-side index costs the same
+            # O(fact) ONCE (its first catch_up nets the whole history
+            # as one changed-bucket diff), after which every dim hop is
+            # an O(ΔB + touched buckets) probe — so build it now
+            # instead. Persisted at the same path ``indexed=True``
+            # uses; later constructors adopt it.
+            self.index = _SideIndex(
+                self.spark, self.fact, self._idx_path, "fact",
+                self.join_col, self.fact_cols,
+                n_buckets=self._idx_buckets,
+            )
+            auto_indexed = True
         if self.index is not None:
             # A@new for the ΔB leg; idempotent, so a crash between this
             # and the MV commit just replays the (empty) remainder
@@ -530,18 +560,12 @@ class JoinMV(_PairCursor):
                 b_old = read_state(self.dim, version=b0, buckets=bks)
                 legs.append(self._out(d_a.alias("f"), b_old.alias("d"), _sign()))
         if b1 > b0:
-            d_b = self.dim.read_changes(b0, b1)
-            if self.index is not None:
-                # probe only the index buckets of ΔB's keys — O(ΔB +
-                # touched buckets), never a fact-table scan. The delta
-                # is persisted for the same collect+join double use.
-                d_b = d_b.persist()
-                cached.append(d_b)
-                a_new = self.index.state(prune_values=d_b.select(self.dim_key))
-            else:
-                a_new = read_state(self.fact, version=a1).filter(
-                    F.col(self.join_col).isNotNull()
-                )
+            # probe only the index buckets of ΔB's keys — O(ΔB +
+            # touched buckets), never a fact-table scan. The delta
+            # is persisted for the same collect+join double use.
+            d_b = self.dim.read_changes(b0, b1).persist()
+            cached.append(d_b)
+            a_new = self.index.state(prune_values=d_b.select(self.dim_key))
             legs.append(
                 self._out(
                     a_new.alias("f"), F.broadcast(d_b.alias("d")), _sign()
@@ -581,6 +605,7 @@ class JoinMV(_PairCursor):
             lineage_extra={
                 "join_a_to": a1, "join_a_from": a0,
                 "join_b_to": b1, "join_b_from": b0,
+                **({"fact_index_autobuilt": True} if auto_indexed else {}),
             },
         )
         self._commit_cursor(a1, b1)
@@ -679,6 +704,7 @@ class GeneralJoinMV(_PairCursor):
                 spark, path, schema, key="doc_id", n_buckets=n_buckets,
                 policies={"n_rows": "add",
                           **{c: "first" for c in self.out_cols}},
+                zset_col="n_rows",
             )
         self.mv = t
         self.engine = CdcEngine(spark, t, collect_metrics=False)
@@ -847,6 +873,7 @@ class LeftJoinMV(_PairCursor):
                 spark, path, schema, key="doc_id", n_buckets=n_buckets,
                 policies={"n_rows": "add",
                           **{c: "first" for c in self.u_cols}},
+                zset_col="n_rows",
             )
         self.mv = t  # the unmatched side; _PairCursor recovers from it
         self.engine = CdcEngine(spark, t, collect_metrics=False)
@@ -1059,6 +1086,7 @@ class FullOuterJoinMV(_PairCursor):
                 spark, path, schema, key="doc_id", n_buckets=n_buckets,
                 policies={"n_rows": "add",
                           **{c: "first" for c in self.ub_cols}},
+                zset_col="n_rows",
             )
         self.mv = t  # the dim-unmatched side; _PairCursor recovers from it
         self.engine = CdcEngine(spark, t, collect_metrics=False)
@@ -1341,6 +1369,7 @@ class AsofJoinMV(_PairCursor):
                 spark, path, schema, key="doc_id", n_buckets=n_buckets,
                 policies={"n_rows": "add",
                           **{c: "first" for c in self.out_cols}},
+                zset_col="n_rows",
             )
         self.mv = t
         self.engine = CdcEngine(spark, t, collect_metrics=False)
@@ -1642,6 +1671,7 @@ class RangeJoinMV(_PairCursor):
                 spark, path, schema, key="doc_id", n_buckets=n_buckets,
                 policies={"n_rows": "add",
                           **{c: "first" for c in self.out_cols}},
+                zset_col="n_rows",
             )
         self.mv = t
         self.engine = CdcEngine(spark, t, collect_metrics=False)

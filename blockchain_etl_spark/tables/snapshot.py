@@ -171,6 +171,22 @@ class Manifest:
     # its key's chunk could otherwise be pruned away (resurrection).
     cluster_by: str | None = None
     cluster_slab: int | None = None
+    # Z-SET MULTIPLICITY (MV-owned tables only, opt-in at create()):
+    # the named column is a signed tuple multiplicity under an "add"
+    # fold, and a group whose folded value is <= 0 is LOGICALLY DEAD —
+    # read as absent by state consumers and by the change protocol
+    # (read_changes liveness), exactly like a tombstone. Declaring it
+    # lets compact() physically DROP dead groups, so the table's size
+    # tracks LIVE tuples instead of all-time distinct tuples under
+    # churn (every retract+reinsert cycle otherwise leaves a permanent
+    # multiplicity-0 row). Safe ONLY for MV-owned tables: the fold is
+    # additive, redelivery dedup lives in the delta path (epoch
+    # ledger / non-overlapping cascade cursors — a dropped group's
+    # (lsn, seq) guard goes with it), and a re-inserted tuple's payload
+    # is recomputed from current upstream state. User policy tables,
+    # whose tombstones deliberately carry lifetime totals, must NOT
+    # set this.
+    zset_col: str | None = None
 
     def bucket_col(self) -> str:
         """The column rows are hash-bucketed by (key unless overridden)."""
@@ -205,6 +221,7 @@ class SnapshotTable:
         bucket_key: str | None = None,
         cluster_by: str | None = None,
         cluster_slab: int | None = None,
+        zset_col: str | None = None,
     ) -> "SnapshotTable":
         if policies:
             from blockchain_etl_spark.functions.sketch import kmv_k
@@ -257,6 +274,23 @@ class SnapshotTable:
                 )
             if cluster_slab is not None and int(cluster_slab) <= 0:
                 raise ValueError(f"cluster_slab must be positive, got {cluster_slab}")
+        if zset_col is not None:
+            ftypes = {f.name: f.dataType for f in schema.fields}
+            if zset_col not in ftypes:
+                raise ValueError(
+                    f"zset_col {zset_col!r} is not a column of the schema"
+                )
+            if not isinstance(ftypes[zset_col], (T.LongType, T.IntegerType)):
+                raise ValueError(
+                    f"zset_col {zset_col!r} must be an integral column "
+                    f"(got {ftypes[zset_col].simpleString()})"
+                )
+            if (policies or {}).get(zset_col) != "add":
+                raise ValueError(
+                    f"zset_col {zset_col!r} must carry the 'add' merge "
+                    f"policy (multiplicity is a signed additive fold); got "
+                    f"{(policies or {}).get(zset_col)!r}"
+                )
         os.makedirs(os.path.join(path, "data"), exist_ok=True)
         os.makedirs(os.path.join(path, "manifests"), exist_ok=True)
         t = cls(spark, path)
@@ -270,6 +304,7 @@ class SnapshotTable:
             bucket_key=bucket_key,
             cluster_by=cluster_by,
             cluster_slab=int(cluster_slab) if cluster_slab is not None else None,
+            zset_col=zset_col,
         )
         try:
             t._write_manifest(m)
@@ -298,6 +333,7 @@ class SnapshotTable:
                 or ex.cluster_by != cluster_by
                 or ex.cluster_slab
                 != (int(cluster_slab) if cluster_slab is not None else None)
+                or ex.zset_col != zset_col
                 or ex.policies != dict(policies or {})
                 or ex.schemas[str(ex.schema_version)]
                 != json.dumps(schema.jsonValue())
@@ -772,6 +808,7 @@ class SnapshotTable:
             bucket_key=m.bucket_key,
             cluster_by=m.cluster_by,
             cluster_slab=m.cluster_slab,
+            zset_col=m.zset_col,
         )
         self._write_manifest(new)
         return new.version
@@ -832,6 +869,7 @@ class SnapshotTable:
             bucket_key=m.bucket_key,
             cluster_by=m.cluster_by,
             cluster_slab=m.cluster_slab,
+            zset_col=m.zset_col,
         )
         self._write_manifest(new)
         return new.version
@@ -883,6 +921,7 @@ class SnapshotTable:
             bucket_key=m.bucket_key,
             cluster_by=m.cluster_by,
             cluster_slab=m.cluster_slab,
+            zset_col=m.zset_col,
         )
         self._write_manifest(new)
         return new.version
@@ -898,13 +937,27 @@ class SnapshotTable:
         (key, lsn, seq) — Iceberg's sort-order rewrite: free at compact
         time (in-task sort of data already being rewritten), and point
         lookups / key-ranged maintenance then prune ROW GROUPS inside
-        the bucket file via parquet min/max instead of scanning it."""
+        the bucket file via parquet min/max instead of scanning it.
+
+        Tables created with ``zset_col`` (MV-owned Z-sets) additionally
+        GC DEAD GROUPS here: a non-tombstone row whose folded
+        multiplicity is <= 0 is logically absent (state reads and the
+        change protocol both treat it as dead), so the rewrite drops it
+        — the MV's physical size tracks live tuples, not all-time
+        distinct tuples, under retract/reinsert churn. The commit stays
+        a plain compaction: per-commit change readers skip it, and the
+        ranged differ never emits dead↔absent transitions."""
         m = self.manifest()
         with_deltas = sorted(self.delta_file_counts())
         targets = with_deltas if buckets is None else [b for b in buckets if b in set(with_deltas)]
         if not targets:
             return m.version
         resolved = self.read(buckets=targets, resolve=True)
+        if m.zset_col is not None:
+            dead = F.coalesce(F.col(m.zset_col), F.lit(0)) <= 0
+            if "deleted" in resolved.columns:
+                dead = dead & ~F.coalesce(F.col("deleted"), F.lit(False))
+            resolved = resolved.filter(~dead)
         entries = self._write_data(
             resolved,
             m.n_buckets,
@@ -934,6 +987,7 @@ class SnapshotTable:
             bucket_key=m.bucket_key,
             cluster_by=m.cluster_by,
             cluster_slab=m.cluster_slab,
+            zset_col=m.zset_col,
         )
         self._write_manifest(new)
         return new.version
@@ -974,6 +1028,7 @@ class SnapshotTable:
             bucket_key=m.bucket_key,
             cluster_by=m.cluster_by,
             cluster_slab=m.cluster_slab,
+            zset_col=m.zset_col,
         )
         self._write_manifest(new)
         return new.version
@@ -1026,6 +1081,7 @@ class SnapshotTable:
             bucket_key=m.bucket_key,
             cluster_by=m.cluster_by,
             cluster_slab=m.cluster_slab,
+            zset_col=m.zset_col,
         )
         t._write_manifest(new)
         uid_tmp = os.path.join(dst_path, "manifests", f"TABLE_ID.tmp-{uuid.uuid4().hex}")
@@ -1136,6 +1192,7 @@ class SnapshotTable:
             bucket_key=m.bucket_key,
             cluster_by=m.cluster_by,
             cluster_slab=m.cluster_slab,
+            zset_col=m.zset_col,
         )
         self._write_manifest(new)
         return new.version
@@ -1221,6 +1278,7 @@ class SnapshotTable:
             bucket_key=s_head.bucket_key,
             cluster_by=s_head.cluster_by,
             cluster_slab=s_head.cluster_slab,
+            zset_col=s_head.zset_col,
         )
         try:
             self._write_manifest(new)
@@ -1255,6 +1313,7 @@ class SnapshotTable:
             bucket_key=old.bucket_key,
             cluster_by=old.cluster_by,
             cluster_slab=old.cluster_slab,
+            zset_col=old.zset_col,
         )
         self._write_manifest(new)
         return new.version
@@ -1436,7 +1495,17 @@ class SnapshotTable:
         def live(side: str):
             p = present(side)
             if "deleted" in out_cols:
-                return p & ~F.coalesce(F.col(f"{side}.deleted"), F.lit(False))
+                p = p & ~F.coalesce(F.col(f"{side}.deleted"), F.lit(False))
+            if m1.zset_col is not None and m1.zset_col in out_cols:
+                # Z-set tables: a group whose folded multiplicity is
+                # <= 0 is logically dead — a retraction to zero reads
+                # as a DELETE (pre-image carries the last live
+                # multiplicity, so weighted consumers retract exactly
+                # that), and compaction's physical drop of a dead group
+                # is dead↔absent: invisible, like tombstone↔absent.
+                p = p & (
+                    F.coalesce(F.col(f"{side}.{m1.zset_col}"), F.lit(0)) > 0
+                )
             return p
 
         def img(side: str, ctype: str):
