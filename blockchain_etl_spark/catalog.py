@@ -3309,6 +3309,377 @@ LEFT JOIN prices p ON p.cid = t.cid AND p.day = t.day
 """
 
 
+def nft_orderbook_priced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """≙ the reference's MAINTAINED historical price lookup
+    (blockchainetl/service/price_service.py:36-66
+    ``get_historical_prices`` — a (token, day)→usd service the adapters
+    price trades through, eth_nft_orderbook_adapter.py:159-188
+    ``_calculate``): here the price dimension is a real policy table
+    FED BY A PRICE CHANGE-LOG (last-wins by lsn: epoch 2 RE-prices
+    every even price-day, so maintenance matters), and trades consume
+    it through an incrementally-maintained AS-OF join MV — each trade
+    takes the latest price row of its currency at-or-before the trade
+    day, the exact lookup shape the reference's service interval
+    semantics imply (a day with no quote uses the most recent prior
+    quote). Currency 3 has NO price history — its trades carry NULL
+    usd legs (the service-miss path, ``_get_token_price`` → None).
+
+    Composition: priced trades = AsofJoinMV(trades ⋈asof prices) ⋈
+    broadcast(decimals). Scale: the price table is bucketed BY
+    CURRENCY (hist-side pruning), the MV hop is O(Δtrades + Δprices +
+    touched buckets), and a re-price retroactively rewrites exactly
+    the trades in its win window — never a rescan."""
+    import os
+
+    import pyspark.sql.types as T
+
+    from blockchain_etl_spark.cdc.apply import CdcEngine
+    from blockchain_etl_spark.operators import orderbook as OB
+    from blockchain_etl_spark.streaming.join_mv import AsofJoinMV
+    from blockchain_etl_spark.tables.snapshot import SnapshotTable
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    logs = _synth_nop_logs(spark, sf_dir)
+    orders = OB.extract_orderbooks(logs)
+    day_i = F.datediff(F.to_date("ts"), F.to_date(F.lit("2020-01-01")))
+    days = e.select(
+        "event_id", day_i.cast("long").alias("day_i")
+    )
+    trades = orders.join(days, "event_id").select(
+        F.col("event_id").cast("string").alias("doc_id"),
+        (F.col("event_id") % 4).cast("string").alias("cid"),
+        "day_i",
+        F.col("value").alias("val"),
+        F.col("fee_value").alias("fee"),
+        "platform",
+    )
+    work = _pid_scoped_gate_dir("nft-priced-gate")
+    trade_schema = T.StructType([
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("cid", T.StringType()),
+        T.StructField("day_i", T.LongType()),
+        T.StructField("val", T.LongType()),
+        T.StructField("fee", T.LongType()),
+        T.StructField("platform", T.StringType()),
+        T.StructField("lsn", T.LongType()),
+        T.StructField("seq", T.IntegerType()),
+        T.StructField("updated_epoch", T.LongType()),
+        T.StructField("deleted", T.BooleanType()),
+    ])
+    tfact = SnapshotTable.create(
+        spark, os.path.join(work, "trades"), trade_schema, key="doc_id",
+        n_buckets=16,
+    )
+    teng = CdcEngine(spark, tfact, mode="cow", collect_metrics=False)
+    price_schema = T.StructType([
+        T.StructField("doc_id", T.StringType()),  # cid@pday
+        T.StructField("pcid", T.StringType()),
+        T.StructField("pday", T.LongType()),
+        T.StructField("price", T.DoubleType()),
+        T.StructField("lsn", T.LongType()),
+        T.StructField("seq", T.IntegerType()),
+        T.StructField("updated_epoch", T.LongType()),
+        T.StructField("deleted", T.BooleanType()),
+    ])
+    prices = SnapshotTable.create(
+        spark, os.path.join(work, "prices"), price_schema, key="doc_id",
+        n_buckets=4, bucket_key="pcid",
+    )
+    peng = CdcEngine(spark, prices, mode="cow", collect_metrics=False)
+
+    def _trade_ev(df, lsn):
+        return df.select(
+            F.lit(lsn).cast("long").alias("stream_pos"),
+            F.lit(lsn).cast("long").alias("lsn"),
+            F.lit(0).cast("int").alias("seq"),
+            F.lit("U").alias("op"),
+            F.lit(None).cast("long").alias("rollback_to_lsn"),
+            "doc_id", "cid", "day_i", "val", "fee", "platform",
+        )
+
+    def _price_ev(df, lsn):
+        return df.select(
+            F.lit(lsn).cast("long").alias("stream_pos"),
+            F.lit(lsn).cast("long").alias("lsn"),
+            F.lit(0).cast("int").alias("seq"),
+            F.lit("U").alias("op"),
+            F.lit(None).cast("long").alias("rollback_to_lsn"),
+            F.concat("pcid", F.lit("@"), F.col("pday").cast("string")).alias(
+                "doc_id"
+            ),
+            "pcid", "pday", "price",
+        )
+
+    # price grid: every currency 0-2 quotes at the multiples of 3
+    # covering the trade-day range (each trade day D resolves as-of
+    # to D - D % 3, so coverage is total for quoted currencies)
+    grid = (
+        trades.select((F.col("day_i") - F.col("day_i") % 3).alias("pday"))
+        .distinct()
+        .crossJoin(spark.range(3).select(F.col("id").cast("string").alias("pcid")))
+    )
+    quote_v1 = (
+        (F.col("pcid").cast("int") + 1) * 1.5 + F.col("pday") * 0.01
+    ).alias("price")
+    jm = AsofJoinMV(
+        spark, tfact, prices, os.path.join(work, "asof"), join_col="cid",
+        ts_col="day_i", hist_key_col="pcid", hist_ts_col="pday",
+        fact_cols=["val", "fee", "platform"], dim_cols=["price"],
+        n_buckets=8,
+    )
+    mid = trades.agg(F.max(F.col("doc_id").cast("long"))).collect()[0][0] // 2
+    peng.apply_epoch(_price_ev(grid.select("pcid", "pday", quote_v1), 1),
+                     epoch_id=1)
+    teng.apply_epoch(
+        _trade_ev(trades.filter(F.col("doc_id").cast("long") <= mid), 1),
+        epoch_id=1,
+    )
+    jm.run_once()
+    # round 2: every EVEN price day is RE-PRICED (+0.25) — the same
+    # (cid, pday) keys, last-wins by lsn — retroactively rewriting the
+    # already-joined trades in each quote's win window, while the
+    # second half of the trades lands
+    reprice = grid.filter(F.col("pday") % 2 == 0).select(
+        "pcid", "pday", (quote_v1 + 0.25).alias("price")
+    )
+    peng.apply_epoch(_price_ev(reprice, 2), epoch_id=2)
+    teng.apply_epoch(
+        _trade_ev(trades.filter(F.col("doc_id").cast("long") > mid), 2),
+        epoch_id=2,
+    )
+    jm.run_once()
+    dec_dim = spark.range(4).select(
+        F.col("id").cast("string").alias("cid"),
+        (6 + (F.col("id") % 2) * 2).cast("int").alias("decimals"),
+    )
+    pt = jm.state().join(F.broadcast(dec_dim), "cid", "left")
+    usd = lambda c: (  # noqa: E731
+        F.col(c) / F.pow(F.lit(10.0), F.col("decimals")) * F.col("price")
+    )
+    return pt.select(
+        F.col("fact_id").cast("long").alias("event_id"),
+        "platform", "cid", "day_i", "val", "fee",
+        # double on BOTH sides: pday is null for the unpriced currency,
+        # and nullable-int→pandas lands float64 asymmetrically
+        F.col("pday").cast("double").alias("pday"),
+        "price",
+        usd("val").alias("value_usd"),
+        usd("fee").alias("fee_value_usd"),
+    )
+
+
+_NFT_ORDERBOOK_PRICED_SQL = """
+WITH ev AS (
+  SELECT event_id AS eid, floor(value * 100)::BIGINT AS vi,
+         date_diff('day', DATE '2020-01-01', ts::DATE)::BIGINT AS day_i
+  FROM events
+),
+trades AS (
+  SELECT eid AS event_id,
+         CASE WHEN eid % 3 = 0 THEN 'opensea' ELSE 'looksrare' END AS platform,
+         (eid % 4)::VARCHAR AS cid, day_i,
+         vi AS val, (vi // 40)::BIGINT AS fee
+  FROM ev WHERE eid % 3 IN (0, 1)
+),
+grid AS (
+  SELECT DISTINCT (day_i - day_i % 3) AS pday, i::VARCHAR AS pcid
+  FROM trades CROSS JOIN range(3) t(i)
+),
+prices AS (
+  -- DOUBLE literals throughout: DuckDB decimal literals would give
+  -- EXACT decimal math here while Spark accumulates IEEE doubles,
+  -- and the 1-ulp difference flips round-to-6dp ties in the usd legs
+  SELECT pcid, pday,
+         (pcid::INT + 1) * 1.5::DOUBLE + pday * 0.01::DOUBLE
+         + (CASE WHEN pday % 2 = 0 THEN 0.25::DOUBLE ELSE 0.0::DOUBLE END)
+         AS price
+  FROM grid
+),
+resolved AS (
+  SELECT t.event_id, t.platform, t.cid, t.day_i, t.val, t.fee,
+         p.pday, p.price,
+         row_number() OVER (
+           PARTITION BY t.event_id ORDER BY p.pday DESC
+         ) AS rn
+  FROM trades t
+  LEFT JOIN prices p ON p.pcid = t.cid AND p.pday <= t.day_i
+)
+SELECT event_id, platform, cid, day_i, val, fee, pday::DOUBLE AS pday,
+       price,
+       val / power(10, 6 + (cid::INT % 2) * 2) * price AS value_usd,
+       fee / power(10, 6 + (cid::INT % 2) * 2) * price AS fee_value_usd
+FROM resolved WHERE rn = 1
+"""
+
+
+def _synth_origin_logs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events → deterministic Origin marketplace logs: event_id % 3 ∈
+    {0, 1} emits a ListingCreated/ListingUpdated log whose bytes32 data
+    word is the IPFS content pointer (md5-derived, so the oracle can
+    re-derive the fake body's fields in SQL); % 3 == 2 rows are
+    unrelated-topic noise the extractor must skip. Block numbers span
+    the V1 contract epoch (placed mid-range), so BOTH contract
+    versions occur."""
+    from blockchain_etl_spark.operators import origin as OG
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    eid = F.col("event_id")
+    eids = eid.cast("string")
+    w = F.concat(
+        F.md5(F.concat(F.lit("i1"), eids)), F.md5(F.concat(F.lit("i2"), eids))
+    )
+    lid_word = F.lpad(F.lower(F.hex(eid % 313)), 64, "0")
+    seller = F.concat(F.lit("0x" + "0" * 32), F.md5(F.concat(F.lit("s"), eids)))
+    topic0 = F.when(
+        eid % 2 == 0, F.lit(OG.LISTING_CREATED_TOPIC)
+    ).otherwise(F.lit(OG.LISTING_UPDATED_TOPIC))
+    listing = e.filter(eid % 3 < 2).select(
+        "event_id",
+        F.floor(eid / 10).cast("long").alias("blknum"),
+        F.lit(OG.MARKETPLACE_V0_ADDRESS).alias("address"),
+        F.array(topic0, seller, F.concat(F.lit("0x"), lid_word)).alias("topics"),
+        F.concat(F.lit("0x"), w).alias("data"),
+    )
+    noise = e.filter(eid % 3 == 2).select(
+        "event_id",
+        F.floor(eid / 10).cast("long").alias("blknum"),
+        F.concat(F.lit("0x"), F.substring(F.md5(F.concat(F.lit("a"), eids)), 1, 40)).alias("address"),
+        F.array(F.concat(F.lit("0x"), F.md5(F.concat(F.lit("o"), eids)))).alias("topics"),
+        F.concat(F.lit("0x"), w).alias("data"),
+    )
+    return listing.unionByName(noise)
+
+
+def _origin_epoch(spark: SparkSession, sf_dir: str) -> int:
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return int(e.agg(F.max("event_id")).collect()[0][0]) // 10 // 2
+
+
+def origin_listings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """≙ ExportOriginJob's marketplace-listing leg
+    (export_origin_job.py:1-139 + ipfs/origin.py:125-151 +
+    origin_extractor.py:44-76): log-filtered ListingCreated/Updated
+    events → bytes32→base58 CID decode (Arrow-batched, matched rows
+    only) → one content fetch per DISTINCT pointer (deterministic fake
+    client here — no IPFS gateway in this image; the stdlib-urllib
+    gateway fetcher is double-tested in tests/) → JVM-side JSON parse
+    into listing rows. Fetch misses (last byte ≡ 7 mod 11) drop the
+    listing — the reference's logged-and-skipped path. Contract
+    version derives from the block epoch, mid-range here so both
+    versions occur."""
+    from blockchain_etl_spark.operators import origin as OG
+
+    logs = _synth_origin_logs(spark, sf_dir)
+    events = OG.extract_origin_listing_events(
+        logs, v1_epoch_block=_origin_epoch(spark, sf_dir)
+    )
+    lst = OG.origin_marketplace_listings(events)
+    return lst.select(
+        "block_number",
+        F.col("log_index").cast("long").alias("log_index"),
+        "listing_id", "listing_type", "category", "subcategory",
+        "language", "title", "description", "price", "currency",
+        F.col("shop_ipfs_hash").isNotNull().alias("has_shop"),
+    )
+
+
+_ORIGIN_COMMON_CTE = """
+src AS (
+  SELECT event_id AS eid, (event_id // 10)::BIGINT AS blknum,
+         md5('i1' || event_id::VARCHAR) || md5('i2' || event_id::VARCHAR) AS w
+  FROM events WHERE event_id % 3 IN (0, 1)
+),
+ep AS (SELECT (max(event_id) // 10 // 2)::BIGINT AS v1 FROM events),
+fetched AS (
+  SELECT *,
+         '1-' || (CASE WHEN blknum < (SELECT v1 FROM ep)
+                       THEN '000' ELSE '001' END)
+              || '-' || (eid % 313)::VARCHAR AS listing_id
+  FROM src
+  WHERE ('0x' || substr(w, 63, 2))::INT % 11 <> 7
+)
+"""
+
+_ORIGIN_LISTINGS_SQL = f"""
+WITH {_ORIGIN_COMMON_CTE}
+SELECT blknum AS block_number, eid AS log_index, listing_id,
+       CASE WHEN ('0x' || substr(w, 1, 1))::INT % 2 = 0
+            THEN 'unit' ELSE 'fractional' END AS listing_type,
+       'cat-' || substr(w, 1, 1) AS category,
+       'sub-' || substr(w, 2, 1) AS subcategory,
+       CASE WHEN ('0x' || substr(w, 3, 1))::INT % 3 <> 0
+            THEN 'en' ELSE 'zh' END AS language,
+       'Listing ' || substr(w, 1, 8) AS title,
+       substr(w, 1, 16) AS description,
+       (('0x' || substr(w, 3, 4))::BIGINT)::VARCHAR AS price,
+       CASE (('0x' || substr(w, 7, 2))::INT % 3)
+            WHEN 0 THEN 'ETH' WHEN 1 THEN 'DAI'
+            ELSE 'fiat-USD' END AS currency,
+       ('0x' || substr(w, 9, 2))::INT % 5 = 0 AS has_shop
+FROM fetched
+"""
+
+
+def origin_shop_products(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """≙ the shop-product leg (ipfs/origin.py:26-122): listings whose
+    content carries a ``shopIpfsHash`` get ONE products fetch per
+    distinct shop pointer, exploded JVM-side into product rows plus
+    variant rows (parent_external_id set) — the reference's
+    per-product data.json walk composed behind the one-pointer fetch
+    interface."""
+    from blockchain_etl_spark.operators import origin as OG
+
+    logs = _synth_origin_logs(spark, sf_dir)
+    events = OG.extract_origin_listing_events(
+        logs, v1_epoch_block=_origin_epoch(spark, sf_dir)
+    )
+    lst = OG.origin_marketplace_listings(events)
+    return OG.origin_shop_products(lst).select(
+        "block_number",
+        F.col("log_index").cast("long").alias("log_index"),
+        "listing_id", "product_id", "ipfs_path", "external_id",
+        "parent_external_id", "title", "price", "currency", "option1",
+    )
+
+
+_ORIGIN_SHOP_SQL = f"""
+WITH {_ORIGIN_COMMON_CTE},
+shops AS (
+  SELECT * FROM fetched WHERE ('0x' || substr(w, 9, 2))::INT % 5 = 0
+)
+SELECT blknum AS block_number, eid AS log_index, listing_id,
+       listing_id || '-p0' AS product_id,
+       'shop-' || w || '/p0' AS ipfs_path,
+       (('0x' || substr(w, 1, 4))::BIGINT)::VARCHAR AS external_id,
+       NULL::VARCHAR AS parent_external_id,
+       'Product p0-' || substr(w, 1, 6) AS title,
+       (('0x' || substr(w, 5, 4))::BIGINT)::VARCHAR AS price,
+       'fiat-USD' AS currency, NULL::VARCHAR AS option1
+FROM shops
+UNION ALL
+SELECT blknum, eid, listing_id,
+       listing_id || '-p1',
+       'shop-' || w || '/p1',
+       NULL::VARCHAR, NULL::VARCHAR,
+       'Product p1-' || substr(w, 1, 6),
+       (('0x' || substr(w, 9, 4))::BIGINT)::VARCHAR,
+       'fiat-USD', NULL::VARCHAR
+FROM shops
+UNION ALL
+SELECT blknum, eid, listing_id,
+       listing_id || '-v1',
+       'shop-' || w || '/p1',
+       (('0x' || substr(w, 13, 4))::BIGINT)::VARCHAR,
+       NULL::VARCHAR,
+       'Variant v1-' || substr(w, 1, 6),
+       (('0x' || substr(w, 17, 4))::BIGINT)::VARCHAR,
+       'fiat-USD', 'o-' || substr(w, 21, 1)
+FROM shops
+"""
+
+
 def balance_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """≙ the composed balance pipeline (eth_balance_adapter.py:339-524 +
     eth_block_reward_service.py): send/recv trace legs (one agg each,
@@ -5552,6 +5923,9 @@ QUERIES: dict[str, callable] = {
     # look at stable projection rows.
     "cdc_replay_final_state": cdc_replay_final_state,
     # new this round
+    "nft_orderbook_priced": nft_orderbook_priced,
+    "origin_listings": origin_listings,
+    "origin_shop_products": origin_shop_products,
     "nft_orderbook": nft_orderbook,
     "balance_pipeline": balance_pipeline,
     "bpe_encode": bpe_encode,
@@ -5926,6 +6300,9 @@ def oracle_sqls() -> dict[str, str]:
         "erc721_transfer_extract": _ERC721_SQL,
         "cryptopunk_transfer_extract": _CRYPTOPUNK_SQL,
         "nft_orderbook": _NFT_ORDERBOOK_SQL,
+        "nft_orderbook_priced": _NFT_ORDERBOOK_PRICED_SQL,
+        "origin_listings": _ORIGIN_LISTINGS_SQL,
+        "origin_shop_products": _ORIGIN_SHOP_SQL,
         "balance_pipeline": _BALANCE_PIPELINE_SQL,
         "bpe_encode": _bpe_sql(),
         "holder_policy_table": _HOLDER_POLICY_SQL,
