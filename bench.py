@@ -90,20 +90,13 @@ HEADLINE_QUERIES = [
     "lsh_index_probe",
     "session_window_native",
     "lang_id_ngram",
-    # round 5, differential-MV family (each row builds tables + runs
-    # two incremental hops — commit fixed costs dominate at bench SF)
-    "incremental_agg_mv",
-    "incremental_join_mv",
-    # round 5, final wave: N:M join MV (both sides secondary-indexed)
-    # and the three-stage join→group-by differential cascade
-    "nm_join_mv",
-    "join_agg_cascade_mv",
-    # round 5, final additions: the 3-level rollup cascade represents
-    # the temporal/interval MV wave (asof/range join MVs are the same
-    # hop structure as incremental_join_mv, already benched; their
-    # build-demo gates cost 26-37s warm at sf0.1 — measured, left out
-    # of HEADLINE per the round-4 "bench hops, not table builds" rule)
-    "hypertable_rollup_mv",
+    # round 5 differential-MV family: the CATALOG rows are BUILD demos
+    # (create tables + 2 epochs + 2+ hops = 6-10 commits of fixed cost
+    # each — 9-30s of commit overhead at bench SF that drowned the hop
+    # signal in BENCH_r05). Per the "bench hops, not table builds"
+    # rule they are parity-only; the steady-state unit a deployment
+    # repeats is measured below as ``mv_incremental`` (pre-built MV
+    # DAG, one commit + one differential hop per stage).
     # round 5, continuation wave: pure-query time-series rows (the
     # kmv/clustered_scan/pipeline_snapshot/backfill/WAP gates are
     # table-BUILD demos — parity-only, same rule as asof/range)
@@ -355,7 +348,11 @@ def main():
             if d.startswith("bench-"):
                 shutil.rmtree(os.path.join(shm, d), ignore_errors=True)
     sf = _sf_from_dir(SF_DIR)
-    n_events = int(os.environ.get("BENCH_EVENTS", str(max(400_000, int(40_000_000 * sf)))))
+    # 4x the r5 flagship input (VERDICT r5 #8): at 557k ev/s a 4M-event
+    # replay finished in 7s, so commit fixed costs and host weather were
+    # a large fraction of the measurement — 16M events at sf0.1 puts the
+    # run back in the tens of seconds where the data path dominates
+    n_events = int(os.environ.get("BENCH_EVENTS", str(max(400_000, int(160_000_000 * sf)))))
 
     out: dict = {"metric": "cdc_apply_e2e_sec", "unit": "sec", "sf": sf,
                  "n_events": n_events, "cpus": CPUS}
@@ -544,6 +541,101 @@ def main():
             }
         finally:
             _shutil.rmtree(pwork, ignore_errors=True)
+
+        # --- steady-state differential-MV hops (VERDICT r5 #2): the
+        # *_join_mv / *_agg_mv catalog rows are BUILD demos (tables +
+        # 2 epochs + 2 hops each = 6-10 commits of fixed overhead);
+        # the unit a deployment repeats is ONE upstream commit + ONE
+        # differential hop per stage over an EXISTING MV DAG:
+        #   fact/dim CDC ─▶ JoinMV (indexed, Δ(A⋈B)) ─▶ ZsetAggMV
+        # The dim leg reweights half its rows, so the join hop pays
+        # the retract+reinsert churn path, and the agg hop consumes
+        # the Z-set CDF — representative of the whole MV family
+        # (left/full/asof/range/N:M share the hop algebra; the rollup
+        # cascade is the agg hop chained).
+        import pyspark.sql.types as _T
+
+        from blockchain_etl_spark.streaming.aggregate_mv import (
+            ZsetAggMV as _ZAgg,
+        )
+        from blockchain_etl_spark.streaming.join_mv import JoinMV as _JMV
+
+        mwork = _tempfile.mkdtemp(prefix="bench-mv-", dir=_tmpfs_local_dir() or None)
+        try:
+            ev, mid = _changelog_valid(spark, SF_DIR)
+            ev = ev.persist()
+            ev.count()
+            mfact = _ST.create(
+                spark, os.path.join(mwork, "fact"), _TS, key="doc_id",
+                n_buckets=16,
+            )
+            mfeng = _Eng(spark, mfact, collect_metrics=False)
+            dim_schema = _T.StructType([
+                _T.StructField("doc_id", _T.StringType()),
+                _T.StructField("weight", _T.LongType()),
+                _T.StructField("lsn", _T.LongType()),
+                _T.StructField("seq", _T.IntegerType()),
+                _T.StructField("updated_epoch", _T.LongType()),
+                _T.StructField("deleted", _T.BooleanType()),
+            ])
+            mdim = _ST.create(
+                spark, os.path.join(mwork, "dim"), dim_schema,
+                key="doc_id", n_buckets=4,
+            )
+            mdeng = _Eng(spark, mdim, collect_metrics=False)
+            srcs = ev.filter(F.col("source").isNotNull()).select("source").distinct()
+
+            def _dim_ev(df, lsn, weight_col):
+                return df.select(
+                    F.lit(lsn).cast("long").alias("stream_pos"),
+                    F.lit(lsn).cast("long").alias("lsn"),
+                    F.lit(0).cast("int").alias("seq"),
+                    F.lit("U").alias("op"),
+                    F.lit(None).cast("long").alias("rollback_to_lsn"),
+                    F.col("source").alias("doc_id"),
+                    weight_col.cast("long").alias("weight"),
+                )
+
+            jm = _JMV(
+                spark, mfact, mdim, os.path.join(mwork, "jm"),
+                join_col="source", fact_cols=["n_tok"],
+                dim_cols=["weight"], n_buckets=8, indexed=True,
+            )
+            zagg = _ZAgg(
+                spark, jm.mv, os.path.join(mwork, "zagg"),
+                group_col="source", measures={"sum_tok": "n_tok"},
+            )
+            # build the DAG (untimed)
+            mdeng.apply_epoch(_dim_ev(srcs, 1, F.length("source") * 10),
+                              epoch_id=1)
+            mfeng.apply_epoch(ev.filter(F.col("lsn") <= mid), epoch_id=1)
+            jm.run_once()
+            zagg.run_once()
+            # timed steady state: one commit on EACH input (the dim leg
+            # reweights half the dimension — churn), then one hop per
+            # MV stage
+            t0 = time.monotonic()
+            mdeng.apply_epoch(
+                _dim_ev(srcs.filter(F.length("source") % 2 == 0), 2,
+                        F.length("source") * 10 + 7),
+                epoch_id=2,
+            )
+            mfeng.apply_epoch(ev.filter(F.col("lsn") > mid), epoch_id=2)
+            t_mv_apply = round(time.monotonic() - t0, 3)
+            t0 = time.monotonic()
+            jm.run_once()
+            t_join_hop = round(time.monotonic() - t0, 3)
+            t0 = time.monotonic()
+            zagg.run_once()
+            t_agg_hop = round(time.monotonic() - t0, 3)
+            ev.unpersist()
+            out["mv_incremental"] = {
+                "apply_sec": t_mv_apply,
+                "join_hop_sec": t_join_hop,
+                "agg_hop_sec": t_agg_hop,
+            }
+        finally:
+            _shutil.rmtree(mwork, ignore_errors=True)
     finally:
         spark.stop()
     out["queries"] = queries  # warm medians (stabilized window)
@@ -562,6 +654,16 @@ def main():
     with open(detail_path, "w") as f:
         json.dump(out, f, indent=1)
 
+    # The driver captures the LAST ~2000 chars of stdout and parses the
+    # final line as JSON — r3 and r5 both shipped "parsed": null because
+    # the full per-query maps outgrew that window. The stdout line is a
+    # COMPACT summary (a short curated query subset only); the complete
+    # per-query medians/mins/samples live in BENCH/last_run_detail.json.
+    key_queries = [
+        "cdc_replay_final_state", "tpch_q1", "exact_dedup",
+        "minhash_lsh_pairs", "brute_topk", "entity_pipeline",
+        "bpe_encode", "nft_orderbook", "corpus_prepare", "lsh_index_probe",
+    ]
     headline = {
         "metric": out["metric"],
         "value": out["value"],
@@ -570,11 +672,14 @@ def main():
         "n_events": out["n_events"],
         "cpus": out["cpus"],
         "events_per_sec": out["events_per_sec"],
-        "queries": queries,
-        "queries_min": queries_min,
+        "epoch_secs": out["detail"].get("epoch_secs"),
+        "queries": {k: queries[k] for k in key_queries if k in queries},
+        "n_queries_benched": len(queries),
+        "queries_detail": "BENCH/last_run_detail.json",
     }
-    if "pipeline_incremental" in out:
-        headline["pipeline_incremental"] = out["pipeline_incremental"]
+    for k in ("pipeline_incremental", "mv_incremental"):
+        if k in out:
+            headline[k] = out[k]
     if "scaling" in out:
         s = out["scaling"]
         headline["scaling"] = {
@@ -585,7 +690,12 @@ def main():
             )
             if k in s
         }
-    print(json.dumps(headline))
+    line = json.dumps(headline)
+    if len(line) > 1900:  # never regress the tail window again
+        headline.pop("queries", None)
+        headline.pop("epoch_secs", None)
+        line = json.dumps(headline)
+    print(line)
 
 
 if __name__ == "__main__":
