@@ -5909,73 +5909,28 @@ FROM n GROUP BY source
 # consecutive rounds rotate to the tail (they stay covered by the local
 # parity suite in tests/test_catalog_parity.py, which runs ALL entries).
 QUERIES: dict[str, callable] = {
-    # ---- driver window (first 50): the flagship stays pinned; the 24
-    # rows rotated out in r4 return to re-earn a driver check; rows new
-    # or changed this round (nft_orderbook, balance_pipeline, bpe_encode,
-    # pii_redact) and rows with only ONE driver-green round stay in;
-    # rows driver-green 2+ consecutive rounds rotate to the tail (the
-    # local parity suite still covers every row).
-    # Late-round-5 note: the 8 continuation rows (kmv_policy_table …
-    # pipeline_snapshot) take window slots and displace the TAIL of the
-    # returning set (item_id_stamping … token_counts, positions 50-57) —
-    # those are driver-green r3 + judge-local r4 and re-enter in r6; a
-    # first driver check for new engine capabilities outranks a third
-    # look at stable projection rows.
+    # ---- driver window (first 50), r6 rotation: flagship pinned;
+    # the 3 rows new this round take their first driver check; the 10
+    # r5-continuation rows (kmv_policy_table ... scd2_asof_pipeline)
+    # stay for a second driver round per the r5 verdict; the remaining
+    # 36 slots go to the longest-driver-unverified block (last driver
+    # check r4 — running_balance ... rule_label_alert). Rows driver-
+    # green in r5 rotate to the tail; the local parity suite still
+    # covers every row each round.
     "cdc_replay_final_state": cdc_replay_final_state,
-    # new this round
     "nft_orderbook_priced": nft_orderbook_priced,
     "origin_listings": origin_listings,
     "origin_shop_products": origin_shop_products,
-    "nft_orderbook": nft_orderbook,
-    "balance_pipeline": balance_pipeline,
-    "bpe_encode": bpe_encode,
-    "holder_policy_table": holder_policy_table,
-    "minmax_policy_table": minmax_policy_table,
     "kmv_policy_table": kmv_policy_table,
     "clustered_scan": clustered_scan,
     "chunk_retention": chunk_retention,
     "backfill_gap_fill": backfill_gap_fill,
     "wap_publish_table": wap_publish_table,
-    "nft_tokenid_stats": nft_tokenid_stats,
-    "pii_redact": pii_redact,
-    "lsh_index_probe": dedup.lsh_index_probe,
-    "entity_band_index": entity_band_index,
-    "global_shuffle": global_shuffle,
-    "curriculum_order": curriculum_order,
-    "sessionize": sessionize,
-    "session_window_native": session_window_native,
-    "lang_id_ngram": lang_id_ngram,
-    "incremental_agg_mv": incremental_agg_mv,
-    "incremental_distinct_mv": incremental_distinct_mv,
-    "incremental_join_mv": incremental_join_mv,
-    "nm_join_mv": nm_join_mv,
-    "join_agg_cascade_mv": join_agg_cascade_mv,
-    "left_join_mv": left_join_mv,
-    "full_outer_join_mv": full_outer_join_mv,
-    "asof_join_mv": asof_join_mv,
-    "range_join_mv": range_join_mv,
-    "hypertable_rollup_mv": hypertable_rollup_mv,
     "gapfill_locf": gapfill_locf,
     "gapfill_interp": gapfill_interp,
     "time_weighted_avg": time_weighted_avg,
     "pipeline_snapshot": pipeline_snapshot,
     "scd2_asof_pipeline": scd2_asof_pipeline,
-    "length_histogram_mv": length_histogram_mv,
-    # returning from the r4 tail (driver-green r3, judge-local r4)
-    "holder_detail_agg": relational.holder_detail_agg,
-    "asof_lookup": relational.asof_lookup,
-    "full_outer_sendrecv": relational.full_outer_sendrecv,
-    "incremental_source_stats": relational.incremental_source_stats,
-    "dedup_checker_invariant": relational.dedup_checker_invariant,
-    "log_transfer_extract": log_transfer_extract,
-    "trace_union_synthetic": trace_union_synthetic,
-    "join_mismatch_diagnostics": relational.join_mismatch_diagnostics,
-    "enrich_join": relational.enrich_join,
-    "missing_anti_join": relational.missing_anti_join,
-    "prev_event_join": relational.prev_event_join,
-    "tpch_q1": relational.tpch_q1,
-    "partition_rank": relational.partition_rank,
-    "topk_per_group": relational.topk_per_group,
     "running_balance": relational.running_balance,
     "item_id_stamping": relational.item_id_stamping,
     "flatten_list_fields": relational.flatten_list_fields,
@@ -5986,7 +5941,6 @@ QUERIES: dict[str, callable] = {
     "text_quality": text_quality,
     "token_counts": token_counts,
     "doc_fingerprints": doc_fingerprints,
-    # one driver-green round so far (first seen r4)
     "entity_pipeline": entity_pipeline,
     "entity_chunks": entity_chunks,
     "embedding_near_dup": similarity.embedding_near_dup,
@@ -6006,7 +5960,6 @@ QUERIES: dict[str, callable] = {
     "windowed_stream_counts": windowed_stream_counts,
     "stream_dedup": stream_dedup,
     "track_frontier": track_frontier,
-    # ---- tail: driver-green 2+ consecutive rounds (r3 + r4) ----
     "cdc_changelog_stats": cdc_changelog_stats,
     "table_changes": table_changes,
     "tokenize_docs": tokenize_docs,
@@ -6014,6 +5967,7 @@ QUERIES: dict[str, callable] = {
     "trace_status": trace_status,
     "rule_engine_filter": rule_engine_filter,
     "rule_label_alert": rule_label_alert,
+    # ---- next in line for the r7 window (driver-last-seen r4) ----
     "erc1155_batch_decode": erc1155_batch_decode,
     "erc721_transfer_extract": erc721_transfer_extract,
     "cryptopunk_transfer_extract": cryptopunk_transfer_extract,
@@ -6037,6 +5991,46 @@ QUERIES: dict[str, callable] = {
     "entity_history": entity_history,
     "frame_sample": multimodal.frame_sample,
     "resize_bytes": multimodal.resize_bytes,
+    # ---- tail: driver-green r5 ----
+    "nft_orderbook": nft_orderbook,
+    "balance_pipeline": balance_pipeline,
+    "bpe_encode": bpe_encode,
+    "holder_policy_table": holder_policy_table,
+    "minmax_policy_table": minmax_policy_table,
+    "nft_tokenid_stats": nft_tokenid_stats,
+    "pii_redact": pii_redact,
+    "lsh_index_probe": dedup.lsh_index_probe,
+    "entity_band_index": entity_band_index,
+    "global_shuffle": global_shuffle,
+    "curriculum_order": curriculum_order,
+    "sessionize": sessionize,
+    "session_window_native": session_window_native,
+    "lang_id_ngram": lang_id_ngram,
+    "incremental_agg_mv": incremental_agg_mv,
+    "incremental_distinct_mv": incremental_distinct_mv,
+    "incremental_join_mv": incremental_join_mv,
+    "nm_join_mv": nm_join_mv,
+    "join_agg_cascade_mv": join_agg_cascade_mv,
+    "left_join_mv": left_join_mv,
+    "full_outer_join_mv": full_outer_join_mv,
+    "asof_join_mv": asof_join_mv,
+    "range_join_mv": range_join_mv,
+    "hypertable_rollup_mv": hypertable_rollup_mv,
+    "length_histogram_mv": length_histogram_mv,
+    "holder_detail_agg": relational.holder_detail_agg,
+    "asof_lookup": relational.asof_lookup,
+    "full_outer_sendrecv": relational.full_outer_sendrecv,
+    "incremental_source_stats": relational.incremental_source_stats,
+    "dedup_checker_invariant": relational.dedup_checker_invariant,
+    "log_transfer_extract": log_transfer_extract,
+    "trace_union_synthetic": trace_union_synthetic,
+    "join_mismatch_diagnostics": relational.join_mismatch_diagnostics,
+    "enrich_join": relational.enrich_join,
+    "missing_anti_join": relational.missing_anti_join,
+    "prev_event_join": relational.prev_event_join,
+    "tpch_q1": relational.tpch_q1,
+    "partition_rank": relational.partition_rank,
+    "topk_per_group": relational.topk_per_group,
 }
 
 
