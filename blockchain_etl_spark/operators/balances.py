@@ -151,3 +151,68 @@ def export_balances(
     )
     cnb_df = block_rewards(blocks)
     return merge_balance(out_df, vin_df, fee_df, cnb_df)
+
+
+def token_balances(transfers: DataFrame) -> DataFrame:
+    """Per-(address, token) transfer stats — the ``token_latest_balances``
+    table ProfileService aggregates over
+    (/root/reference/blockchainetl/service/profile_service.py:17-30;
+    maintained by the token-balance adapter the same way
+    ``latest_balances`` is by eth_balance_adapter.py). One aggregation
+    per direction leg over the transfer scan, full-outer merged on
+    (address, token_address) with zero-fill — both legs shuffle once on
+    the same composite key, so the join is co-partitioned.
+
+    transfers: (token_address, from_address, to_address, value, txhash)."""
+    keys = ["address", "token_address"]
+
+    def leg(addr: str, d: str) -> DataFrame:
+        return transfers.groupBy(
+            F.col(addr).alias("address"), "token_address"
+        ).agg(
+            F.sum("value").alias(f"{d}_value"),
+            F.countDistinct("txhash").alias(f"{d}_txs"),
+            F.count(F.lit(1)).alias(f"{d}_xfers"),
+        )
+
+    df = leg("to_address", "vin").join(
+        leg("from_address", "out"), keys, "full_outer"
+    )
+    return df.select(
+        *keys,
+        *[
+            F.coalesce(F.col(c), F.lit(0)).cast("long").alias(c)
+            for c in df.columns
+            if c not in keys
+        ],
+    )
+
+
+def address_profiles(
+    latest_balances: DataFrame, token_latest: DataFrame
+) -> DataFrame:
+    """≙ ProfileService.get_profile
+    (/root/reference/blockchainetl/service/profile_service.py:15-53):
+    per address, one ``erc20`` row aggregating its
+    token_latest_balances rows and one ``ether`` row aggregating its
+    latest_balances rows — count(*) plus vin/out tx, transfer and value
+    sums, NULLs coerced to 0 (the service's Decimal/None coercion loop,
+    :47-52). The reference resolves this per address on demand with a
+    60 s TTL cache; here it is the full profile TABLE (every address),
+    computed as two map-side-combinable aggregations and a union — a
+    point read is then a key lookup, and the table can be maintained
+    incrementally like any other grouped MV (ZsetAggMV over the balance
+    tables' change feeds)."""
+    cols = ["vin_txs", "out_txs", "vin_xfers", "out_xfers",
+            "vin_value", "out_value"]
+
+    def leg(df: DataFrame, typo: str) -> DataFrame:
+        return df.groupBy("address").agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            *[
+                F.sum(F.coalesce(F.col(c), F.lit(0))).cast("long").alias(c)
+                for c in cols
+            ],
+        ).select(F.lit(typo).alias("typo"), "address", "n_rows", *cols)
+
+    return leg(token_latest, "erc20").unionByName(leg(latest_balances, "ether"))
