@@ -100,6 +100,25 @@ def main(argv=None):
     sp.add_argument("--tip-lsn", type=int, default=64)
     sp.add_argument("--start-lsn", type=int, default=0)
 
+    sp = sub.add_parser("easy-etl", help="one-command dump: init-if-absent "
+                        "-> tail all pending epochs -> compact -> export the "
+                        "final state to --out (the reference's easy_dump/"
+                        "easy_etl convenience wrapper over the same paths)")
+    sp.add_argument("--landing", required=True)
+    sp.add_argument("--table", required=True)
+    sp.add_argument("--store", required=True)
+    sp.add_argument("--out", required=True,
+                    help="export directory for the final state")
+    sp.add_argument("--format", choices=["parquet", "csv"], default="parquet",
+                    help="csv flattens array columns to comma-joined "
+                    "strings (FileSink conventions)")
+    sp.add_argument("--entity", default=None,
+                    help="entity name for the csv export dir layout "
+                    "(default: table basename)")
+    sp.add_argument("--buckets", type=int, default=64)
+    sp.add_argument("--no-compact", action="store_true",
+                    help="skip the post-apply compaction")
+
     sp = sub.add_parser("replay")
     sp.add_argument("--events", required=True, help="parquet dir of the full change-log")
     sp.add_argument("--table", required=True)
@@ -366,6 +385,45 @@ def main(argv=None):
             run_structured_stream(spark, args.landing, engine, args.checkpoint,
                                   available_now=not args.continuous)
             print(json.dumps({"table_version": table.current_version()}))
+        return 0
+
+    if args.cmd == "easy-etl":
+        # ≙ blockchainetl/cli/easy_dump.py:1-139 + misc/easy_etl.py:11-33:
+        # one command from change-log to consumable files. The reference
+        # wires provider->Streamer->FileItemExporter(+GreenPlum COPY); here
+        # the same composition is init-if-absent -> ChangeLogTailer ->
+        # compact -> state export (the COPY leg is the snapshot table).
+        from pyspark.sql import functions as F
+
+        table = SnapshotTable(spark, args.table)
+        created = not table.exists()
+        if created:
+            SnapshotTable.create(spark, args.table, TARGET_SCHEMA,
+                                 n_buckets=args.buckets)
+        engine = CdcEngine(spark, table, epoch_store=EpochStore(spark, args.store))
+        metrics = ChangeLogTailer(spark, args.landing, engine).run_once()
+        if not args.no_compact:
+            table.compact()
+        st = read_state(table)
+        entity = args.entity or os.path.basename(args.table.rstrip("/"))
+        out = os.path.join(args.out, f"entity={entity}")
+        if args.format == "csv":
+            # arrays flatten to joined strings (FileSink conventions)
+            cols = [F.concat_ws(",", F.col(n)).alias(n)
+                    if d.startswith("array") else F.col(n)
+                    for n, d in st.dtypes]
+            st.select(*cols).write.mode("overwrite").option(
+                "header", True).csv(out)
+        else:
+            st.write.mode("overwrite").parquet(out)
+        print(json.dumps({
+            "created": created,
+            "applied_epochs": [m["epoch_id"] for m in metrics],
+            "table_version": table.current_version(),
+            "out": out,
+            "format": args.format,
+            "rows": table.read().filter("NOT deleted").count(),
+        }, default=str))
         return 0
 
     if args.cmd == "source-stream":

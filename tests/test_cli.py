@@ -194,3 +194,51 @@ def test_cli_round5_verbs(spark, tmp_path, capsys, monkeypatch):
     assert out["manifests_removed"] >= 1
     assert {r["doc_id"] for r in
             read_state(SnapshotTable(spark, table)).collect()} == keys
+
+
+def test_cli_easy_etl(spark, tmp_path, capsys, monkeypatch):
+    """The convenience wrapper: one command from landing dir to exported
+    files, equal to the oracle replay; csv flattens arrays."""
+    monkeypatch.setattr(climod, "_spark", lambda args: spark)
+    epochs = generate_changelog(seed=73, n_epochs=3)
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    for i, ep in enumerate(epochs):
+        events_to_df(spark, ep).coalesce(1).write.mode("overwrite").parquet(
+            str(landing / f"epoch-{i:08d}.parquet")
+        )
+    table = str(tmp_path / "docs")
+    out = str(tmp_path / "dump")
+
+    assert climod.main([
+        "easy-etl", "--landing", str(landing), "--table", table,
+        "--store", str(tmp_path / "s"), "--out", out, "--buckets", "8",
+    ]) == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["created"] is True
+    assert res["applied_epochs"] == [0, 1, 2]
+
+    exp = {k: v["tokens"] for k, v in
+           oracle_replay([e for ep in epochs for e in ep]).items()}
+    got = {
+        r["doc_id"]: list(r["tokens"])
+        for r in spark.read.parquet(res["out"]).collect()
+    }
+    assert got == exp and res["rows"] == len(exp)
+
+    # re-run is idempotent (ledger skips applied epochs) + csv leg
+    out2 = str(tmp_path / "dump2")
+    assert climod.main([
+        "easy-etl", "--landing", str(landing), "--table", table,
+        "--store", str(tmp_path / "s"), "--out", out2, "--format", "csv",
+        "--entity", "documents",
+    ]) == 0
+    res2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res2["created"] is False and res2["applied_epochs"] == []
+    assert res2["rows"] == len(exp)
+    csv = spark.read.option("header", True).csv(res2["out"])
+    assert res2["out"].endswith("entity=documents")
+    got_csv = {r["doc_id"]: r["tokens"] for r in csv.collect()}
+    exp_csv = {k: (",".join(str(t) for t in v) if v else None)
+               for k, v in exp.items()}
+    assert got_csv == exp_csv
