@@ -4596,6 +4596,108 @@ FROM agg WHERE last_op <> 'D'
 """
 
 
+def hist_policy_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate per-key QUANTILES as a mergeable column policy
+    (``hist<b>``, a fixed-width count histogram folded element-wise; ≙
+    the reference's percentile panels recomputed per poll from raw
+    history — rule thresholds like ``tag_value_usd`` compare against
+    distribution cuts the reference has to re-aggregate): each event
+    carries a one-hot bin sketch of its value; the engine's policy fold
+    sums sketches per key across two MOR epochs with a compaction
+    between. Deterministic integer adds, so the oracle rebuilds the
+    identical bins — and the identical inverted-CDF p50/p95 — as one
+    grouped aggregate over the flat event stream. Tombstoned keys carry
+    their histogram across delete→reinsert like ``add`` totals."""
+    import pyspark.sql.types as T
+
+    from blockchain_etl_spark.cdc.apply import CdcEngine, read_state
+    from blockchain_etl_spark.functions.hist import (
+        hist_item,
+        hist_quantile_bin,
+        hist_total,
+    )
+    from blockchain_etl_spark.tables.snapshot import SnapshotTable
+
+    b = 8
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    eid = F.col("event_id")
+    op = F.when(eid % 37 == 5, F.lit("D")).otherwise(F.lit("I"))
+    non_d = op != "D"
+    # bin = clamped 125-wide cut of the integerized value (the same
+    # floor(value*1000) integerization the kmv row proved engine-equal)
+    v = F.floor(F.col("value") * 1000).cast("long")
+    bin_ = F.least(F.lit(b - 1), F.floor(v / 125)).cast("int")
+    ev = e.select(
+        eid.cast("long").alias("stream_pos"),
+        eid.cast("long").alias("lsn"),
+        F.lit(0).cast("int").alias("seq"),
+        op.alias("op"),
+        F.lit(None).cast("long").alias("rollback_to_lsn"),
+        F.concat(F.lit("h-"), (F.col("user_id") % 24).cast("string")).alias("doc_id"),
+        F.when(non_d, F.lit(1)).cast("long").alias("n_events"),
+        F.when(non_d, hist_item(bin_, b)).alias("lat"),
+    )
+    mid = e.agg(F.max("event_id")).first()[0] // 2
+    schema = T.StructType([
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("lat", T.ArrayType(T.LongType())),
+        T.StructField("lsn", T.LongType()),
+        T.StructField("seq", T.IntegerType()),
+        T.StructField("updated_epoch", T.LongType()),
+        T.StructField("deleted", T.BooleanType()),
+    ])
+    path = _pid_scoped_gate_dir("hist-policy-gate")
+    table = SnapshotTable.create(
+        spark, path, schema, key="doc_id", n_buckets=8,
+        policies={"n_events": "add", "lat": f"hist{b}"},
+    )
+    eng = CdcEngine(spark, table, mode="mor", collect_metrics=False)
+    eng.apply_epoch(ev.filter(F.col("lsn") <= mid), epoch_id=1)
+    table.compact()  # bin sums must survive base+delta recombination
+    eng.apply_epoch(ev.filter(F.col("lsn") > mid), epoch_id=2)
+    st = read_state(table)
+    return st.select(
+        "doc_id",
+        "n_events",
+        hist_total(F.col("lat")).alias("n_obs"),
+        hist_quantile_bin(F.col("lat"), 0.5).alias("p50_bin"),
+        hist_quantile_bin(F.col("lat"), 0.95).alias("p95_bin"),
+        F.concat_ws(",", "lat").alias("hist_csv"),
+    )
+
+
+def _hist_policy_sql() -> str:
+    from blockchain_etl_spark.functions.hist import hist_quantile_bin_sql
+
+    b = 8
+    bins = ", ".join(
+        f"count(*) FILTER (WHERE op <> 'D' AND bin = {i})" for i in range(b)
+    )
+    p50 = hist_quantile_bin_sql("lat", 0.5)
+    p95 = hist_quantile_bin_sql("lat", 0.95)
+    return f"""
+WITH ev AS (
+  SELECT event_id AS eid,
+         'h-' || (user_id % 24)::VARCHAR AS doc_id,
+         CASE WHEN event_id % 37 = 5 THEN 'D' ELSE 'I' END AS op,
+         least({b - 1}, floor(value * 1000)::BIGINT // 125) AS bin
+  FROM events
+),
+agg AS (
+  SELECT doc_id,
+         sum(CASE WHEN op <> 'D' THEN 1 END)::BIGINT AS n_events,
+         [{bins}]::BIGINT[] AS lat,
+         arg_max(op, eid) AS last_op
+  FROM ev GROUP BY doc_id
+)
+SELECT doc_id, n_events, list_sum(lat)::BIGINT AS n_obs,
+       {p50} AS p50_bin, {p95} AS p95_bin,
+       array_to_string(lat, ',') AS hist_csv
+FROM agg WHERE last_op <> 'D'
+"""
+
+
 def nft_tokenid_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """≙ EthNftTokenidAdapter (eth_nft_tokenid_adapter.py:188-313 +
     postgres_hooks.py:12-40): per (token_address, token_id) turnover /
@@ -6078,6 +6180,7 @@ QUERIES: dict[str, callable] = {
     "origin_shop_products": origin_shop_products,
     "address_profile": address_profile,
     "kmv_policy_table": kmv_policy_table,
+    "hist_policy_table": hist_policy_table,
     "clustered_scan": clustered_scan,
     "chunk_retention": chunk_retention,
     "backfill_gap_fill": backfill_gap_fill,
@@ -6438,6 +6541,7 @@ def oracle_sqls() -> dict[str, str]:
         "length_histogram_mv": _LEN_HIST_MV_SQL,
         "minmax_policy_table": _MINMAX_POLICY_SQL,
         "kmv_policy_table": _kmv_policy_sql(),
+        "hist_policy_table": _hist_policy_sql(),
         "clustered_scan": _CLUSTERED_SCAN_SQL,
         "chunk_retention": _CHUNK_RETENTION_SQL,
         "backfill_gap_fill": _BACKFILL_SQL,

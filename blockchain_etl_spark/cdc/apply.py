@@ -217,11 +217,14 @@ def dedup_policy_fold(
         F.max(F.struct(sp, *[F.col(c) for c in carry])).alias("_w"),
         F.max(sp).alias("_sp"),
     ]
+    from blockchain_etl_spark.functions.hist import hist_agg, hist_bins
     from blockchain_etl_spark.functions.sketch import kmv_agg, kmv_k
 
     for c, p in pol.items():
         if (k := kmv_k(p)) is not None:
             aggs.append(kmv_agg(c, k).alias(c))
+        elif (b := hist_bins(p)) is not None:
+            aggs.append(hist_agg(c, b).alias(c))
         elif p == "add":
             aggs.append(F.sum(c).cast(dtypes[c]).alias(c))
         elif p == "min":
@@ -856,10 +859,16 @@ class CdcEngine:
                     .otherwise(t_)
                     .alias(c)
                 )
+            from blockchain_etl_spark.functions.hist import (
+                hist_bins,
+                hist_merge_pair,
+            )
             from blockchain_etl_spark.functions.sketch import kmv_k, kmv_merge_pair
 
             if (k := kmv_k(p)) is not None:
                 e = kmv_merge_pair(t_, s_, k)
+            elif hist_bins(p) is not None:
+                e = hist_merge_pair(t_, s_)
             elif p == "add":
                 zero = F.lit(0).cast(ptypes[c])
                 e = (F.coalesce(t_, zero) + F.coalesce(s_, zero)).cast(ptypes[c])

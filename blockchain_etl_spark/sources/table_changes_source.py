@@ -85,11 +85,14 @@ def _load_resolved(files: list[str], schema, key: str, policies: dict | None = N
         return winner
     winner = winner.set_index(key)
     g = df.groupby(key, sort=False)
+    from blockchain_etl_spark.functions.hist import hist_bins, hist_fold_pandas
     from blockchain_etl_spark.functions.sketch import kmv_fold_pandas, kmv_k
 
     for c, p in pol.items():
         if (k := kmv_k(p)) is not None:
             winner[c] = g[c].agg(lambda s, _k=k: kmv_fold_pandas(s, _k))
+        elif hist_bins(p) is not None:
+            winner[c] = g[c].agg(hist_fold_pandas)
         elif p == "add":
             winner[c] = g[c].sum(min_count=1)
         elif p == "min":

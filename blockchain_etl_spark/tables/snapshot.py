@@ -224,6 +224,7 @@ class SnapshotTable:
         zset_col: str | None = None,
     ) -> "SnapshotTable":
         if policies:
+            from blockchain_etl_spark.functions.hist import hist_bins
             from blockchain_etl_spark.functions.sketch import kmv_k
 
             fields = {f.name: f.dataType for f in schema.fields}
@@ -234,6 +235,7 @@ class SnapshotTable:
                 or (
                     p not in ("add", "min", "max", "first", "last")
                     and kmv_k(p) is None
+                    and hist_bins(p) is None
                 )
             }
             if bad:
@@ -248,6 +250,17 @@ class SnapshotTable:
             if bad_kmv:
                 raise ValueError(
                     f"kmv policy columns must be array<string>: {bad_kmv}"
+                )
+            bad_hist = {
+                c: p
+                for c, p in policies.items()
+                if hist_bins(p) is not None
+                and fields[c] != T.ArrayType(T.LongType(), True)
+                and fields[c] != T.ArrayType(T.LongType(), False)
+            }
+            if bad_hist:
+                raise ValueError(
+                    f"hist policy columns must be array<bigint>: {bad_hist}"
                 )
         if bucket_key == key:
             bucket_key = None  # the default layout, not a secondary index
@@ -669,11 +682,14 @@ class SnapshotTable:
         aggs = [
             F.max(F.struct(*order, *[F.col(c) for c in plain])).alias("_w")
         ]
+        from blockchain_etl_spark.functions.hist import hist_agg, hist_bins
         from blockchain_etl_spark.functions.sketch import kmv_agg, kmv_k
 
         for c, p in pol.items():
             if (k := kmv_k(p)) is not None:
                 aggs.append(kmv_agg(c, k).alias(c))
+            elif (b := hist_bins(p)) is not None:
+                aggs.append(hist_agg(c, b).alias(c))
             elif p == "add":
                 aggs.append(F.sum(c).cast(dtypes[c]).alias(c))
             elif p == "min":

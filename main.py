@@ -50,8 +50,8 @@ def main(argv=None):
     sp.add_argument("--policies", default=None,
                     help='column merge policies as JSON, e.g. '
                          '\'{"n_xfers": "add", "first_seen": "first"}\' '
-                         '(add | min | max | first | last | kmv<k>; '
-                         'default last-writer rows)')
+                         '(add | min | max | first | last | kmv<k> | '
+                         'hist<b>; default last-writer rows)')
     sp.add_argument("--cluster-by", default=None,
                     help="integral column for hypertable chunking: base "
                          "rewrites split each bucket into cluster-slab-"

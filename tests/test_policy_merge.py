@@ -564,3 +564,208 @@ def test_kmv_random_sequence_matches_set_oracle(spark, tmp_path):
     # a key whose last op is D is hidden even though its sketch carries
     got = _kmv_state(t)
     assert got == expect
+
+
+# ------------------------------------------------------------------- hist
+# Fixed-width histogram policy: element-wise sum of per-event one-hot
+# bin sketches — associative/commutative (NOT idempotent: redelivery
+# dedup lives in the delta path, same contract as 'add'). In-batch
+# fold, MOR resolver, COW merge, compaction, and the CDF pandas
+# resolver must all land on the identical bins.
+HIST_B = 4
+HIST_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.StringType()),
+    T.StructField("lat", T.ArrayType(T.LongType())),
+    T.StructField("lsn", T.LongType()),
+    T.StructField("seq", T.IntegerType()),
+    T.StructField("updated_epoch", T.LongType()),
+    T.StructField("deleted", T.BooleanType()),
+])
+HIST_POLICIES = {"lat": f"hist{HIST_B}"}
+HIST_EV = T.StructType([
+    T.StructField("stream_pos", T.LongType()),
+    T.StructField("lsn", T.LongType()),
+    T.StructField("seq", T.IntegerType()),
+    T.StructField("op", T.StringType()),
+    T.StructField("rollback_to_lsn", T.LongType()),
+    T.StructField("doc_id", T.StringType()),
+    T.StructField("lat", T.ArrayType(T.LongType())),
+])
+
+
+def _hist_epochs():
+    # a: three observations in bins 0,1,2 (bin-1 event redelivered —
+    # counted ONCE) + a null contribution; b: observation, tombstone,
+    # reinsert — the histogram CARRIES across delete→reinsert.
+    return [
+        [
+            (0, 10, 0, "I", None, "a", [1, 0, 0, 0]),
+            (1, 11, 0, "U", None, "a", [0, 1, 0, 0]),
+            (1, 11, 0, "U", None, "a", [0, 1, 0, 0]),  # redelivery
+            (2, 12, 0, "I", None, "b", [0, 0, 0, 1]),
+        ],
+        [
+            (3, 13, 0, "U", None, "a", [0, 0, 1, 0]),
+            (4, 14, 0, "U", None, "a", None),  # null contributes nothing
+            (5, 15, 0, "D", None, "b", None),
+        ],
+        [
+            (6, 16, 0, "I", None, "b", [1, 0, 0, 0]),
+        ],
+    ]
+
+
+HIST_EXPECT = {"a": [1, 1, 1, 0], "b": [1, 0, 0, 1]}
+
+
+def _hist_state(table):
+    return {
+        r["doc_id"]: list(r["lat"]) for r in read_state(table).collect()
+    }
+
+
+@pytest.mark.parametrize("mode", ["mor", "cow"])
+def test_hist_policy_mor_and_cow_agree(spark, tmp_path, mode):
+    t = SnapshotTable.create(
+        spark, str(tmp_path / mode), HIST_SCHEMA, n_buckets=4,
+        policies=HIST_POLICIES,
+    )
+    eng = CdcEngine(spark, t, mode=mode, collect_metrics=False)
+    for i, rows in enumerate(_hist_epochs()):
+        eng.apply_epoch(spark.createDataFrame(rows, HIST_EV), i)
+    assert _hist_state(t) == HIST_EXPECT
+
+
+def test_hist_policy_compaction_preserves_bins(spark, tmp_path):
+    t = SnapshotTable.create(
+        spark, str(tmp_path / "t"), HIST_SCHEMA, n_buckets=4,
+        policies=HIST_POLICIES,
+    )
+    eng = CdcEngine(spark, t, mode="mor", collect_metrics=False)
+    epochs = _hist_epochs()
+    eng.apply_epoch(spark.createDataFrame(epochs[0], HIST_EV), 0)
+    t.compact()
+    for i, rows in enumerate(epochs[1:], start=1):
+        eng.apply_epoch(spark.createDataFrame(rows, HIST_EV), i)
+    assert _hist_state(t) == HIST_EXPECT
+    t.compact()
+    assert _hist_state(t) == HIST_EXPECT
+
+
+def test_hist_cdf_pandas_resolver_matches_batch(spark, tmp_path):
+    from blockchain_etl_spark.sources.table_changes_source import (
+        TableChangesDataSource,
+    )
+
+    t = SnapshotTable.create(
+        spark, str(tmp_path / "t"), HIST_SCHEMA, n_buckets=4,
+        policies=HIST_POLICIES,
+    )
+    eng = CdcEngine(spark, t, mode="mor", collect_metrics=False)
+    for i, rows in enumerate(_hist_epochs()):
+        eng.apply_epoch(spark.createDataFrame(rows, HIST_EV), i)
+    v0, v1 = 1, t.current_version()
+    batch = {
+        (r["_change_type"], r["doc_id"]): tuple(r["lat"] or [])
+        for r in t.read_changes(v0, v1).collect()
+    }
+    spark.dataSource.register(TableChangesDataSource)
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    (
+        spark.readStream.format("table_changes")
+        .option("path", str(tmp_path / "t"))
+        .option("start_version", v0)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    stream = {
+        (r["_change_type"], r["doc_id"]): tuple(r["lat"] or [])
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    assert stream == batch
+    assert batch
+
+
+def test_hist_policy_requires_array_long_column(spark, tmp_path):
+    with pytest.raises(ValueError, match="array<bigint>"):
+        SnapshotTable.create(
+            spark, str(tmp_path / "bad"), KMV_SCHEMA, n_buckets=4,
+            policies={"uniq": "hist4"},  # array<string>, not array<bigint>
+        )
+
+
+def test_hist_random_sequence_matches_count_oracle(spark, tmp_path):
+    """Seeded random walk: I/U/D with random bins, random epoch
+    boundaries, occasional exact redelivery (counted once), compactions
+    at random points — the engine's hist fold must equal the counting
+    oracle (per-key bin counts over every contribution, carried across
+    delete→reinsert), and the quantile estimator must equal the oracle's
+    inverted CDF."""
+    import math
+    import random
+
+    from blockchain_etl_spark.functions.hist import hist_quantile_bin
+
+    rng = random.Random(101)
+    b = 4
+    keys = [f"r{i}" for i in range(8)]
+    counts = {d: [0] * b for d in keys}
+    alive: dict[str, bool] = {}
+    events, pos = [], 0
+    for lsn in range(60):
+        d = rng.choice(keys)
+        if rng.random() < 0.15:
+            ev = (pos, lsn, 0, "D", None, d, None)
+            alive[d] = False
+        else:
+            i = rng.randrange(b)
+            counts[d][i] += 1
+            alive[d] = True
+            one_hot = [1 if j == i else 0 for j in range(b)]
+            ev = (pos, lsn, 0, "U", None, d, one_hot)
+        events.append(ev)
+        pos += 1
+        if rng.random() < 0.1:
+            events.append(ev)  # exact redelivery (same pos/lsn/seq)
+
+    cuts = sorted(rng.sample(range(1, len(events)), 4))
+    epochs, prev = [], 0
+    for c in [*cuts, len(events)]:
+        epochs.append(events[prev:c])
+        prev = c
+
+    t = SnapshotTable.create(
+        spark, str(tmp_path / "t"), HIST_SCHEMA, n_buckets=4,
+        policies={"lat": f"hist{b}"},
+    )
+    eng = CdcEngine(spark, t, mode="mor", collect_metrics=False)
+    for i, ep in enumerate(epochs):
+        eng.apply_epoch(spark.createDataFrame(ep, HIST_EV), i)
+        if rng.random() < 0.5:
+            t.compact()
+
+    expect = {
+        d: counts[d] for d in keys if alive.get(d) and sum(counts[d])
+    }
+    assert _hist_state(t) == expect
+
+    got_q = {
+        r["doc_id"]: r["p50"]
+        for r in read_state(t)
+        .select("doc_id", hist_quantile_bin(F.col("lat"), 0.5).alias("p50"))
+        .collect()
+    }
+    for d, c in expect.items():
+        target = math.ceil(0.5 * sum(c))
+        cum, want = 0, None
+        for i, n in enumerate(c):
+            cum += n
+            if cum >= target:
+                want = i
+                break
+        assert got_q[d] == want, (d, c)
