@@ -87,12 +87,38 @@ def to_bus_records(
     )
 
 
+def _kafka_send_partition(rows, bootstrap, n_partitions, acks):
+    # executor-side sender (module-level so foreachPartition pickles
+    # only parameters, not the sink object)
+    from blockchain_etl_spark.operators.wire import kafka_produce
+
+    by_topic: dict[str, list] = {}
+    for r in rows:
+        by_topic.setdefault(r["topic"], []).append((
+            r["key"].encode("utf-8") if r["key"] is not None else None,
+            r["value"].encode("utf-8") if r["value"] is not None else None,
+        ))
+    for t, msgs in by_topic.items():
+        kafka_produce(bootstrap, t, msgs, n_partitions=n_partitions, acks=acks)
+
+
 class KafkaSink:
     """≙ kafka_item_exporter.py:9-45 (JSON per item, topic per entity).
-    The record shape is built by ``to_bus_records`` (contract-tested
-    without a broker); the transport itself requires the spark-sql-kafka
-    jar — absent in this image, the writer raises with the production
-    invocation documented."""
+    The record shape is built by ``to_bus_records``; two transports:
+
+    - ``transport="jar"`` (default): Spark's own Kafka writer — the
+      production path on a real cluster (full client: metadata/leader
+      routing, retries, idempotence). The jar is absent in this image,
+      so it raises with the invocation documented.
+    - ``transport="socket"``: REAL stdlib wire leg — Produce v0
+      request frames over a raw TCP socket (operators/wire.py), sent
+      EXECUTOR-side via foreachPartition so the wire work distributes
+      with the data; partitions chosen by the Java client's murmur2
+      partitioner, per-message CRCs, acks checked per request. Tested
+      against a local broker double that fully parses the frames.
+      Routing limitation vs the jar: messages go to the single
+      bootstrap broker (no Metadata API) — one-broker clusters or a
+      fronting proxy."""
 
     def __init__(
         self,
@@ -100,11 +126,19 @@ class KafkaSink:
         topic_prefix: str = "",
         topic_mapping: dict[str, str] | None = None,
         key_cols: list[str] | None = None,
+        transport: str = "jar",
+        n_partitions: int = 1,
+        acks: int = 1,
     ):
+        if transport not in ("jar", "socket"):
+            raise ValueError(f"unknown transport {transport!r}")
         self.bootstrap = bootstrap
         self.topic_prefix = topic_prefix
         self.topic_mapping = topic_mapping
         self.key_cols = key_cols
+        self.transport = transport
+        self.n_partitions = n_partitions
+        self.acks = acks
 
     def records(self, df: DataFrame, entity: str) -> DataFrame:
         return to_bus_records(
@@ -112,6 +146,12 @@ class KafkaSink:
         )
 
     def write(self, df: DataFrame, entity: str) -> None:
+        if self.transport == "socket":
+            bootstrap, nparts, acks = self.bootstrap, self.n_partitions, self.acks
+            self.records(df, entity).foreachPartition(
+                lambda rows: _kafka_send_partition(rows, bootstrap, nparts, acks)
+            )
+            return
         try:
             (
                 self.records(df, entity)
@@ -123,33 +163,122 @@ class KafkaSink:
             raise NotImplementedError(
                 "kafka sink needs the spark-sql-kafka-0-10 jar on the "
                 "classpath (spark-submit --packages org.apache.spark:"
-                "spark-sql-kafka-0-10_2.13:<spark-version>)"
+                "spark-sql-kafka-0-10_2.13:<spark-version>); or use "
+                "transport='socket' for the stdlib wire leg"
             ) from e
+
+
+def _pubsub_send_partition(rows, endpoint, project, token, batch_size):
+    # executor-side publisher (module-level for clean pickling)
+    from blockchain_etl_spark.operators.wire import pubsub_publish
+
+    by_topic: dict[str, list] = {}
+
+    def _flush(topic):
+        msgs = by_topic.pop(topic, [])
+        if msgs:
+            ids = pubsub_publish(endpoint, project, topic, msgs, token)
+            if len(ids) != len(msgs):
+                raise RuntimeError(
+                    f"pubsub acked {len(ids)}/{len(msgs)} messages on {topic}"
+                )
+
+    for r in rows:
+        attrs = {"key": r["key"]} if r["key"] is not None else None
+        by_topic.setdefault(r["topic"], []).append(
+            (r["value"].encode("utf-8"), attrs)
+        )
+        if len(by_topic[r["topic"]]) >= batch_size:
+            _flush(r["topic"])
+    for t in list(by_topic):
+        _flush(t)
 
 
 class PubSubSink:
     """≙ google_pubsub_item_exporter.py (topic-per-entity JSON messages).
-    Shares ``to_bus_records`` with the Kafka leg — the record contract is
-    identical; the transport (google-cloud-pubsub client, absent from
-    this image) is the only difference, so it is exercised through the
-    FileBusSink double and raises here with the production dependency
-    documented."""
+    Shares ``to_bus_records`` with the Kafka leg. Transport: the public
+    ``projects.topics.publish`` REST call via stdlib urllib
+    (operators/wire.py) — REAL in this image, sent EXECUTOR-side via
+    foreachPartition in server-acked batches, tested against a local
+    HTTP double. Pass ``token`` (an OAuth2 bearer — in production from
+    ADC / the metadata server; any refresher can be wired outside) and
+    optionally ``endpoint`` (default the public API host). Without a
+    token the sink raises with the production invocation documented."""
 
     def __init__(self, project: str, topic_mapping: dict[str, str] | None = None,
-                 topic_prefix: str = ""):
+                 topic_prefix: str = "",
+                 endpoint: str = "https://pubsub.googleapis.com",
+                 token: str | None = None,
+                 batch_size: int = 100):
         self.project = project
         self.topic_mapping = topic_mapping
         self.topic_prefix = topic_prefix
+        self.endpoint = endpoint
+        self.token = token
+        self.batch_size = batch_size
 
     def records(self, df: DataFrame, entity: str) -> DataFrame:
         return to_bus_records(df, entity, self.topic_mapping, self.topic_prefix)
 
     def write(self, df: DataFrame, entity: str) -> None:
-        raise NotImplementedError(
-            "pub/sub transport needs google-cloud-pubsub (pip) and GCP "
-            "credentials; publish records() per partition via "
-            "foreachPartition(publisher.publish) in production"
+        if self.token is None:
+            raise NotImplementedError(
+                "pub/sub needs an OAuth2 bearer token (no GCP credentials "
+                "in this image): PubSubSink(project, token=<bearer>) — in "
+                "production mint it from application-default credentials "
+                "or the GCE metadata server"
+            )
+        endpoint, project = self.endpoint, self.project
+        token, batch = self.token, self.batch_size
+        self.records(df, entity).foreachPartition(
+            lambda rows: _pubsub_send_partition(rows, endpoint, project,
+                                                token, batch)
         )
+
+
+class S3ObjectSink:
+    """The S3 leg of the file dump (≙ file_item_exporter.py's S3
+    output target): PUT objects via SigV4-signed HTTP(S) requests
+    built with stdlib hmac/hashlib/urllib (operators/wire.py) — REAL
+    in this image, tested against a local HTTP double that RECOMPUTES
+    the signature with the known secret. ``upload_dir`` mirrors the
+    local file layout to ``s3://bucket/prefix/...`` file-by-file
+    (driver-side: dump files are the per-entity/per-day unit, a
+    bounded count; a cluster-wide fan-out would map put_bytes over a
+    file-list RDD)."""
+
+    def __init__(self, bucket: str, prefix: str, access_key: str,
+                 secret_key: str, region: str = "us-east-1",
+                 endpoint: str = "https://s3.amazonaws.com"):
+        self.bucket = bucket
+        self.prefix = prefix.strip("/")
+        self.access_key = access_key
+        self.secret_key = secret_key
+        self.region = region
+        self.endpoint = endpoint
+
+    def put_bytes(self, key: str, payload: bytes) -> int:
+        from blockchain_etl_spark.operators.wire import s3_put_object
+
+        return s3_put_object(
+            self.endpoint, self.bucket, f"{self.prefix}/{key}".strip("/"),
+            payload, self.access_key, self.secret_key, region=self.region,
+        )
+
+    def upload_dir(self, local_dir: str) -> dict[str, int]:
+        n = total = 0
+        for root, _dirs, files in os.walk(local_dir):
+            for fn in sorted(files):
+                if fn.startswith(("_", ".")):
+                    continue  # spark markers/CRCs stay local
+                p = os.path.join(root, fn)
+                rel = os.path.relpath(p, local_dir)
+                with open(p, "rb") as fh:
+                    payload = fh.read()
+                self.put_bytes(rel.replace(os.sep, "/"), payload)
+                n += 1
+                total += len(payload)
+        return {"uploaded": n, "bytes": total}
 
 
 class SlackWebhookSink:
