@@ -1597,6 +1597,79 @@ FROM fin GROUP BY 1
 """
 
 
+def unigram_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-maintained corpus VOCABULARY: per-token unigram
+    occurrence counts + document frequency, folded from the documents
+    table's change feed with retraction (an update retracts the old
+    doc's exploded terms and inserts the new doc's; a delete retracts
+    the carried pre-image) — the token-histogram / DF-table / unigram-
+    LM statistics every training-data pipeline recomputes per corpus
+    snapshot (and this repo's batch ``unigram_logprob``/``tfidf_terms``
+    rows compute from scratch), maintained at O(changed docs × their
+    tokens) per hop. Z-set liveness on occurrences: a token whose
+    count folds to zero leaves the vocabulary physically. Oracle: the
+    vocabulary recomputed from scratch over last-writer final state."""
+    import os
+
+    from blockchain_etl_spark.cdc.apply import CdcEngine
+    from blockchain_etl_spark.cdc.schema import TARGET_SCHEMA
+    from blockchain_etl_spark.streaming.aggregate_mv import (
+        create_agg_mv,
+        exploded_terms_transform,
+        mv_state,
+    )
+    from blockchain_etl_spark.streaming.cascade import CascadeTailer
+    from blockchain_etl_spark.tables.snapshot import SnapshotTable
+
+    ev, mid = _changelog_valid(spark, sf_dir)
+    work = _pid_scoped_gate_dir("unigram-mv-gate")
+    src = SnapshotTable.create(
+        spark, os.path.join(work, "src"), TARGET_SCHEMA, key="doc_id", n_buckets=16
+    )
+    eng = CdcEngine(spark, src, mode="cow", collect_metrics=False)
+    mv = create_agg_mv(
+        spark, os.path.join(work, "mv"), "term", {"n_docs": "_"},
+        n_buckets=8, zset=True,
+    )
+    tailer = CascadeTailer(
+        src,
+        CdcEngine(spark, mv, collect_metrics=False),
+        os.path.join(work, "mv_cursor.json"),
+        transform=exploded_terms_transform("tokens"),
+    )
+    eng.apply_epoch(ev.filter(F.col("lsn") <= mid), epoch_id=1)
+    tailer.run_once()
+    eng.apply_epoch(ev.filter(F.col("lsn") > mid), epoch_id=2)
+    tailer.run_once()
+    return mv_state(mv).select(
+        F.col("doc_id").cast("long").alias("term"),
+        F.col("n_rows").alias("n_occ"),
+        "n_docs",
+    )
+
+
+_UNIGRAM_MV_SQL = f"""
+WITH {_CHANGELOG_CTE},
+ev AS (
+  SELECT * FROM changelog
+  WHERE op IN ('I','U','D')
+    AND (op = 'D' OR (tokens IS NOT NULL AND n_tok = len(tokens)))
+),
+fin AS (
+  SELECT * FROM (
+    SELECT e.*, row_number() OVER (PARTITION BY doc_id ORDER BY stream_pos DESC) AS rn
+    FROM ev e) WHERE rn = 1 AND op <> 'D'
+),
+terms AS (
+  SELECT doc_id, unnest(tokens) AS term FROM fin
+)
+SELECT term::BIGINT AS term,
+       count(*)::BIGINT AS n_occ,
+       count(DISTINCT doc_id)::BIGINT AS n_docs
+FROM terms GROUP BY 1
+"""
+
+
 def join_agg_cascade_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incrementally-maintained GROUP BY over an incrementally-
     maintained JOIN — the reduce-after-bilinear composition
@@ -6181,6 +6254,7 @@ QUERIES: dict[str, callable] = {
     "address_profile": address_profile,
     "kmv_policy_table": kmv_policy_table,
     "hist_policy_table": hist_policy_table,
+    "unigram_mv": unigram_mv,
     "clustered_scan": clustered_scan,
     "chunk_retention": chunk_retention,
     "backfill_gap_fill": backfill_gap_fill,
@@ -6539,6 +6613,7 @@ def oracle_sqls() -> dict[str, str]:
         "pipeline_snapshot": _PIPELINE_SNAPSHOT_SQL,
         "scd2_asof_pipeline": _SCD2_ASOF_SQL,
         "length_histogram_mv": _LEN_HIST_MV_SQL,
+        "unigram_mv": _UNIGRAM_MV_SQL,
         "minmax_policy_table": _MINMAX_POLICY_SQL,
         "kmv_policy_table": _kmv_policy_sql(),
         "hist_policy_table": _hist_policy_sql(),

@@ -111,6 +111,68 @@ def agg_mv_transform(group_col: str, measures: dict[str, str] | None = None):
     return _t
 
 
+def exploded_terms_transform(array_col: str = "tokens"):
+    """``CascadeTailer(transform=...)`` factory: maintain the corpus
+    VOCABULARY from the change feed — one MV group per distinct element
+    of an array column, with two signed measures per term:
+
+    - ``n_rows``: total occurrences (the unigram count — a term
+      appearing twice in a doc contributes 2), doubling as the Z-set
+      liveness multiplicity (a term whose occurrences fold to zero is
+      out of the vocabulary and GC-able);
+    - ``n_docs``: document frequency (distinct docs containing the
+      term — the DF leg of TF-IDF / unigram-LM stats).
+
+    Retraction algebra: an insert explodes the post-image (+1 each), a
+    delete explodes the carried pre-image (−1 each), an update retracts
+    the old doc's terms and inserts the new doc's — so the MV equals
+    the from-scratch vocabulary of live docs after every hop, at hop
+    cost O(changed docs × their tokens), never a corpus scan. This is
+    the stats layer every training-data pipeline recomputes per
+    snapshot (token histograms, DF tables, unigram LMs) maintained
+    differentially instead.
+
+    Scale: the explode fans out only the CHANGED rows; the per-term
+    fold is the same map-side-combined groupBy the agg MV uses, and
+    term skew (stopwords) is bounded by the signed pre-aggregation —
+    one delta row per (term, hop) regardless of occurrence count."""
+
+    def _t(changes: DataFrame, _src, _v0: int, v1: int) -> DataFrame:
+        sign = F.when(
+            F.col("_change_type").isin("insert", "update_postimage"), F.lit(1)
+        ).otherwise(F.lit(-1))
+        ex = changes.select(
+            sign.alias("_s"),
+            F.col("doc_id").alias("_d"),
+            F.explode(F.col(array_col)).alias("_term"),
+        ).select(
+            "_s", "_d",
+            F.coalesce(F.col("_term").cast("string"), F.lit(NULL_GROUP))
+            .alias("_term"),
+        )
+        occ = ex.groupBy("_term").agg(F.sum("_s").cast("long").alias("n_rows"))
+        dfq = (
+            ex.distinct()  # one (sign, doc, term) vote per image
+            .groupBy("_term")
+            .agg(F.sum("_s").cast("long").alias("n_docs"))
+        )
+        g = occ.join(dfq, "_term").filter(
+            (F.col("n_rows") != 0) | (F.col("n_docs") != 0)
+        )
+        return g.select(
+            F.lit(v1).cast("long").alias("stream_pos"),
+            F.lit(v1).cast("long").alias("lsn"),
+            F.lit(0).cast("int").alias("seq"),
+            F.lit("U").alias("op"),
+            F.lit(None).cast("long").alias("rollback_to_lsn"),
+            F.col("_term").alias("doc_id"),
+            F.col("n_rows"),
+            F.col("n_docs"),
+        )
+
+    return _t
+
+
 def create_agg_mv(
     spark: SparkSession,
     path: str,

@@ -143,3 +143,77 @@ def test_zset_agg_resumes_from_lineage(spark, tmp_path):
     )
     assert z2.run_once() is None
     assert _got(z2) == want
+
+
+def test_unigram_mv_retracts_on_update_and_delete(spark, tmp_path):
+    """exploded_terms_transform: the vocabulary MV equals the
+    from-scratch unigram/DF stats of live docs after every hop —
+    through an update that swaps a doc's tokens (old terms retract)
+    and a delete (pre-image terms retract; a term emptied of all
+    occurrences leaves the live vocabulary)."""
+    from blockchain_etl_spark.streaming.aggregate_mv import (
+        create_agg_mv,
+        exploded_terms_transform,
+        mv_state,
+    )
+    from blockchain_etl_spark.streaming.cascade import CascadeTailer
+
+    EV = T.StructType([
+        T.StructField("stream_pos", T.LongType()),
+        T.StructField("lsn", T.LongType()),
+        T.StructField("seq", T.IntegerType()),
+        T.StructField("op", T.StringType()),
+        T.StructField("rollback_to_lsn", T.LongType()),
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("tokens", T.ArrayType(T.IntegerType())),
+        T.StructField("n_tok", T.IntegerType()),
+        T.StructField("source", T.StringType()),
+    ])
+    src = SnapshotTable.create(
+        spark, str(tmp_path / "src"), TARGET_SCHEMA, key="doc_id", n_buckets=4
+    )
+    eng = CdcEngine(spark, src, mode="cow", collect_metrics=False)
+    mv = create_agg_mv(
+        spark, str(tmp_path / "mv"), "term", {"n_docs": "_"},
+        n_buckets=2, zset=True,
+    )
+    tailer = CascadeTailer(
+        src, CdcEngine(spark, mv, collect_metrics=False),
+        str(tmp_path / "cur.json"),
+        transform=exploded_terms_transform("tokens"),
+    )
+
+    def _vocab():
+        return {
+            int(r["doc_id"]): (r["n_rows"], r["n_docs"])
+            for r in mv_state(mv).collect()
+        }
+
+    def _expect():
+        occ, dfq = {}, {}
+        for r in read_state(src).collect():
+            for t in r["tokens"]:
+                occ[t] = occ.get(t, 0) + 1
+            for t in set(r["tokens"]):
+                dfq[t] = dfq.get(t, 0) + 1
+        return {t: (occ[t], dfq[t]) for t in occ}
+
+    # epoch 1: two docs sharing token 7; token 5 appears twice in one doc
+    eng.apply_epoch(spark.createDataFrame([
+        (0, 1, 0, "I", None, "a", [5, 5, 7], 3, "s1"),
+        (1, 2, 0, "I", None, "b", [7, 9], 2, "s1"),
+    ], EV), 1)
+    tailer.run_once()
+    assert _vocab() == _expect() == {5: (2, 1), 7: (2, 2), 9: (1, 1)}
+
+    # epoch 2: update swaps a's tokens (5,7 retract; 11 enters),
+    # delete b (7 leaves entirely, 9 leaves the live vocabulary)
+    eng.apply_epoch(spark.createDataFrame([
+        (2, 3, 0, "U", None, "a", [11, 7], 2, "s1"),
+        (3, 4, 0, "D", None, "b", None, None, None),
+    ], EV), 2)
+    tailer.run_once()
+    assert _vocab() == _expect() == {7: (1, 1), 11: (1, 1)}
+    # rerun is a no-op hop
+    assert tailer.run_once() is None
+    assert _vocab() == {7: (1, 1), 11: (1, 1)}
