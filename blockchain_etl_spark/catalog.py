@@ -1670,6 +1670,84 @@ FROM terms GROUP BY 1
 """
 
 
+def reorg_agg_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A chain REORG propagated through the differential-MV layer: the
+    source table ingests the RAW changelog — R rollback markers and
+    contract-invalid rows included — through the engine in two MOR
+    epochs, with an aggregate-MV hop after EACH epoch. The engine
+    linearizes the reorg into its change feed (tombstone-then-reinsert
+    with the monotonic guard), so the MV sees ordinary retractions and
+    must land on the grouped aggregate of the POST-reorg final state —
+    the composition the reference's pollers get implicitly by
+    re-running SQL after eth_reorg_adapter rewinds
+    (eth_reorg_adapter.py:102-114), here maintained differentially.
+    Oracle: the batch replay rule (min-rollback-after window +
+    validity contract) grouped by source."""
+    import os
+
+    from blockchain_etl_spark.cdc.apply import CdcEngine
+    from blockchain_etl_spark.cdc.schema import TARGET_SCHEMA
+    from blockchain_etl_spark.streaming.aggregate_mv import (
+        agg_mv_transform,
+        create_agg_mv,
+        mv_state,
+    )
+    from blockchain_etl_spark.streaming.cascade import CascadeTailer
+    from blockchain_etl_spark.tables.snapshot import SnapshotTable
+
+    ev = derive_changelog(spark, sf_dir)
+    mid = ev.agg(F.max("lsn")).first()[0] // 2
+    work = _pid_scoped_gate_dir("reorg-agg-mv-gate")
+    src = SnapshotTable.create(
+        spark, os.path.join(work, "src"), TARGET_SCHEMA, key="doc_id", n_buckets=16
+    )
+    eng = CdcEngine(spark, src, mode="mor", collect_metrics=False)
+    mv = create_agg_mv(
+        spark, os.path.join(work, "mv"), "source", {"sum_tok": "n_tok"},
+        n_buckets=4, zset=True,
+    )
+    tailer = CascadeTailer(
+        src,
+        CdcEngine(spark, mv, collect_metrics=False),
+        os.path.join(work, "mv_cursor.json"),
+        transform=agg_mv_transform("source", {"sum_tok": "n_tok"}),
+    )
+    eng.apply_epoch(ev.filter(F.col("lsn") <= mid), epoch_id=1)
+    tailer.run_once()
+    eng.apply_epoch(ev.filter(F.col("lsn") > mid), epoch_id=2)
+    tailer.run_once()
+    return mv_state(mv).select(
+        F.col("doc_id").alias("source"),
+        F.col("n_rows").alias("n_docs"),
+        "sum_tok",
+    )
+
+
+_REORG_AGG_MV_SQL = f"""
+WITH {_CHANGELOG_CTE},
+ev AS (
+  SELECT *,
+         min(CASE WHEN op = 'R' THEN rollback_to_lsn END)
+           OVER (ORDER BY stream_pos ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+           AS min_rb_after
+  FROM changelog
+),
+live AS (
+  SELECT * FROM ev
+  WHERE op IN ('I','U','D')
+    AND (min_rb_after IS NULL OR lsn <= min_rb_after)
+    AND (op = 'D' OR (tokens IS NOT NULL AND n_tok = len(tokens)))
+),
+last AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY stream_pos DESC) AS rn
+  FROM live
+)
+SELECT source, count(*)::BIGINT AS n_docs, sum(n_tok)::BIGINT AS sum_tok
+FROM last WHERE rn = 1 AND op <> 'D'
+GROUP BY source
+"""
+
+
 def join_agg_cascade_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incrementally-maintained GROUP BY over an incrementally-
     maintained JOIN — the reduce-after-bilinear composition
@@ -6255,6 +6333,7 @@ QUERIES: dict[str, callable] = {
     "kmv_policy_table": kmv_policy_table,
     "hist_policy_table": hist_policy_table,
     "unigram_mv": unigram_mv,
+    "reorg_agg_mv": reorg_agg_mv,
     "clustered_scan": clustered_scan,
     "chunk_retention": chunk_retention,
     "backfill_gap_fill": backfill_gap_fill,
@@ -6614,6 +6693,7 @@ def oracle_sqls() -> dict[str, str]:
         "scd2_asof_pipeline": _SCD2_ASOF_SQL,
         "length_histogram_mv": _LEN_HIST_MV_SQL,
         "unigram_mv": _UNIGRAM_MV_SQL,
+        "reorg_agg_mv": _REORG_AGG_MV_SQL,
         "minmax_policy_table": _MINMAX_POLICY_SQL,
         "kmv_policy_table": _kmv_policy_sql(),
         "hist_policy_table": _hist_policy_sql(),
