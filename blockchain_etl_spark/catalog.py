@@ -1748,6 +1748,75 @@ GROUP BY source
 """
 
 
+def debezium_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Debezium envelope leg of the change-log bus: the derived
+    changelog is serialized into Debezium change-event envelopes
+    (``{"payload": {"before","after","source","op"}}`` — the Kafka
+    Connect ecosystem's public CDC format; reorg markers ride Postgres
+    logical-decoding messages, op=m) and decoded back through
+    ``sources/envelope.decode_debezium`` — the adapter the engine's
+    ``tail --bus-format debezium`` uses to ingest a real Debezium topic
+    dump (≙ the reference's adapter layer normalizing RPC shapes into
+    item dicts, eth_streamer_adapter.py:60-118). Encode and decode are
+    both pure ``to_json``/``from_json`` over fixed structs — JVM-side,
+    codegen, no shuffle. Oracle: the changelog CTE projected directly
+    (if decode drops or distorts ANY field of ANY op, parity fails).
+    Deterministic 1-in-23 sample keeps the gate row-bounded."""
+    from blockchain_etl_spark.sources.envelope import (
+        decode_debezium,
+        encode_debezium,
+    )
+
+    ev = derive_changelog(spark, sf_dir)
+    dec = decode_debezium(encode_debezium(ev))
+    return dec.filter(F.col("stream_pos") % 23 == 0).select(
+        "stream_pos", "lsn", "seq", "op", "doc_id",
+        F.array_join("tokens", ",").alias("tokens_csv"),
+        "n_tok", "source", "rollback_to_lsn", "epoch_hash",
+    )
+
+
+_DEBEZIUM_DECODE_SQL = f"""
+WITH {_CHANGELOG_CTE}
+SELECT stream_pos, lsn, seq, op, doc_id,
+       array_to_string(tokens, ',') AS tokens_csv,
+       n_tok, source, rollback_to_lsn,
+       md5('h' || lsn::VARCHAR) AS epoch_hash
+FROM changelog WHERE stream_pos % 23 = 0
+"""
+
+
+def maxwell_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maxwell (MySQL binlog JSON) leg of the change-log bus:
+    insert/update/delete rows with binlog coordinates in ``position``
+    (file ≙ LSN, offset ≙ intra-block seq) and the bus offset in
+    ``xid``. Maxwell has no reorg vocabulary, so the R markers are
+    excluded at plan level (chains that need rollback markers use the
+    Debezium op=m leg); ``epoch_hash`` is lineage-only metadata with no
+    Maxwell slot and stays null. Same JVM-side from_json path."""
+    from blockchain_etl_spark.sources.envelope import (
+        decode_maxwell,
+        encode_maxwell,
+    )
+
+    ev = derive_changelog(spark, sf_dir)
+    dec = decode_maxwell(encode_maxwell(ev))
+    return dec.filter(F.col("stream_pos") % 23 == 0).select(
+        "stream_pos", "lsn", "seq", "op", "doc_id",
+        F.array_join("tokens", ",").alias("tokens_csv"),
+        "n_tok", "source", "rollback_to_lsn",
+    )
+
+
+_MAXWELL_DECODE_SQL = f"""
+WITH {_CHANGELOG_CTE}
+SELECT stream_pos, lsn, seq, op, doc_id,
+       array_to_string(tokens, ',') AS tokens_csv,
+       n_tok, source, CAST(NULL AS BIGINT) AS rollback_to_lsn
+FROM changelog WHERE op <> 'R' AND stream_pos % 23 = 0
+"""
+
+
 def join_agg_cascade_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incrementally-maintained GROUP BY over an incrementally-
     maintained JOIN — the reduce-after-bilinear composition
@@ -6334,6 +6403,8 @@ QUERIES: dict[str, callable] = {
     "hist_policy_table": hist_policy_table,
     "unigram_mv": unigram_mv,
     "reorg_agg_mv": reorg_agg_mv,
+    "debezium_decode": debezium_decode,
+    "maxwell_decode": maxwell_decode,
     "clustered_scan": clustered_scan,
     "chunk_retention": chunk_retention,
     "backfill_gap_fill": backfill_gap_fill,
@@ -6694,6 +6765,8 @@ def oracle_sqls() -> dict[str, str]:
         "length_histogram_mv": _LEN_HIST_MV_SQL,
         "unigram_mv": _UNIGRAM_MV_SQL,
         "reorg_agg_mv": _REORG_AGG_MV_SQL,
+        "debezium_decode": _DEBEZIUM_DECODE_SQL,
+        "maxwell_decode": _MAXWELL_DECODE_SQL,
         "minmax_policy_table": _MINMAX_POLICY_SQL,
         "kmv_policy_table": _kmv_policy_sql(),
         "hist_policy_table": _hist_policy_sql(),

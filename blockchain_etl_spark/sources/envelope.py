@@ -1,0 +1,298 @@
+"""CDC envelope format adapters: Debezium and Maxwell → EVENT_SCHEMA.
+
+Real-world binlog/WAL tails rarely arrive in a bespoke schema — they
+arrive as **Debezium** change-event envelopes (the Kafka Connect
+ecosystem's lingua franca: ``{"payload": {"before", "after", "source",
+"op", "ts_ms"}}``) or **Maxwell** rows (``{"database", "table", "type",
+"ts", "xid", "position", "data", "old"}``). These decoders turn either
+format into the engine's ``EVENT_SCHEMA`` so the same apply path
+(`cdc/apply.py`) ingests a Debezium topic dump byte-for-byte like the
+native changelog (≙ the reference's adapter layer,
+``blockchainetl/streaming/streamer_adapter_stub.py`` +
+``ethereumetl/streaming/eth_streamer_adapter.py:60-118``, which
+normalizes RPC shapes into item dicts before export).
+
+Everything is ``from_json`` / ``to_json`` over fixed struct schemas —
+JVM-side, whole-stage-codegen, zero Python on the data path. At 100 TB
+the decode is a per-row projection that pipelines into the very first
+scan stage; no shuffle is introduced.
+
+Mapping notes (public format semantics):
+
+- Debezium ``op``: ``c`` (create) and ``r`` (snapshot read) → ``I``;
+  ``u`` → ``U``; ``d`` → ``D``; ``m`` (logical-decoding message,
+  Postgres ``pg_logical_emit_message`` surface) carries our
+  chain-reorg rollback marker → ``R`` with ``rollback_to_lsn`` in
+  ``message.content``. Kafka *tombstone* records (null value, emitted
+  after every Debezium delete for log compaction) are dropped.
+- Debezium ``source`` is **connector-specific by design** (each
+  connector publishes its own source-info struct); ours is the shape a
+  chain connector would emit: ``lsn`` (block number), ``pos``
+  (intra-block position), ``sequence`` (bus offset as a string, the
+  Postgres connector's convention), ``block_hash``, ``ts_ms``,
+  ``table``, ``snapshot``.
+- Maxwell has no reorg vocabulary (MySQL binlogs don't rewind), so the
+  Maxwell leg is defined only for ``I``/``U``/``D`` streams —
+  ``encode_maxwell`` refuses ``R`` rows rather than inventing a
+  non-public type. ``position`` carries ``binlog.NNNNNN:seq`` (file ≙
+  LSN, offset ≙ intra-block position — the binlog coordinates
+  convention), ``xid`` carries the bus offset.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from blockchain_etl_spark.cdc.schema import EVENT_SCHEMA
+
+# the row payload inside before/after/data/old
+_ROW_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType(), True),
+        T.StructField("tokens", T.ArrayType(T.IntegerType()), True),
+        T.StructField("n_tok", T.IntegerType(), True),
+        T.StructField("source", T.StringType(), True),
+    ]
+)
+
+_DBZ_SOURCE_SCHEMA = T.StructType(
+    [
+        T.StructField("version", T.StringType(), True),
+        T.StructField("connector", T.StringType(), True),
+        T.StructField("name", T.StringType(), True),
+        T.StructField("ts_ms", T.LongType(), True),
+        T.StructField("snapshot", T.StringType(), True),
+        T.StructField("db", T.StringType(), True),
+        T.StructField("table", T.StringType(), True),
+        T.StructField("lsn", T.LongType(), True),
+        T.StructField("pos", T.IntegerType(), True),
+        T.StructField("sequence", T.StringType(), True),  # bus offset
+        T.StructField("block_hash", T.StringType(), True),
+    ]
+)
+
+DEBEZIUM_VALUE_SCHEMA = T.StructType(
+    [
+        T.StructField(
+            "payload",
+            T.StructType(
+                [
+                    T.StructField("before", _ROW_SCHEMA, True),
+                    T.StructField("after", _ROW_SCHEMA, True),
+                    T.StructField("source", _DBZ_SOURCE_SCHEMA, True),
+                    T.StructField("op", T.StringType(), True),
+                    T.StructField("ts_ms", T.LongType(), True),
+                    T.StructField(
+                        "message",
+                        T.StructType(
+                            [
+                                T.StructField("prefix", T.StringType(), True),
+                                T.StructField("content", T.StringType(), True),
+                            ]
+                        ),
+                        True,
+                    ),
+                ]
+            ),
+            True,
+        )
+    ]
+)
+
+MAXWELL_VALUE_SCHEMA = T.StructType(
+    [
+        T.StructField("database", T.StringType(), True),
+        T.StructField("table", T.StringType(), True),
+        T.StructField("type", T.StringType(), True),
+        T.StructField("ts", T.LongType(), True),
+        T.StructField("xid", T.LongType(), True),
+        T.StructField("commit", T.BooleanType(), True),
+        T.StructField("position", T.StringType(), True),
+        T.StructField("data", _ROW_SCHEMA, True),
+        T.StructField("old", _ROW_SCHEMA, True),
+    ]
+)
+
+
+def _payload_struct(prefix: str = ""):
+    return F.struct(
+        F.col(f"{prefix}doc_id").alias("doc_id"),
+        F.col(f"{prefix}tokens").alias("tokens"),
+        F.col(f"{prefix}n_tok").alias("n_tok"),
+        F.col(f"{prefix}source").alias("source"),
+    )
+
+
+def encode_debezium(events: DataFrame, table: str = "sequences") -> DataFrame:
+    """EVENT_SCHEMA rows → one Debezium envelope JSON string per event
+    (column ``value``). The inverse of :func:`decode_debezium` — used by
+    tests/gates to prove the decoder exact, and as the wire shape for
+    the Kafka sink's CDC topics (``to_bus_records`` sibling)."""
+    op = F.col("op")
+    dbz_op = (
+        F.when(op == "I", F.lit("c"))
+        .when(op == "U", F.lit("u"))
+        .when(op == "D", F.lit("d"))
+        .when(op == "R", F.lit("m"))
+    )
+    after = F.when(op.isin("I", "U"), _payload_struct())
+    # deletes carry the full pre-image in `before` (Debezium: after=null
+    # on d, before = the old row)
+    before = F.when(op == "D", _payload_struct())
+    source = F.struct(
+        F.lit("2.6").alias("version"),
+        F.lit("chain").alias("connector"),
+        F.lit("etl").alias("name"),
+        (F.col("lsn") * 1000).alias("ts_ms"),
+        F.lit("false").alias("snapshot"),
+        F.lit("lake").alias("db"),
+        F.lit(table).alias("table"),
+        F.col("lsn"),
+        F.col("seq").alias("pos"),
+        F.col("stream_pos").cast("string").alias("sequence"),
+        F.col("epoch_hash").alias("block_hash"),
+    )
+    message = F.when(
+        op == "R",
+        F.struct(
+            F.lit("reorg").alias("prefix"),
+            F.col("rollback_to_lsn").cast("string").alias("content"),
+        ),
+    )
+    payload = F.struct(
+        before.alias("before"),
+        after.alias("after"),
+        source.alias("source"),
+        dbz_op.alias("op"),
+        (F.col("lsn") * 1000 + F.col("seq")).alias("ts_ms"),
+        message.alias("message"),
+    )
+    return events.select(
+        F.to_json(F.struct(payload.alias("payload"))).alias("value")
+    )
+
+
+def decode_debezium(
+    df: DataFrame, value_col: str = "value", offset_col: str | None = None
+) -> DataFrame:
+    """Debezium envelope JSON strings → EVENT_SCHEMA.
+
+    ``offset_col`` names the bus-offset column when reading a Kafka
+    batch frame ``(offset, value)``; without it the offset is taken
+    from ``payload.source.sequence`` (the envelope's own convention).
+    Null values (Kafka compaction tombstones) and unmapped ops are
+    dropped. Pure ``from_json`` + projections — JVM-side."""
+    parsed = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(
+            *( [F.col(offset_col).cast("long").alias("_off")] if offset_col else [] ),
+            F.from_json(F.col(value_col), DEBEZIUM_VALUE_SCHEMA).alias("e"),
+        )
+        .select(*( ["_off"] if offset_col else [] ), "e.payload.*")
+        .filter(F.col("op").isin("c", "r", "u", "d", "m"))
+    )
+    stream_pos = (
+        F.col("_off") if offset_col else F.col("source.sequence").cast("long")
+    )
+    eng_op = (
+        F.when(F.col("op").isin("c", "r"), F.lit("I"))
+        .when(F.col("op") == "u", F.lit("U"))
+        .when(F.col("op") == "d", F.lit("D"))
+        .otherwise(F.lit("R"))
+    )
+    out = parsed.select(
+        stream_pos.alias("stream_pos"),
+        F.col("source.lsn").alias("lsn"),
+        F.col("source.pos").alias("seq"),
+        eng_op.alias("op"),
+        F.coalesce(F.col("after.doc_id"), F.col("before.doc_id")).alias("doc_id"),
+        F.coalesce(F.col("after.tokens"), F.col("before.tokens")).alias("tokens"),
+        F.coalesce(F.col("after.n_tok"), F.col("before.n_tok")).alias("n_tok"),
+        F.coalesce(F.col("after.source"), F.col("before.source")).alias("source"),
+        F.when(F.col("op") == "m", F.col("message.content").cast("long")).alias(
+            "rollback_to_lsn"
+        ),
+        F.col("source.block_hash").alias("epoch_hash"),
+    )
+    return out.select([f.name for f in EVENT_SCHEMA.fields])
+
+
+def encode_maxwell(events: DataFrame, database: str = "lake",
+                   table: str = "sequences") -> DataFrame:
+    """EVENT_SCHEMA rows → Maxwell JSON (column ``value``). Maxwell has
+    no reorg vocabulary, so ``R`` rows are refused at plan level: the
+    encode filter drops them and ``decode_maxwell`` can never emit one —
+    chains that need rollback markers use the Debezium leg (op=m) or
+    the native schema."""
+    mx_type = (
+        F.when(F.col("op") == "I", F.lit("insert"))
+        .when(F.col("op") == "U", F.lit("update"))
+        .otherwise(F.lit("delete"))
+    )
+    # Maxwell's delete `data` is the deleted row's values — the event's
+    # own nulls (a delete carries no token payload) pass through as-is
+    data = _payload_struct()
+    return events.filter(F.col("op") != "R").select(
+        F.to_json(
+            F.struct(
+                F.lit(database).alias("database"),
+                F.lit(table).alias("table"),
+                mx_type.alias("type"),
+                F.col("lsn").alias("ts"),
+                F.col("stream_pos").alias("xid"),
+                F.lit(True).alias("commit"),
+                F.format_string("binlog.%06d:%d", F.col("lsn"), F.col("seq")).alias(
+                    "position"
+                ),
+                data.alias("data"),
+                F.lit(None).cast(_ROW_SCHEMA).alias("old"),
+            )
+        ).alias("value")
+    )
+
+
+def decode_maxwell(
+    df: DataFrame, value_col: str = "value", offset_col: str | None = None
+) -> DataFrame:
+    """Maxwell JSON rows → EVENT_SCHEMA. LSN/seq parse out of the
+    binlog ``position`` coordinates; the bus offset comes from
+    ``offset_col`` when given, else ``xid``. ``epoch_hash`` is null
+    (MySQL binlogs carry no block hash) — it is lineage metadata only,
+    never consulted by the apply path."""
+    parsed = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(
+            *( [F.col(offset_col).cast("long").alias("_off")] if offset_col else [] ),
+            F.from_json(F.col(value_col), MAXWELL_VALUE_SCHEMA).alias("e"),
+        )
+        .select(*( ["_off"] if offset_col else [] ), "e.*")
+        .filter(F.col("type").isin("insert", "bootstrap-insert", "update", "delete"))
+    )
+    stream_pos = F.col("_off") if offset_col else F.col("xid")
+    eng_op = (
+        F.when(F.col("type").isin("insert", "bootstrap-insert"), F.lit("I"))
+        .when(F.col("type") == "update", F.lit("U"))
+        .otherwise(F.lit("D"))
+    )
+    out = parsed.select(
+        stream_pos.alias("stream_pos"),
+        F.regexp_extract(F.col("position"), r"binlog\.(\d+):(\d+)", 1)
+        .cast("long")
+        .alias("lsn"),
+        F.regexp_extract(F.col("position"), r"binlog\.(\d+):(\d+)", 2)
+        .cast("int")
+        .alias("seq"),
+        eng_op.alias("op"),
+        F.col("data.doc_id").alias("doc_id"),
+        F.col("data.tokens").alias("tokens"),
+        F.col("data.n_tok").alias("n_tok"),
+        F.col("data.source").alias("source"),
+        F.lit(None).cast("long").alias("rollback_to_lsn"),
+        F.lit(None).cast("string").alias("epoch_hash"),
+    )
+    return out.select([f.name for f in EVENT_SCHEMA.fields])
+
+
+DECODERS = {"debezium": decode_debezium, "maxwell": decode_maxwell}

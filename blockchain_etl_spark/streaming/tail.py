@@ -30,7 +30,7 @@ from blockchain_etl_spark.cdc.schema import EVENT_SCHEMA
 if TYPE_CHECKING:  # avoid circular import (apply.py imports epoch_store)
     from blockchain_etl_spark.cdc.apply import CdcEngine
 
-_EPOCH_RE = re.compile(r"epoch-(\d+)\.parquet$")
+_EPOCH_RE = re.compile(r"epoch-(\d+)\.(parquet|jsonl)$")
 
 
 class ChangeLogTailer:
@@ -40,6 +40,7 @@ class ChangeLogTailer:
         landing_dir: str,
         engine: "CdcEngine",
         retain_lsn_margin: int | None = None,
+        bus_format: str = "native",
     ):
         self.spark = spark
         self.landing_dir = landing_dir
@@ -53,22 +54,48 @@ class ChangeLogTailer:
         # fails loud in EpochStore.slice_metas instead of silently
         # missing events. None = retain forever (the r4 behavior).
         self.retain_lsn_margin = retain_lsn_margin
+        # wire format of the landing epochs: "native" = EVENT_SCHEMA
+        # parquet; "debezium"/"maxwell" = JSONL envelope streams
+        # (epoch-N.jsonl, one envelope per line) decoded JVM-side via
+        # sources/envelope.py before store+apply — the EpochStore keeps
+        # the DECODED native schema so reorg replay is format-agnostic.
+        if bus_format not in ("native", "debezium", "maxwell"):
+            raise ValueError(f"unknown bus_format {bus_format!r}")
+        self.bus_format = bus_format
+
+    def _epoch_files(self) -> dict[int, str]:
+        out: dict[int, str] = {}
+        for name in os.listdir(self.landing_dir):
+            m = _EPOCH_RE.search(name)
+            if m:
+                out[int(m.group(1))] = name
+        return out
 
     def pending_epochs(self) -> list[int]:
         applied = set(self.engine.table.manifest().applied_epochs)
-        found = []
-        for name in os.listdir(self.landing_dir):
-            m = _EPOCH_RE.search(name)
-            if m and int(m.group(1)) not in applied:
-                found.append(int(m.group(1)))
-        return sorted(found)
+        return sorted(e for e in self._epoch_files() if e not in applied)
+
+    def _read_epoch(self, name: str):
+        path = os.path.join(self.landing_dir, name)
+        if name.endswith(".jsonl"):
+            from blockchain_etl_spark.sources.envelope import DECODERS
+
+            if self.bus_format not in DECODERS:
+                raise ValueError(
+                    f"landing file {name} is an envelope stream but the "
+                    f"tailer was built with bus_format='native' — pass "
+                    f"bus_format='debezium' or 'maxwell'"
+                )
+            raw = self.spark.read.text(path).withColumnRenamed("value", "_v")
+            return DECODERS[self.bus_format](raw, value_col="_v")
+        return self.spark.read.schema(EVENT_SCHEMA).parquet(path)
 
     def run_once(self) -> list[dict[str, Any]]:
         """Apply every pending epoch in order; returns metrics per epoch."""
         out = []
+        files = self._epoch_files()
         for eid in self.pending_epochs():
-            path = os.path.join(self.landing_dir, f"epoch-{eid:08d}.parquet")
-            df = self.spark.read.schema(EVENT_SCHEMA).parquet(path)
+            df = self._read_epoch(files[eid])
             if self.engine.epoch_store is not None and str(eid) not in self.engine.epoch_store._index():
                 self.engine.epoch_store.write_epoch(eid, df)
                 df = self.engine.epoch_store.read_epoch(eid)

@@ -77,6 +77,12 @@ def main(argv=None):
                          "reorg + redelivery horizon; default: retain "
                          "forever in direct mode, prune at the finalized "
                          "watermark in lag mode)")
+    sp.add_argument("--bus-format", choices=["native", "debezium", "maxwell"],
+                    default="native",
+                    help="wire format of the landing epochs: native = "
+                         "EVENT_SCHEMA parquet; debezium/maxwell = JSONL "
+                         "envelope streams (epoch-N.jsonl) decoded "
+                         "JVM-side before apply")
     sp.add_argument("--compact-cluster", action="store_true",
                     help="make every auto-compaction a sort-order rewrite "
                          "(bucket sorted by key,lsn,seq for row-group "
@@ -368,16 +374,17 @@ def main(argv=None):
                                   args.table.rstrip("/") + "_pending", lag=args.lag,
                                   retain_lsn_margin=args.retain_lsn_margin or 0)
                 results = []
-                for eid in ChangeLogTailer(spark, args.landing, engine).pending_epochs():
-                    df = spark.read.schema(EVENT_SCHEMA).parquet(
-                        os.path.join(args.landing, f"epoch-{eid:08d}.parquet")
-                    )
-                    results.append(lt.process_epoch(df, eid))
+                rd = ChangeLogTailer(spark, args.landing, engine,
+                                     bus_format=args.bus_format)
+                files = rd._epoch_files()
+                for eid in rd.pending_epochs():
+                    results.append(lt.process_epoch(rd._read_epoch(files[eid]), eid))
                 print(json.dumps({"processed": results}, default=str))
             else:
                 metrics = ChangeLogTailer(
                     spark, args.landing, engine,
                     retain_lsn_margin=args.retain_lsn_margin,
+                    bus_format=args.bus_format,
                 ).run_once()
                 print(json.dumps({"applied_epochs": [m["epoch_id"] for m in metrics],
                                   "metrics": metrics}, default=str))

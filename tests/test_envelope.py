@@ -1,0 +1,158 @@
+"""Debezium / Maxwell CDC envelope adapters (sources/envelope.py).
+
+The decode legs are exact inverses of the encode legs over the
+generator's full op vocabulary (I/U/D + R-as-logical-message for
+Debezium), Kafka compaction tombstones are dropped, and a JSONL
+envelope landing tailed with ``bus_format="debezium"`` converges to the
+same final state as the native parquet landing (same oracle)."""
+
+import os
+
+import pytest
+
+from blockchain_etl_spark.cdc.generator import events_to_df, generate_changelog
+from blockchain_etl_spark.cdc.oracle import oracle_replay
+from blockchain_etl_spark.sources.envelope import (
+    decode_debezium,
+    decode_maxwell,
+    encode_debezium,
+    encode_maxwell,
+)
+
+
+@pytest.fixture(scope="module")
+def flat_events(spark):
+    flat = [
+        e
+        for ep in generate_changelog(seed=41, n_epochs=4, p_reorg_epoch=0.5)
+        for e in ep
+    ]
+    return flat, events_to_df(spark, flat).cache()
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def test_debezium_roundtrip_exact(spark, flat_events):
+    _, ev = flat_events
+    assert _rows(decode_debezium(encode_debezium(ev))) == _rows(ev)
+
+
+def test_debezium_reorg_marker_rides_logical_message(spark, flat_events):
+    _, ev = flat_events
+    r = ev.filter("op = 'R'")
+    assert r.count() > 0, "seed must produce a reorg"
+    enc = encode_debezium(r)
+    # the wire shape is Debezium op=m with the rollback LSN in
+    # message.content — assert on the raw JSON, not just the round trip
+    val = enc.first()["value"]
+    assert '"op":"m"' in val and '"prefix":"reorg"' in val
+    dec = decode_debezium(enc)
+    assert _rows(dec) == _rows(r)
+
+
+def test_debezium_offset_column_wins_over_envelope(spark, flat_events):
+    _, ev = flat_events
+    from pyspark.sql import functions as F
+
+    enc = encode_debezium(ev).withColumn(
+        "offset", F.monotonically_increasing_id() + 1_000_000
+    )
+    dec = decode_debezium(enc, offset_col="offset")
+    assert dec.filter("stream_pos < 1000000").count() == 0
+
+
+def test_debezium_tombstones_and_foreign_ops_dropped(spark, flat_events):
+    _, ev = flat_events
+    from pyspark.sql import functions as F
+
+    enc = encode_debezium(ev)
+    n = ev.count()
+    polluted = enc.unionByName(
+        spark.createDataFrame(
+            [(None,), ('{"payload":{"op":"t","source":{"lsn":9}}}',)],
+            "value string",
+        )
+    )
+    assert decode_debezium(polluted).count() == n
+
+
+def test_maxwell_roundtrip_exact_minus_blockhash(spark, flat_events):
+    _, ev = flat_events
+    evnr = ev.filter("op <> 'R'")
+    dec = decode_maxwell(encode_maxwell(ev))
+    # Maxwell has no block-hash slot: epoch_hash (lineage metadata) is
+    # null after decode; everything the apply path consults round-trips
+    a = [t[:-1] for t in _rows(evnr)]
+    b = [t[:-1] for t in _rows(dec)]
+    assert a == b
+    assert dec.filter("epoch_hash is not null").count() == 0
+    assert dec.filter("op = 'R'").count() == 0
+
+
+def test_jsonl_debezium_landing_matches_native_tail(spark, tmp_path):
+    from blockchain_etl_spark.cdc.apply import CdcEngine
+    from blockchain_etl_spark.cdc.schema import TARGET_SCHEMA
+    from blockchain_etl_spark.streaming.epoch_store import EpochStore
+    from blockchain_etl_spark.streaming.tail import ChangeLogTailer
+    from blockchain_etl_spark.tables.snapshot import SnapshotTable
+
+    eps = list(generate_changelog(seed=53, n_epochs=3, p_reorg_epoch=0.6))
+    land_n = tmp_path / "native"
+    land_d = tmp_path / "dbz"
+    land_n.mkdir(), land_d.mkdir()
+    for i, ep in enumerate(eps):
+        df = events_to_df(spark, ep)
+        df.coalesce(1).write.parquet(str(land_n / f"epoch-{i:08d}.parquet"))
+        lines = [r["value"] for r in encode_debezium(df).collect()]
+        (land_d / f"epoch-{i:08d}.jsonl").write_text("\n".join(lines) + "\n")
+
+    outs = {}
+    for name, land, fmt in [
+        ("nat", land_n, "native"),
+        ("dbz", land_d, "debezium"),
+    ]:
+        t = SnapshotTable.create(
+            spark, str(tmp_path / f"t_{name}"), TARGET_SCHEMA, n_buckets=4
+        )
+        eng = CdcEngine(
+            spark, t,
+            epoch_store=EpochStore(spark, str(tmp_path / f"s_{name}")),
+            collect_metrics=False,
+        )
+        ChangeLogTailer(spark, str(land), eng, bus_format=fmt).run_once()
+        outs[name] = sorted(
+            map(tuple, t.read().filter("NOT deleted").select("doc_id", "tokens", "n_tok", "source").collect())
+        )
+    assert outs["nat"] == outs["dbz"]
+    flat = [e for ep in eps for e in ep]
+    assert len(outs["dbz"]) == len(oracle_replay(flat))
+
+
+def test_jsonl_with_native_format_fails_loud(spark, tmp_path):
+    from blockchain_etl_spark.cdc.apply import CdcEngine
+    from blockchain_etl_spark.cdc.schema import TARGET_SCHEMA
+    from blockchain_etl_spark.streaming.tail import ChangeLogTailer
+    from blockchain_etl_spark.tables.snapshot import SnapshotTable
+
+    land = tmp_path / "land"
+    land.mkdir()
+    (land / "epoch-00000000.jsonl").write_text("{}\n")
+    t = SnapshotTable.create(spark, str(tmp_path / "t"), TARGET_SCHEMA, n_buckets=4)
+    tailer = ChangeLogTailer(spark, str(land), CdcEngine(spark, t))
+    with pytest.raises(ValueError, match="bus_format"):
+        tailer.run_once()
+
+
+def test_unknown_bus_format_rejected(spark, tmp_path):
+    from blockchain_etl_spark.cdc.apply import CdcEngine
+    from blockchain_etl_spark.cdc.schema import TARGET_SCHEMA
+    from blockchain_etl_spark.streaming.tail import ChangeLogTailer
+    from blockchain_etl_spark.tables.snapshot import SnapshotTable
+
+    t = SnapshotTable.create(spark, str(tmp_path / "t"), TARGET_SCHEMA, n_buckets=4)
+    with pytest.raises(ValueError, match="bus_format"):
+        ChangeLogTailer(
+            spark, str(tmp_path), CdcEngine(spark, t), bus_format="protobuf"
+        )
