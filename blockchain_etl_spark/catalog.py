@@ -187,6 +187,66 @@ def cdc_replay_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def partitioned_tail_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END partitioned-bus ingest (table-build demo): the derived
+    changelog is routed onto a 3-partition topic the way a CDC producer
+    keys one (``hash(doc_id) % 3``, reorg markers replicated to every
+    partition), landed as per-partition segment files, and consumed by
+    ``PartitionedTailer`` — per-partition positional consumption, safe
+    (min-head) watermark holdback, marker-copy completeness, one
+    deduped marker re-linearized into the union batch. The final table
+    state must equal the ordinary totally-ordered replay — the same
+    oracle as ``cdc_replay_final_state`` — proving the partitioned
+    consumer loses nothing to reordering across partitions.
+    ≙ the reference's single streamer loop (streamer.py) lifted to the
+    Kafka-topic shape it cannot consume."""
+    import os
+
+    from blockchain_etl_spark.cdc.apply import CdcEngine
+    from blockchain_etl_spark.cdc.schema import TARGET_SCHEMA
+    from blockchain_etl_spark.streaming.epoch_store import EpochStore
+    from blockchain_etl_spark.streaming.partitioned import (
+        PartitionedTailer,
+        split_changelog,
+        write_partition_segments,
+    )
+    from blockchain_etl_spark.tables.snapshot import SnapshotTable
+
+    ev = derive_changelog(spark, sf_dir)
+    routed = split_changelog(ev, 3).cache()
+    max_lsn = routed.agg(F.max("lsn")).first()[0]
+    work = _pid_scoped_gate_dir("partitioned-tail-gate")
+    land = os.path.join(work, "land")
+    # four lsn-range segments per partition (the derived changelog is
+    # lsn-monotone in stream order, so range slicing = positional
+    # slicing); skewed sizes come free from the data distribution
+    w = max(max_lsn // 4, 1)
+    for k in range(4):
+        lo, hi = k * w, ((k + 1) * w if k < 3 else max_lsn + 1)
+        write_partition_segments(
+            routed.filter((F.col("lsn") >= lo) & (F.col("lsn") < hi)),
+            land, k, n_parts=3,
+        )
+    t = SnapshotTable.create(
+        spark, os.path.join(work, "t"), TARGET_SCHEMA, key="doc_id", n_buckets=8
+    )
+    eng = CdcEngine(
+        spark, t,
+        epoch_store=EpochStore(spark, os.path.join(work, "store")),
+        collect_metrics=False,
+    )
+    PartitionedTailer(spark, land, eng, n_parts=3).run_until_drained()
+    routed.unpersist()
+    return t.read().filter("NOT deleted").select(
+        "doc_id",
+        F.concat_ws(",", F.col("tokens").cast("array<string>")).alias("tokens_csv"),
+        "n_tok",
+        "source",
+        "lsn",
+        "seq",
+    )
+
+
 def cdc_changelog_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lineage-style per-op stats over the derived change-log (≙ the
     PERF counters, eth_streamer_adapter.py:251-256)."""
@@ -6405,6 +6465,7 @@ QUERIES: dict[str, callable] = {
     "reorg_agg_mv": reorg_agg_mv,
     "debezium_decode": debezium_decode,
     "maxwell_decode": maxwell_decode,
+    "partitioned_tail_state": partitioned_tail_state,
     "clustered_scan": clustered_scan,
     "chunk_retention": chunk_retention,
     "backfill_gap_fill": backfill_gap_fill,
@@ -6767,6 +6828,7 @@ def oracle_sqls() -> dict[str, str]:
         "reorg_agg_mv": _REORG_AGG_MV_SQL,
         "debezium_decode": _DEBEZIUM_DECODE_SQL,
         "maxwell_decode": _MAXWELL_DECODE_SQL,
+        "partitioned_tail_state": _CDC_FINAL_SQL,
         "minmax_policy_table": _MINMAX_POLICY_SQL,
         "kmv_policy_table": _kmv_policy_sql(),
         "hist_policy_table": _hist_policy_sql(),

@@ -52,8 +52,19 @@ def global_order_rank(
         "*", *[k.alias(f"_k{i}") for i, k in enumerate(keys)]
     )
     knames = [f"_k{i}" for i in range(len(keys))]
-    ranged = named.repartitionByRange(n_parts, *knames).withColumn(
-        "_rid", F.spark_partition_id()
+    # the ranged frame feeds TWO subplans (per-range counts and the
+    # final join). RangePartitioner boundaries come from a SAMPLE, and
+    # if the exchange is not reused (observe()/write wrappers and AQE
+    # re-plans break reuse), each branch re-samples DIFFERENT
+    # boundaries — offsets computed for one layout, local ranks for
+    # another, and the "rank" silently stops being a permutation. An
+    # eager localCheckpoint freezes one materialization (the same cost
+    # class as the sort-shuffle itself) so both branches read the same
+    # partitioning.
+    ranged = (
+        named.repartitionByRange(n_parts, *knames)
+        .withColumn("_rid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
     )
     wl = Window.partitionBy("_rid").orderBy(*knames)
     local = ranged.withColumn("_lrk", F.row_number().over(wl))

@@ -101,9 +101,16 @@ def pack_sequences(
         F.col(n_tok_col).alias("n_tok"),
     )
     # phase 1: contiguous global order ranges; the range id is captured
-    # BEFORE any further exchange so later operators can key on it
-    ranged = base.repartitionByRange(n_parts, "part", "doc_key").withColumn(
-        "_rid", F.spark_partition_id()
+    # BEFORE any further exchange so later operators can key on it.
+    # The ranged frame feeds two subplans (offsets + the final join);
+    # RangePartitioner boundaries come from a sample, so without one
+    # frozen materialization a broken exchange-reuse would give the
+    # branches DIFFERENT boundaries and corrupt the cumsum (same fix
+    # as ordering.global_order_rank).
+    ranged = (
+        base.repartitionByRange(n_parts, "part", "doc_key")
+        .withColumn("_rid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
     )
     # phase 2: local cumsum — every (part, _rid) group is a bounded slice
     wl = Window.partitionBy("part", "_rid").orderBy("doc_key")

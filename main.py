@@ -88,6 +88,23 @@ def main(argv=None):
                          "(bucket sorted by key,lsn,seq for row-group "
                          "pruning on point lookups)")
 
+    sp = sub.add_parser("tail-partitioned", help="consume a P-partition "
+                        "(Kafka-topic-shaped) landing: per-partition "
+                        "positional segments p-K/seg-N.parquet, safe "
+                        "min-head watermark, replicated reorg markers")
+    sp.add_argument("--landing", required=True)
+    sp.add_argument("--table", required=True)
+    sp.add_argument("--store", required=True)
+    sp.add_argument("--buckets", type=int, default=64)
+    sp.add_argument("--mode", choices=["mor", "cow"], default="mor")
+    sp.add_argument("--n-parts", type=int, default=None,
+                    help="fixed partition count (default: discover from "
+                         "the landing dir)")
+    sp.add_argument("--final", action="store_true",
+                    help="end-of-topic drain: after strict rounds stall, "
+                         "waive the safe-watermark gate and consume every "
+                         "pending segment in positional order")
+
     sp = sub.add_parser("stream")
     sp.add_argument("--landing", required=True)
     sp.add_argument("--table", required=True)
@@ -357,6 +374,31 @@ def main(argv=None):
                           "cluster_by": args.cluster_by,
                           "cluster_slab": args.cluster_slab}))
         return 0
+
+    if args.cmd == "tail-partitioned":
+        from blockchain_etl_spark.streaming.partitioned import PartitionedTailer
+
+        table = SnapshotTable(spark, args.table)
+        if not table.exists():
+            SnapshotTable.create(spark, args.table, TARGET_SCHEMA, n_buckets=args.buckets)
+        engine = CdcEngine(spark, table, epoch_store=EpochStore(spark, args.store),
+                           mode=args.mode)
+        tailer = PartitionedTailer(spark, args.landing, engine, n_parts=args.n_parts)
+        if args.final:
+            metrics = tailer.run_until_drained()
+        else:
+            metrics = []
+            while True:
+                m = tailer.run_once()
+                if m is None:
+                    break
+                metrics.append(m)
+        print(json.dumps({
+            "applied_epochs": [m["epoch_id"] for m in metrics],
+            "safe_lsn": metrics[-1].get("safe_lsn") if metrics else None,
+            "metrics": metrics,
+        }, default=str))
+        return
 
     if args.cmd in ("tail", "stream"):
         table = SnapshotTable(spark, args.table)

@@ -1,0 +1,195 @@
+"""Multi-partition (Kafka-topic-shaped) consumption — streaming/partitioned.py.
+
+The invariant under test: for ANY skewed per-partition delivery
+schedule of a key-routed, marker-replicated split of the change log,
+the partitioned consumer converges to exactly the oracle replay of the
+original totally-ordered log — while never advancing the committed
+watermark past the safe (min-over-partitions) frontier."""
+
+import os
+
+import pytest
+
+from blockchain_etl_spark.cdc.apply import CdcEngine
+from blockchain_etl_spark.cdc.generator import events_to_df, generate_changelog
+from blockchain_etl_spark.cdc.oracle import oracle_replay
+from blockchain_etl_spark.cdc.schema import EVENT_SCHEMA, TARGET_SCHEMA
+from blockchain_etl_spark.streaming.epoch_store import EpochStore
+from blockchain_etl_spark.streaming.partitioned import (
+    PartitionedTailer,
+    split_changelog,
+)
+from blockchain_etl_spark.tables.snapshot import SnapshotTable
+
+
+def _flat(seed, n_epochs=4, p_reorg=0.5):
+    return [
+        e
+        for ep in generate_changelog(
+            seed=seed, n_epochs=n_epochs, p_reorg_epoch=p_reorg
+        )
+        for e in ep
+    ]
+
+
+def _routed_rows(spark, flat, n_parts):
+    """Split driver-side into per-partition ordered event lists."""
+    df = split_changelog(events_to_df(spark, flat), n_parts)
+    per = {p: [] for p in range(n_parts)}
+    for r in df.collect():
+        per[r["part"]].append(r.asDict())
+    for p in per:
+        per[p].sort(key=lambda r: r["stream_pos"])
+    return per
+
+
+def _land(spark, landing, p, seg_id, rows):
+    os.makedirs(os.path.join(landing, f"p-{p}"), exist_ok=True)
+    df = spark.createDataFrame(
+        [tuple(r[f.name] for f in EVENT_SCHEMA.fields) for r in rows],
+        EVENT_SCHEMA,
+    )
+    df.coalesce(1).write.parquet(
+        os.path.join(landing, f"p-{p}", f"seg-{seg_id:08d}.parquet")
+    )
+
+
+def _mk_engine(spark, tmp_path, name="t"):
+    t = SnapshotTable.create(
+        spark, str(tmp_path / name), TARGET_SCHEMA, n_buckets=4
+    )
+    return CdcEngine(
+        spark,
+        t,
+        epoch_store=EpochStore(spark, str(tmp_path / f"{name}_store")),
+        collect_metrics=False,
+    )
+
+
+def _state(engine):
+    return sorted(
+        map(
+            tuple,
+            engine.table.read()
+            .filter("NOT deleted")
+            .select("doc_id", "tokens", "n_tok", "source")
+            .collect(),
+        )
+    )
+
+
+def _oracle_state(flat):
+    return sorted(
+        (r["doc_id"], tuple(r["tokens"]), r["n_tok"], r["source"])
+        for r in oracle_replay(flat).values()
+    )
+
+
+def _norm(state):
+    return [(d, tuple(t) if t is not None else None, n, s) for d, t, n, s in state]
+
+
+@pytest.mark.parametrize("seed,n_parts,seg_sz", [(101, 3, 7), (202, 4, 5)])
+def test_skewed_delivery_matches_oracle(spark, tmp_path, seed, n_parts, seg_sz):
+    flat = _flat(seed)
+    per = _routed_rows(spark, flat, n_parts)
+    engine = _mk_engine(spark, tmp_path)
+    tailer = PartitionedTailer(spark, str(tmp_path / "land"), engine, n_parts=n_parts)
+
+    # skewed schedule: partition p lands its next segment only every
+    # (p+1)-th round — partition n_parts-1 is the straggler
+    next_seg = {p: 0 for p in range(n_parts)}
+    offs = {p: 0 for p in range(n_parts)}
+    round_no = 0
+    while any(offs[p] < len(per[p]) for p in range(n_parts)):
+        for p in range(n_parts):
+            if round_no % (p + 1) == 0 and offs[p] < len(per[p]):
+                chunk = per[p][offs[p] : offs[p] + seg_sz]
+                _land(spark, str(tmp_path / "land"), p, next_seg[p], chunk)
+                offs[p] += len(chunk)
+                next_seg[p] += 1
+        tailer.run_once()
+        round_no += 1
+    tailer.run_until_drained()
+    assert _norm(_state(engine)) == _norm(_oracle_state(flat))
+
+
+def test_safe_watermark_holds_back_until_all_partitions_report(spark, tmp_path):
+    flat = _flat(303, n_epochs=2, p_reorg=0.0)
+    per = _routed_rows(spark, flat, 3)
+    engine = _mk_engine(spark, tmp_path)
+    tailer = PartitionedTailer(spark, str(tmp_path / "land"), engine, n_parts=3)
+
+    # only partitions 0 and 1 produce — no apply may happen
+    _land(spark, str(tmp_path / "land"), 0, 0, per[0])
+    _land(spark, str(tmp_path / "land"), 1, 0, per[1])
+    os.makedirs(str(tmp_path / "land" / "p-2"), exist_ok=True)
+    assert tailer.run_once() is None
+    assert engine.table.manifest().watermark["lsn"] == -1
+
+    # straggler reports with a LOW head: only events <= its head apply
+    low = [r for r in per[2] if r["lsn"] <= 3]
+    assert low, "seed must give partition 2 some low-lsn rows"
+    _land(spark, str(tmp_path / "land"), 2, 0, low)
+    m = tailer.run_once()
+    assert m is not None
+    head2 = max(r["lsn"] for r in low)
+    assert m["safe_lsn"] == head2
+    assert engine.table.manifest().watermark["lsn"] <= head2
+
+    # rest of the straggler arrives -> drains to the oracle
+    rest = [r for r in per[2] if r["lsn"] > 3]
+    if rest:
+        _land(spark, str(tmp_path / "land"), 2, 1, rest)
+    tailer.run_until_drained()
+    assert _norm(_state(engine)) == _norm(_oracle_state(flat))
+
+
+def test_fresh_tailer_resumes_from_lineage_cursor(spark, tmp_path):
+    flat = _flat(404)
+    per = _routed_rows(spark, flat, 2)
+    engine = _mk_engine(spark, tmp_path)
+    land = str(tmp_path / "land")
+
+    half = {p: len(per[p]) // 2 for p in per}
+    for p in per:
+        _land(spark, land, p, 0, per[p][: half[p]])
+    PartitionedTailer(spark, land, engine, n_parts=2).run_until_drained()
+
+    # a BRAND NEW tailer (no in-memory state) picks up from the
+    # manifest-lineage cursor: no re-apply, no skip
+    for p in per:
+        _land(spark, land, p, 1, per[p][half[p]:])
+    t2 = PartitionedTailer(spark, land, engine, n_parts=2)
+    t2.run_until_drained()
+    assert _norm(_state(engine)) == _norm(_oracle_state(flat))
+    # fully drained: another fresh tailer is a no-op
+    assert PartitionedTailer(spark, land, engine, n_parts=2).run_once() is None
+
+
+def test_marker_replication_and_key_routing(spark, tmp_path):
+    flat = _flat(505)
+    df = split_changelog(events_to_df(spark, flat), 4)
+    rows = df.collect()
+    markers = [r for r in rows if r["op"] == "R"]
+    n_orig_markers = sum(1 for e in flat if e["op"] == "R")
+    assert n_orig_markers > 0
+    # every marker appears in every partition
+    assert len(markers) == n_orig_markers * 4
+    # a key's events all live in one partition
+    by_key = {}
+    for r in rows:
+        if r["doc_id"] is not None:
+            by_key.setdefault(r["doc_id"], set()).add(r["part"])
+    assert all(len(ps) == 1 for ps in by_key.values())
+
+
+def test_single_partition_degenerates_to_plain_tail(spark, tmp_path):
+    flat = _flat(606, n_epochs=3)
+    per = _routed_rows(spark, flat, 1)
+    engine = _mk_engine(spark, tmp_path)
+    land = str(tmp_path / "land")
+    for i in range(0, len(per[0]), 11):
+        _land(spark, land, 0, i // 11, per[0][i : i + 11])
+    PartitionedTailer(spark, land, engine, n_parts=1).run_until_drained()
+    assert _norm(_state(engine)) == _norm(_oracle_state(flat))
