@@ -1877,6 +1877,72 @@ FROM changelog WHERE op <> 'R' AND stream_pos % 23 = 0
 """
 
 
+def minmax_agg_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maintained per-group MIN/MAX — the NON-subtractable aggregate MV
+    (table-build demo): the raw changelog ingests through the engine in
+    two MOR epochs with a MinMaxAggMV hop after each. Deletes that
+    retract a group's current extremum re-derive that group from the
+    group-keyed secondary index (bucket-pruned probe); interior
+    retractions fold in O(1). ≙ the reference's pollers re-running
+    grouped min/max SQL per poll (min/max block stats shapes); here the
+    answer is maintained, never recomputed. Oracle: the replay rule
+    grouped by source with count/min/max over n_tok."""
+    import os
+
+    from blockchain_etl_spark.cdc.apply import CdcEngine
+    from blockchain_etl_spark.cdc.schema import TARGET_SCHEMA
+    from blockchain_etl_spark.streaming.extrema_mv import MinMaxAggMV
+    from blockchain_etl_spark.tables.snapshot import SnapshotTable
+
+    ev = derive_changelog(spark, sf_dir)
+    mid = ev.agg(F.max("lsn")).first()[0] // 2
+    work = _pid_scoped_gate_dir("minmax-agg-mv-gate")
+    src = SnapshotTable.create(
+        spark, os.path.join(work, "src"), TARGET_SCHEMA, key="doc_id", n_buckets=16
+    )
+    eng = CdcEngine(spark, src, mode="mor", collect_metrics=False)
+    mv = MinMaxAggMV(
+        spark, src, os.path.join(work, "mmx"),
+        group_col="source", value_col="n_tok", n_buckets=4,
+    )
+    eng.apply_epoch(ev.filter(F.col("lsn") <= mid), epoch_id=1)
+    mv.run_once()
+    eng.apply_epoch(ev.filter(F.col("lsn") > mid), epoch_id=2)
+    mv.run_once()
+    return mv.state().select(
+        "source",
+        F.col("n_rows").alias("n_docs"),
+        F.col("min_v").alias("min_tok"),
+        F.col("max_v").alias("max_tok"),
+    )
+
+
+_MINMAX_AGG_MV_SQL = f"""
+WITH {_CHANGELOG_CTE},
+ev AS (
+  SELECT *,
+         min(CASE WHEN op = 'R' THEN rollback_to_lsn END)
+           OVER (ORDER BY stream_pos ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+           AS min_rb_after
+  FROM changelog
+),
+live AS (
+  SELECT * FROM ev
+  WHERE op IN ('I','U','D')
+    AND (min_rb_after IS NULL OR lsn <= min_rb_after)
+    AND (op = 'D' OR (tokens IS NOT NULL AND n_tok = len(tokens)))
+),
+last AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY stream_pos DESC) AS rn
+  FROM live
+)
+SELECT source, count(*)::BIGINT AS n_docs,
+       min(n_tok)::INT AS min_tok, max(n_tok)::INT AS max_tok
+FROM last WHERE rn = 1 AND op <> 'D'
+GROUP BY source
+"""
+
+
 def join_agg_cascade_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incrementally-maintained GROUP BY over an incrementally-
     maintained JOIN — the reduce-after-bilinear composition
@@ -6466,6 +6532,7 @@ QUERIES: dict[str, callable] = {
     "debezium_decode": debezium_decode,
     "maxwell_decode": maxwell_decode,
     "partitioned_tail_state": partitioned_tail_state,
+    "minmax_agg_mv": minmax_agg_mv,
     "clustered_scan": clustered_scan,
     "chunk_retention": chunk_retention,
     "backfill_gap_fill": backfill_gap_fill,
@@ -6829,6 +6896,7 @@ def oracle_sqls() -> dict[str, str]:
         "debezium_decode": _DEBEZIUM_DECODE_SQL,
         "maxwell_decode": _MAXWELL_DECODE_SQL,
         "partitioned_tail_state": _CDC_FINAL_SQL,
+        "minmax_agg_mv": _MINMAX_AGG_MV_SQL,
         "minmax_policy_table": _MINMAX_POLICY_SQL,
         "kmv_policy_table": _kmv_policy_sql(),
         "hist_policy_table": _hist_policy_sql(),
