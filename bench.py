@@ -315,6 +315,108 @@ def hw_bandwidth_ceiling(n: int = 2, n4: int = 8) -> dict:
     }
 
 
+def partitioned_run(cores: int, n_events: int, n_parts: int = 4,
+                    n_epochs: int = 4, n_docs: int = 100_000) -> dict:
+    """Kafka-topic-shaped ingest at full parallelism: the same generated
+    change stream key-routed onto P partitions, landed as per-partition
+    segments (staging untimed, like cdc_run), then drained by
+    PartitionedTailer — safe-watermark gating, marker handling, and the
+    position-minting rank included. The events/sec here vs the flagship
+    single-log figure IS the partitioned-consumption overhead."""
+    from pyspark.sql import functions as F
+
+    from blockchain_etl_spark.cdc.apply import CdcEngine
+    from blockchain_etl_spark.cdc.generator import generate_changelog_spark
+    from blockchain_etl_spark.cdc.schema import TARGET_SCHEMA
+    from blockchain_etl_spark.session import get_spark
+    from blockchain_etl_spark.streaming.epoch_store import EpochStore
+    from blockchain_etl_spark.streaming.partitioned import (
+        PartitionedTailer,
+        split_changelog,
+        write_partition_segments,
+    )
+    from blockchain_etl_spark.tables.snapshot import SnapshotTable
+
+    os.environ.setdefault("SPARK_DRIVER_MEMORY", "16g")
+    extra = {
+        "spark.driver.extraJavaOptions": (
+            f"-XX:+UseParallelGC -XX:ParallelGCThreads={min(cores, 8)}"
+        ),
+        "spark.io.compression.codec": "zstd",
+        "spark.sql.parquet.compression.codec": "zstd",
+    }
+    shm = _tmpfs_local_dir()
+    if shm:
+        extra["spark.local.dir"] = shm
+    spark = get_spark(
+        f"bench-ptail-{cores}", master=f"local[{cores}]",
+        shuffle_partitions=cores, extra_conf=extra,
+    )
+    workdir = tempfile.mkdtemp(prefix=f"bench-ptail-{cores}-",
+                               dir=_tmpfs_local_dir() or None)
+    try:
+        land = os.path.join(workdir, "land")
+        events = generate_changelog_spark(
+            spark, n_events, n_docs=n_docs, partitions=cores * 2
+        )
+        routed = split_changelog(events, n_parts)
+        per = n_events // n_epochs
+        for i in range(n_epochs):
+            lo = i * per
+            hi = (i + 1) * per if i < n_epochs - 1 else n_events
+            write_partition_segments(
+                routed.filter(
+                    (F.col("stream_pos") >= lo) & (F.col("stream_pos") < hi)
+                ),
+                land, i, n_parts=n_parts,
+            )
+        table = SnapshotTable.create(
+            spark, os.path.join(workdir, "target"), TARGET_SCHEMA,
+            key="doc_id", n_buckets=max(32, cores),
+        )
+        engine = CdcEngine(
+            spark, table,
+            epoch_store=EpochStore(spark, os.path.join(workdir, "store")),
+            mode="mor",
+        )
+        tailer = PartitionedTailer(spark, land, engine, n_parts=n_parts)
+        t0 = time.monotonic()
+        rounds = tailer.run_until_drained()
+        t_apply = time.monotonic() - t0
+        t0 = time.monotonic()
+        table.compact()
+        t_compact = time.monotonic() - t0
+        elapsed = t_apply + t_compact
+        n_final = engine.read_state().count()
+        assert n_final > 0 and rounds
+        return {
+            "cores": cores,
+            "n_parts": n_parts,
+            "n_events": n_events,
+            "elapsed_sec": round(elapsed, 3),
+            "events_per_sec": round(n_events / elapsed),
+            "apply_sec": round(t_apply, 3),
+            "compact_sec": round(t_compact, 3),
+            "n_batches": len(rounds),
+            "n_final_docs": n_final,
+        }
+    finally:
+        spark.stop()
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+def _partitioned_run_subprocess(cores: int, n_events: int, n_parts: int = 4) -> dict:
+    out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--partitioned-run",
+         str(cores), str(n_events), str(n_parts)],
+        capture_output=True, text=True, timeout=3000,
+        cwd=os.path.dirname(os.path.abspath(__file__)),
+    )
+    if out.returncode != 0:
+        raise RuntimeError(f"partitioned run failed: {out.stderr[-2000:]}")
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
 def _cdc_run_subprocess(
     cores: int, n_events: int, n_epochs: int = 8, pin: bool = False,
     staged_store: str | None = None, shuffle_partitions: int | None = None,
@@ -364,6 +466,19 @@ def main():
     out["value"] = full["elapsed_sec"]
     out["events_per_sec"] = full["events_per_sec"]
     out["detail"] = full
+
+    if os.environ.get("BENCH_SKIP_PARTITIONED") != "1":
+        # Kafka-topic-shaped ingest vs the single-log flagship: the
+        # ratio is the cost of safe-watermark gating + marker handling
+        # + the position-minting rank. Half the flagship input keeps the
+        # added wall bounded while staying far above fixed costs.
+        p_events = int(os.environ.get("BENCH_PARTITIONED_EVENTS",
+                                      str(max(400_000, n_events // 2))))
+        part = _partitioned_run_subprocess(CPUS, p_events)
+        part["vs_single_log"] = round(
+            part["events_per_sec"] / out["events_per_sec"], 3
+        )
+        out["partitioned"] = part
 
     if os.environ.get("BENCH_SKIP_SCALING") != "1":
         # N -> 4N scaling, CPU-pinned so K CPUs really means K CPUs (see
@@ -677,6 +792,11 @@ def main():
         "n_queries_benched": len(queries),
         "queries_detail": "BENCH/last_run_detail.json",
     }
+    if "partitioned" in out:
+        headline["partitioned"] = {
+            k: out["partitioned"][k]
+            for k in ("events_per_sec", "n_parts", "vs_single_log")
+        }
     for k in ("pipeline_incremental", "mv_incremental"):
         if k in out:
             headline[k] = out[k]
@@ -699,7 +819,11 @@ def main():
 
 
 if __name__ == "__main__":
-    if len(sys.argv) >= 2 and sys.argv[1] == "--cdc-run":
+    if len(sys.argv) >= 2 and sys.argv[1] == "--partitioned-run":
+        print(json.dumps(partitioned_run(
+            int(sys.argv[2]), int(sys.argv[3]),
+            n_parts=int(sys.argv[4]) if len(sys.argv) > 4 else 4)))
+    elif len(sys.argv) >= 2 and sys.argv[1] == "--cdc-run":
         ep = int(sys.argv[4]) if len(sys.argv) > 4 else 8
         staged = sys.argv[5] if len(sys.argv) > 5 and sys.argv[5] != "-" else None
         sp = int(sys.argv[6]) if len(sys.argv) > 6 else 0

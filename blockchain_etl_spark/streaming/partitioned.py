@@ -38,9 +38,14 @@ semantics a naive union-and-apply gets wrong:
    one marker still separates every partition's pre-marker events from
    its post-marker re-emissions — each event's **marker ordinal**
    (count of marker copies before it in its own partition) assigns it
-   to bucket ``2·ord``; marker ``m`` gets bucket ``2m+1``; a two-phase
-   global rank over ``(bucket, lsn, seq, partition, pos)`` mints new
-   ``stream_pos`` values.
+   to bucket ``2·ord``; marker ``m`` gets bucket ``2m+1``. New
+   ``stream_pos`` values are minted per (bucket, partition) group —
+   local rank + driver-side cumulative offsets over the tiny per-group
+   counts. No global sort: the engine consults cross-partition order
+   only through the bucket structure (kills act on whole buckets,
+   last-writer resolution is (lsn, seq), store slices split at marker
+   positions), so any within-bucket interleave is admissible.
+   Marker-free batches skip the ordinal window entirely.
 
 The consumer's cursor (consumed-segment counts, partition heads,
 applied marker ids, the position-minting counter) rides
@@ -338,68 +343,100 @@ class PartitionedTailer:
             .drop("_path")
         )
 
-        # marker ordinal: copies of the k-th marker share ordinal k in
-        # every partition (identical marker sequence by construction)
-        w = (
-            Window.partitionBy("_part")
-            .orderBy("stream_pos")
-            .rowsBetween(Window.unboundedPreceding, -1)
-        )
-        batch = batch.withColumn(
-            "_ord",
-            F.coalesce(
-                F.sum(F.when(F.col("op") == "R", 1).otherwise(0)).over(w), F.lit(0)
-            ),
-        )
-        marker_id = F.concat_ws(
-            "|",
-            F.col("stream_pos").cast("string"),
-            F.col("lsn").cast("string"),
-            F.coalesce(F.col("rollback_to_lsn").cast("string"), F.lit("_")),
-            F.coalesce(F.col("epoch_hash"), F.lit("_")),
-        )
-        markers = (
-            batch.filter(F.col("op") == "R")
-            .withColumn("_mid", marker_id)
-            .withColumn(
-                "_rn",
-                F.row_number().over(
-                    Window.partitionBy("_mid").orderBy("_part", "stream_pos")
+        # marker ids of this batch come from the seg-stats job already
+        # collected — no extra pass over the data
+        batch_mids = set()
+        for key in eligible:
+            batch_mids.update(stats[key]["marker_ids"] or [])
+        new_marker_ids = sorted(batch_mids - applied_ids)
+        has_markers = bool(batch_mids)
+
+        if has_markers:
+            # marker ordinal: copies of the k-th marker share ordinal k
+            # in every partition (identical marker sequence by
+            # construction)
+            w = (
+                Window.partitionBy("_part")
+                .orderBy("stream_pos")
+                .rowsBetween(Window.unboundedPreceding, -1)
+            )
+            batch = batch.withColumn(
+                "_ord",
+                F.coalesce(
+                    F.sum(F.when(F.col("op") == "R", 1).otherwise(0)).over(w),
+                    F.lit(0),
                 ),
             )
-            .filter(F.col("_rn") == 1)
-            .drop("_rn")
-        )
-        new_marker_ids = sorted(
-            {r["_mid"] for r in markers.select("_mid").collect()} - applied_ids
-        )
-        if applied_ids:
-            markers = markers.filter(~F.col("_mid").isin(list(applied_ids)))
-        markers = markers.drop("_mid")
+            # keep ONE copy per marker (the lowest partition's), drop
+            # copies of markers already applied in earlier batches
+            marker_id = F.concat_ws(
+                "|",
+                F.col("stream_pos").cast("string"),
+                F.col("lsn").cast("string"),
+                F.coalesce(F.col("rollback_to_lsn").cast("string"), F.lit("_")),
+                F.coalesce(F.col("epoch_hash"), F.lit("_")),
+            )
+            markers = (
+                batch.filter(F.col("op") == "R")
+                .withColumn("_mid", marker_id)
+                .withColumn(
+                    "_rn",
+                    F.row_number().over(
+                        Window.partitionBy("_mid").orderBy("_part", "stream_pos")
+                    ),
+                )
+                .filter(F.col("_rn") == 1)
+                .drop("_rn")
+            )
+            if applied_ids:
+                markers = markers.filter(~F.col("_mid").isin(list(applied_ids)))
+            markers = markers.drop("_mid")
+            events = batch.filter(F.col("op") != "R")
+            relinear = events.withColumn("_bkt", F.col("_ord") * 2).unionByName(
+                markers.withColumn("_bkt", F.col("_ord") * 2 + 1)
+            )
+        else:
+            # marker-free fast path (the overwhelmingly common batch):
+            # one bucket, no ordinal window
+            relinear = batch.withColumn("_bkt", F.lit(0))
 
-        events = batch.filter(F.col("op") != "R")
-        relinear = events.withColumn("_bkt", F.col("_ord") * 2).unionByName(
-            markers.withColumn("_bkt", F.col("_ord") * 2 + 1)
-        )
-
-        # mint new stream positions: two-phase global rank (no
-        # single-task window), offset past every previously minted
-        # position. The base comes from the cursor's own next_pos
-        # counter — NOT the committed watermark pos, which does not
-        # advance when a batch carries only post-reorg re-emissions
-        # below the standing (lsn, seq) watermark (the clamp keeps the
-        # old tuple), and a stalled base would mint a duplicate epoch
-        # id that the ledger then skips forever.
-        from blockchain_etl_spark.operators.ordering import global_order_rank
-
+        # mint new stream positions. The engine consults cross-partition
+        # order ONLY through the marker-bucket structure (kills act on
+        # whole buckets; last-writer resolution is (lsn, seq); store
+        # slices split at marker positions) — so WITHIN a bucket any
+        # interleave is admissible and no global sort is needed: local
+        # rank per (bucket, partition) group + driver-side cumulative
+        # offsets over the (tiny) per-group counts. No range shuffle, no
+        # sampling, deterministic by construction. The base comes from
+        # the cursor's own next_pos counter — NOT the committed
+        # watermark pos, which does not advance when a batch carries
+        # only post-reorg re-emissions below the standing (lsn, seq)
+        # watermark, and a stalled base would mint a duplicate epoch id
+        # that the ledger then skips forever.
         base_pos = int(cur.get("next_pos", 0))
-        ranked = global_order_rank(
-            relinear,
-            ["_bkt", "lsn", "seq", "_part", "stream_pos"],
-            out_col="_gpos",
+        wloc = Window.partitionBy("_bkt", "_part").orderBy("stream_pos")
+        local = relinear.withColumn("_lrk", F.row_number().over(wloc))
+        counts = sorted(
+            (
+                (r["_bkt"], r["_part"], r["n"])
+                for r in relinear.groupBy("_bkt", "_part")
+                .agg(F.count("*").alias("n"))
+                .collect()
+            )
         )
-        out = ranked.select(
-            (F.col("_gpos") + F.lit(base_pos)).cast("long").alias("stream_pos"),
+        offsets, acc = [], 0
+        for bkt, prt, n in counts:
+            offsets.append((bkt, prt, acc))
+            acc += n
+        off_df = F.broadcast(
+            self.spark.createDataFrame(
+                offsets, "_bkt long, _part int, _goff long"
+            )
+        )
+        out = local.join(off_df, ["_bkt", "_part"]).select(
+            (F.col("_goff") + F.col("_lrk") - 1 + F.lit(base_pos))
+            .cast("long")
+            .alias("stream_pos"),
             *[f.name for f in EVENT_SCHEMA.fields if f.name != "stream_pos"],
         )
 
