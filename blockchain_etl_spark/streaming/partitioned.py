@@ -47,7 +47,7 @@ semantics a naive union-and-apply gets wrong:
    positions), so any within-bucket interleave is admissible.
    Marker-free batches skip the ordinal window entirely.
 
-The consumer's cursor (consumed-segment counts, partition heads,
+The consumer's cursor (last consumed segment ids, partition heads,
 applied marker ids, the position-minting counter) rides
 ``lineage_extra`` inside the SAME atomic commit as the data —
 crash-anywhere resume re-reads it from the manifest, and the epoch
@@ -193,6 +193,28 @@ class PartitionedTailer:
             v -= 1
         return {"consumed": {}, "heads": {}, "applied_markers": []}
 
+    def prune_consumed(self) -> dict[str, Any]:
+        """Landing retention (the broker side of Kafka's log cleanup):
+        delete segment files already consumed per the committed cursor.
+        Safe unconditionally — consumption is transactional with the
+        apply, consumed segments are never re-read, and reorg replay
+        serves from the engine's EpochStore (which has its own
+        retention margin), not from the landing."""
+        import shutil
+
+        cur = self._cursor()
+        removed = []
+        for p_str, last in cur.get("consumed", {}).items():
+            pdir = os.path.join(self.landing_dir, f"p-{p_str}")
+            if not os.path.isdir(pdir):
+                continue
+            for s in os.listdir(pdir):
+                m = _SEG_RE.match(s)
+                if m and int(m.group(1)) <= int(last):
+                    shutil.rmtree(os.path.join(pdir, s), ignore_errors=True)
+                    removed.append(f"p-{p_str}/{s}")
+        return {"segments_removed": sorted(removed)}
+
     # ---- one consumption round ---------------------------------------
     def run_once(self, assume_complete: bool = False) -> dict[str, Any] | None:
         """One poll-and-apply round. ``assume_complete`` is
@@ -208,13 +230,22 @@ class PartitionedTailer:
         )
         if n_parts == 0:
             return None
-        consumed = {str(p): int(cur.get("consumed", {}).get(str(p), 0)) for p in range(n_parts)}
+        # consumed tracks the LAST consumed segment id per partition
+        # (not a prefix count): landing GC may delete old segment files
+        # without skewing positional accounting
+        consumed = {
+            str(p): int(cur.get("consumed", {}).get(str(p), -1))
+            for p in range(n_parts)
+        }
         heads = {str(p): int(cur.get("heads", {}).get(str(p), -1)) for p in range(n_parts)}
 
         pending: dict[int, list[str]] = {}
         for p in range(n_parts):
-            names = segs.get(p, [])
-            pending[p] = names[consumed[str(p)]:]
+            pending[p] = [
+                s
+                for s in segs.get(p, [])
+                if int(_SEG_RE.match(s).group(1)) > consumed[str(p)]
+            ]
         if not any(pending.values()):
             return None
 
@@ -328,7 +359,7 @@ class PartitionedTailer:
         for p in range(n_parts):
             for s in elig[p]:
                 eligible.append(f"p-{p}/{s}")
-                consumed[str(p)] += 1
+                consumed[str(p)] = int(_SEG_RE.match(s).group(1))
         if not eligible:
             return None
 

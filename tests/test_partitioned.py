@@ -193,3 +193,29 @@ def test_single_partition_degenerates_to_plain_tail(spark, tmp_path):
         _land(spark, land, 0, i // 11, per[0][i : i + 11])
     PartitionedTailer(spark, land, engine, n_parts=1).run_until_drained()
     assert _norm(_state(engine)) == _norm(_oracle_state(flat))
+
+
+def test_prune_consumed_landing_gc(spark, tmp_path):
+    flat = _flat(707, n_epochs=3)
+    per = _routed_rows(spark, flat, 2)
+    engine = _mk_engine(spark, tmp_path)
+    land = str(tmp_path / "land")
+    half = {p: len(per[p]) // 2 for p in per}
+    for p in per:
+        _land(spark, land, p, 0, per[p][: half[p]])
+    t = PartitionedTailer(spark, land, engine, n_parts=2)
+    t.run_until_drained()
+    gone = t.prune_consumed()
+    assert gone["segments_removed"]  # consumed files deleted
+    assert t.run_once() is None  # GC must not resurface work
+    # later segments (higher ids) still consume correctly after GC
+    for p in per:
+        _land(spark, land, p, 1, per[p][half[p]:])
+    t.run_until_drained()
+    assert _norm(_state(engine)) == _norm(_oracle_state(flat))
+    # everything consumed -> prune clears the landing entirely
+    t.prune_consumed()
+    assert all(
+        not os.listdir(os.path.join(land, d))
+        for d in os.listdir(land)
+    )
