@@ -1943,6 +1943,72 @@ GROUP BY source
 """
 
 
+def topk_agg_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maintained per-group TOP-K values — the second non-subtractable
+    aggregate MV (table-build demo; the Materialize-TopK shape): raw
+    changelog through the engine in two MOR epochs, a TopKAggMV hop
+    after each. Inserts fold (top_k of stored ∪ batch-top-k);
+    retractions at/above the folded k-th re-derive their group from
+    the group-keyed index. ≙ the reference's redis zset top-holder
+    tracker re-ranked per poll (redis_top_holder_service.py); here the
+    rank set is maintained differentially. Oracle: replay-rule final
+    state, per-source top-5 n_tok."""
+    import os
+
+    from blockchain_etl_spark.cdc.apply import CdcEngine
+    from blockchain_etl_spark.cdc.schema import TARGET_SCHEMA
+    from blockchain_etl_spark.streaming.extrema_mv import TopKAggMV
+    from blockchain_etl_spark.tables.snapshot import SnapshotTable
+
+    ev = derive_changelog(spark, sf_dir)
+    mid = ev.agg(F.max("lsn")).first()[0] // 2
+    work = _pid_scoped_gate_dir("topk-agg-mv-gate")
+    src = SnapshotTable.create(
+        spark, os.path.join(work, "src"), TARGET_SCHEMA, key="doc_id", n_buckets=16
+    )
+    eng = CdcEngine(spark, src, mode="mor", collect_metrics=False)
+    mv = TopKAggMV(
+        spark, src, os.path.join(work, "tpk"),
+        group_col="source", value_col="n_tok", k=5, n_buckets=4,
+    )
+    eng.apply_epoch(ev.filter(F.col("lsn") <= mid), epoch_id=1)
+    mv.run_once()
+    eng.apply_epoch(ev.filter(F.col("lsn") > mid), epoch_id=2)
+    mv.run_once()
+    return mv.state().select(
+        "source",
+        F.col("n_rows").alias("n_docs"),
+        F.array_join("topk", ",").alias("topk_csv"),
+    )
+
+
+_TOPK_AGG_MV_SQL = f"""
+WITH {_CHANGELOG_CTE},
+ev AS (
+  SELECT *,
+         min(CASE WHEN op = 'R' THEN rollback_to_lsn END)
+           OVER (ORDER BY stream_pos ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+           AS min_rb_after
+  FROM changelog
+),
+live AS (
+  SELECT * FROM ev
+  WHERE op IN ('I','U','D')
+    AND (min_rb_after IS NULL OR lsn <= min_rb_after)
+    AND (op = 'D' OR (tokens IS NOT NULL AND n_tok = len(tokens)))
+),
+last AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY stream_pos DESC) AS rn
+  FROM live
+)
+SELECT source, count(*)::BIGINT AS n_docs,
+       array_to_string(
+         list_slice(list(n_tok::BIGINT ORDER BY n_tok DESC), 1, 5), ',') AS topk_csv
+FROM last WHERE rn = 1 AND op <> 'D'
+GROUP BY source
+"""
+
+
 def join_agg_cascade_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incrementally-maintained GROUP BY over an incrementally-
     maintained JOIN — the reduce-after-bilinear composition
@@ -6533,6 +6599,7 @@ QUERIES: dict[str, callable] = {
     "maxwell_decode": maxwell_decode,
     "partitioned_tail_state": partitioned_tail_state,
     "minmax_agg_mv": minmax_agg_mv,
+    "topk_agg_mv": topk_agg_mv,
     "clustered_scan": clustered_scan,
     "chunk_retention": chunk_retention,
     "backfill_gap_fill": backfill_gap_fill,
@@ -6897,6 +6964,7 @@ def oracle_sqls() -> dict[str, str]:
         "maxwell_decode": _MAXWELL_DECODE_SQL,
         "partitioned_tail_state": _CDC_FINAL_SQL,
         "minmax_agg_mv": _MINMAX_AGG_MV_SQL,
+        "topk_agg_mv": _TOPK_AGG_MV_SQL,
         "minmax_policy_table": _MINMAX_POLICY_SQL,
         "kmv_policy_table": _kmv_policy_sql(),
         "hist_policy_table": _hist_policy_sql(),

@@ -286,3 +286,257 @@ class MinMaxAggMV:
         return out.select(
             F.col("doc_id").alias(name), "n_rows", "min_v", "max_v"
         )
+
+
+class TopKAggMV:
+    """Incrementally-maintained per-group TOP-K values (descending) —
+    the other canonical non-subtractable aggregate (Materialize TopK /
+    Flink rank-with-retract). Same skeleton as :class:`MinMaxAggMV`:
+
+    - inserts fold exactly: ``top_k(stored ∪ top_k(batch inserts))`` —
+      a value outside both can never enter the result;
+    - a retraction at or above the folded k-th value (equality
+      included: multiplicity at the boundary is unknown) re-derives the
+      group from the group-keyed index, bucket-pruned; retractions
+      strictly below the k-th cannot change membership and only adjust
+      the count;
+    - an underfull group (fewer than k live rows) re-derives on any
+      retraction — its k-th is the group minimum, so a real retraction
+      always trips the boundary rule anyway.
+
+    The per-batch insert top-k is computed with a rank window keyed on
+    the group (one shuffle, spillable sort) — never a per-group
+    collect_list of unbounded inserts, so a hot group cannot blow up a
+    row. Values ride as ``long``."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        source,
+        root: str,
+        group_col: str,
+        value_col: str,
+        k: int = 5,
+        n_buckets: int = 8,
+    ):
+        from blockchain_etl_spark.cdc.apply import CdcEngine
+        from blockchain_etl_spark.streaming.join_mv import _SideIndex
+        from blockchain_etl_spark.tables.snapshot import SnapshotTable
+
+        self.spark = spark
+        self.source = source
+        self.group_col = group_col
+        self.value_col = value_col
+        self.k = int(k)
+        self.index = _SideIndex(
+            spark,
+            source,
+            os.path.join(root, "idx"),
+            "tpk",
+            join_col=group_col,
+            cols=[value_col],
+            n_buckets=n_buckets,
+        )
+        mv_path = os.path.join(root, "mv_topk")
+        t = SnapshotTable(spark, mv_path)
+        if not t.exists():
+            schema = T.StructType(
+                [
+                    T.StructField("doc_id", T.StringType()),
+                    T.StructField("n_rows", T.LongType()),
+                    T.StructField("topk", T.ArrayType(T.LongType())),
+                    T.StructField("lsn", T.LongType()),
+                    T.StructField("seq", T.IntegerType()),
+                    T.StructField("updated_epoch", T.LongType()),
+                    T.StructField("deleted", T.BooleanType()),
+                ]
+            )
+            t = SnapshotTable.create(
+                spark, mv_path, schema, key="doc_id", n_buckets=n_buckets
+            )
+        self.mv = t
+        self.engine = CdcEngine(spark, t, collect_metrics=False)
+
+    def cursor(self, max_walk: int = 64) -> int:
+        for v in reversed(self.mv.versions()[-max_walk:]):
+            lin = self.mv.manifest(v).lineage
+            if "src_to" in lin:
+                return int(lin["src_to"])
+        return 0
+
+    def run_once(self) -> dict[str, Any] | None:
+        from pyspark.sql import Window
+
+        from blockchain_etl_spark.cdc.apply import read_state
+        from blockchain_etl_spark.tables.snapshot import bucket_expr
+
+        v1 = self.source.manifest().version
+        v0 = self.cursor()
+        if v1 <= v0:
+            return None
+        self.index.catch_up(v1)
+
+        d = self.source.read_changes(v0, v1)
+        grp = F.coalesce(F.col(self.group_col).cast("string"), F.lit(NULL_GROUP))
+        ins = F.col("_change_type").isin("insert", "update_postimage")
+        val = F.col(self.value_col).cast("long")
+        sign = F.when(ins, F.lit(1)).otherwise(F.lit(-1))
+        tagged = d.select(
+            grp.alias("doc_id"), ins.alias("_ins"), val.alias("_v"), sign.alias("_s")
+        )
+        # bounded per-group insert top-k: rank window, never an
+        # unbounded collect
+        wk = Window.partitionBy("doc_id").orderBy(F.desc("_v"))
+        ins_topk = (
+            tagged.filter("_ins")
+            .withColumn("_rk", F.row_number().over(wk))
+            .filter(F.col("_rk") <= self.k)
+            .groupBy("doc_id")
+            .agg(F.sort_array(F.collect_list("_v"), asc=False).alias("ins_topk"))
+        )
+        g = (
+            tagged.groupBy("doc_id")
+            .agg(
+                F.sum("_s").cast("long").alias("n_delta"),
+                F.max(F.when(~F.col("_ins"), F.col("_v"))).alias("ret_max"),
+                F.sum(F.when(~F.col("_ins"), 1).otherwise(0))
+                .cast("long")
+                .alias("n_ret"),
+            )
+            .join(ins_topk, "doc_id", "left")
+        )
+
+        nb = self.mv.manifest().n_buckets
+        tb = [
+            r["_b"]
+            for r in g.select(bucket_expr("doc_id", nb).alias("_b"))
+            .distinct()
+            .collect()
+        ]
+        if not tb:
+            self._commit_cursor_only(v0, v1)
+            return {"src_from": v0, "src_to": v1, "n_groups": 0, "n_rederive": 0}
+
+        cur = read_state(self.mv, buckets=tb, columns=["n_rows", "topk"]).select(
+            "doc_id",
+            F.col("n_rows").alias("cur_n"),
+            F.col("topk").alias("cur_topk"),
+        )
+        j = g.join(cur, "doc_id", "left")
+
+        merged = F.slice(
+            F.sort_array(
+                F.concat(
+                    F.coalesce(F.col("cur_topk"), F.array()),
+                    F.coalesce(F.col("ins_topk"), F.array()),
+                ),
+                asc=False,
+            ),
+            1,
+            self.k,
+        )
+        new_n = F.coalesce(F.col("cur_n"), F.lit(0)) + F.col("n_delta")
+        # the folded k-th value; underfull folded sets have no k-th —
+        # any retraction then re-derives
+        kth = F.when(F.size(merged) >= self.k, F.element_at(merged, self.k))
+        safe = (F.col("n_ret") == 0) | (
+            F.col("ret_max").isNotNull()
+            & kth.isNotNull()
+            & (F.col("ret_max") < kth)
+        )
+        j = (
+            j.withColumn("_new_n", new_n)
+            .withColumn("_merged", merged)
+            .withColumn("_safe", safe)
+        )
+
+        folded = j.filter(F.col("_safe")).select(
+            "doc_id",
+            F.col("_new_n").alias("n_rows"),
+            F.col("_merged").alias("topk"),
+        )
+        redo_keys = j.filter(~F.col("_safe")).select("doc_id")
+        live = self.index.state(
+            prune_values=redo_keys.select(F.col("doc_id").alias(self.group_col))
+        )
+        lv = (
+            live.select(
+                F.coalesce(
+                    F.col(self.group_col).cast("string"), F.lit(NULL_GROUP)
+                ).alias("doc_id"),
+                F.col(self.value_col).cast("long").alias("_v"),
+            )
+            .join(redo_keys, "doc_id", "left_semi")
+        )
+        wr = Window.partitionBy("doc_id").orderBy(F.desc("_v"))
+        rederived = (
+            lv.withColumn("_rk", F.row_number().over(wr))
+            .groupBy("doc_id")
+            .agg(
+                F.count("*").cast("long").alias("n_rows"),
+                F.sort_array(
+                    F.collect_list(F.when(F.col("_rk") <= self.k, F.col("_v"))),
+                    asc=False,
+                ).alias("topk"),
+            )
+        )
+        gone = redo_keys.join(
+            rederived.select("doc_id"), "doc_id", "left_anti"
+        ).select(
+            "doc_id",
+            F.lit(0).cast("long").alias("n_rows"),
+            F.lit(None).cast(T.ArrayType(T.LongType())).alias("topk"),
+        )
+
+        out = folded.unionByName(rederived).unionByName(gone)
+        n_groups = out.count()
+        n_rederive = redo_keys.count()
+        ev = out.select(
+            F.lit(v1).cast("long").alias("stream_pos"),
+            F.lit(v1).cast("long").alias("lsn"),
+            F.lit(0).cast("int").alias("seq"),
+            F.when(F.col("n_rows") > 0, F.lit("U")).otherwise(F.lit("D")).alias("op"),
+            F.lit(None).cast("long").alias("rollback_to_lsn"),
+            "doc_id",
+            "n_rows",
+            "topk",
+        )
+        digest = hashlib.md5(f"topkmv-{self.k}-{v0}-{v1}".encode()).digest()
+        self.engine.apply_epoch(
+            ev,
+            epoch_id=int.from_bytes(digest[:8], "big") >> 1,
+            lineage_extra={"src_from": v0, "src_to": v1},
+        )
+        return {
+            "src_from": v0,
+            "src_to": v1,
+            "n_groups": int(n_groups),
+            "n_rederive": int(n_rederive),
+        }
+
+    def _commit_cursor_only(self, v0: int, v1: int) -> None:
+        schema = T.StructType(
+            [
+                T.StructField("stream_pos", T.LongType()),
+                T.StructField("lsn", T.LongType()),
+                T.StructField("seq", T.IntegerType()),
+                T.StructField("op", T.StringType()),
+                T.StructField("rollback_to_lsn", T.LongType()),
+                T.StructField("doc_id", T.StringType()),
+                T.StructField("n_rows", T.LongType()),
+                T.StructField("topk", T.ArrayType(T.LongType())),
+            ]
+        )
+        digest = hashlib.md5(f"topkmv-{self.k}-{v0}-{v1}".encode()).digest()
+        self.engine.apply_epoch(
+            self.spark.createDataFrame([], schema),
+            epoch_id=int.from_bytes(digest[:8], "big") >> 1,
+            lineage_extra={"src_from": v0, "src_to": v1},
+        )
+
+    def state(self, group_col: str | None = None) -> DataFrame:
+        from blockchain_etl_spark.cdc.apply import read_state
+
+        out = read_state(self.mv, columns=["n_rows", "topk"]).filter("n_rows > 0")
+        name = group_col or self.group_col
+        return out.select(F.col("doc_id").alias(name), "n_rows", "topk")

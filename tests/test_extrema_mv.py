@@ -220,3 +220,122 @@ def test_random_churn_matches_truth(rig, spark):
         eng.apply_epoch(_ev(spark, list(reversed(uniq)), lsn=lsn), epoch_id=lsn)
         mv.run_once()
         assert _state(mv) == _truth(src), f"divergence at epoch {epoch}"
+
+
+# ---------------- TopKAggMV ----------------------------------------------
+
+from blockchain_etl_spark.streaming.extrema_mv import TopKAggMV  # noqa: E402
+
+
+@pytest.fixture()
+def krig(spark, tmp_path):
+    src = SnapshotTable.create(
+        spark, str(tmp_path / "src"), TARGET_SCHEMA, key="doc_id", n_buckets=4
+    )
+    eng = CdcEngine(spark, src, collect_metrics=False)
+    mv = TopKAggMV(
+        spark, src, str(tmp_path / "tpk"), group_col="source",
+        value_col="n_tok", k=3,
+    )
+    return src, eng, mv
+
+
+def _kstate(mv):
+    return {
+        r["source"]: (r["n_rows"], tuple(r["topk"]))
+        for r in mv.state().collect()
+    }
+
+
+def _ktruth(src, k=3):
+    rows = (
+        src.read()
+        .filter("NOT deleted")
+        .select("source", F.col("n_tok").cast("long").alias("v"))
+        .collect()
+    )
+    agg = {}
+    for r in rows:
+        agg.setdefault(r["source"], []).append(r["v"])
+    return {
+        s: (len(vs), tuple(sorted(vs, reverse=True)[:k])) for s, vs in agg.items()
+    }
+
+
+def test_topk_insert_fold_and_boundary_retraction(krig, spark):
+    src, eng, mv = krig
+    eng.apply_epoch(
+        _ev(
+            spark,
+            [
+                ("a", "I", 9, "s1"),
+                ("b", "I", 7, "s1"),
+                ("c", "I", 5, "s1"),
+                ("d", "I", 3, "s1"),
+                ("e", "I", 1, "s1"),
+            ],
+            lsn=1,
+        ),
+        epoch_id=1,
+    )
+    m = mv.run_once()
+    assert m["n_rederive"] == 0
+    assert _kstate(mv)["s1"] == (5, (9, 7, 5))
+    # retraction strictly below the k-th (3 < 5): count-only fold
+    eng.apply_epoch(_ev(spark, [("d", "D", None, None)], lsn=2), epoch_id=2)
+    m = mv.run_once()
+    assert m["n_rederive"] == 0
+    assert _kstate(mv)["s1"] == (4, (9, 7, 5))
+    # retraction of a member (7): re-derive pulls 1 into the window
+    eng.apply_epoch(_ev(spark, [("b", "D", None, None)], lsn=3), epoch_id=3)
+    m = mv.run_once()
+    assert m["n_rederive"] == 1
+    assert _kstate(mv)["s1"] == (3, (9, 5, 1))
+    assert _kstate(mv) == _ktruth(src)
+
+
+def test_topk_insert_enters_window(krig, spark):
+    src, eng, mv = krig
+    eng.apply_epoch(
+        _ev(
+            spark,
+            [("a", "I", 9, "s1"), ("b", "I", 7, "s1"), ("c", "I", 5, "s1"),
+             ("d", "I", 3, "s1")],
+            lsn=1,
+        ),
+        epoch_id=1,
+    )
+    mv.run_once()
+    eng.apply_epoch(_ev(spark, [("x", "I", 8, "s1")], lsn=2), epoch_id=2)
+    m = mv.run_once()
+    assert m["n_rederive"] == 0  # pure insert folds
+    assert _kstate(mv)["s1"] == (5, (9, 8, 7))
+    assert _kstate(mv) == _ktruth(src)
+
+
+def test_topk_random_churn_matches_truth(krig, spark):
+    import random
+
+    src, eng, mv = krig
+    rnd = random.Random(13)
+    live = set()
+    for lsn in range(1, 6):
+        rows = []
+        used = set()
+        for _ in range(10):
+            doc = f"d{rnd.randrange(12)}"
+            if doc in used:
+                continue
+            used.add(doc)
+            if doc in live and rnd.random() < 0.45:
+                rows.append((doc, "D", None, None))
+                live.discard(doc)
+            else:
+                rows.append(
+                    (doc, "U" if doc in live else "I",
+                     rnd.randrange(1, 25), f"s{rnd.randrange(3)}")
+                )
+                live.add(doc)
+        eng.apply_epoch(_ev(spark, rows, lsn=lsn), epoch_id=lsn)
+        mv.run_once()
+        assert _kstate(mv) == _ktruth(src), f"divergence at lsn {lsn}"
