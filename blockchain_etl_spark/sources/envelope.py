@@ -175,22 +175,29 @@ def encode_debezium(events: DataFrame, table: str = "sequences") -> DataFrame:
 
 
 def decode_debezium(
-    df: DataFrame, value_col: str = "value", offset_col: str | None = None
+    df: DataFrame,
+    value_col: str = "value",
+    offset_col: str | None = None,
+    passthrough_cols: list[str] | None = None,
 ) -> DataFrame:
     """Debezium envelope JSON strings → EVENT_SCHEMA.
 
     ``offset_col`` names the bus-offset column when reading a Kafka
     batch frame ``(offset, value)``; without it the offset is taken
     from ``payload.source.sequence`` (the envelope's own convention).
-    Null values (Kafka compaction tombstones) and unmapped ops are
-    dropped. Pure ``from_json`` + projections — JVM-side."""
+    ``passthrough_cols`` ride through unchanged (e.g. a topic-partition
+    column when decoding a partitioned topic). Null values (Kafka
+    compaction tombstones) and unmapped ops are dropped. Pure
+    ``from_json`` + projections — JVM-side."""
+    pt = list(passthrough_cols or [])
     parsed = (
         df.filter(F.col(value_col).isNotNull())
         .select(
+            *pt,
             *( [F.col(offset_col).cast("long").alias("_off")] if offset_col else [] ),
             F.from_json(F.col(value_col), DEBEZIUM_VALUE_SCHEMA).alias("e"),
         )
-        .select(*( ["_off"] if offset_col else [] ), "e.payload.*")
+        .select(*pt, *( ["_off"] if offset_col else [] ), "e.payload.*")
         .filter(F.col("op").isin("c", "r", "u", "d", "m"))
     )
     stream_pos = (
@@ -215,8 +222,9 @@ def decode_debezium(
             "rollback_to_lsn"
         ),
         F.col("source.block_hash").alias("epoch_hash"),
+        *pt,
     )
-    return out.select([f.name for f in EVENT_SCHEMA.fields])
+    return out.select([f.name for f in EVENT_SCHEMA.fields] + pt)
 
 
 def encode_maxwell(events: DataFrame, database: str = "lake",
@@ -254,20 +262,25 @@ def encode_maxwell(events: DataFrame, database: str = "lake",
 
 
 def decode_maxwell(
-    df: DataFrame, value_col: str = "value", offset_col: str | None = None
+    df: DataFrame,
+    value_col: str = "value",
+    offset_col: str | None = None,
+    passthrough_cols: list[str] | None = None,
 ) -> DataFrame:
     """Maxwell JSON rows → EVENT_SCHEMA. LSN/seq parse out of the
     binlog ``position`` coordinates; the bus offset comes from
     ``offset_col`` when given, else ``xid``. ``epoch_hash`` is null
     (MySQL binlogs carry no block hash) — it is lineage metadata only,
     never consulted by the apply path."""
+    pt = list(passthrough_cols or [])
     parsed = (
         df.filter(F.col(value_col).isNotNull())
         .select(
+            *pt,
             *( [F.col(offset_col).cast("long").alias("_off")] if offset_col else [] ),
             F.from_json(F.col(value_col), MAXWELL_VALUE_SCHEMA).alias("e"),
         )
-        .select(*( ["_off"] if offset_col else [] ), "e.*")
+        .select(*pt, *( ["_off"] if offset_col else [] ), "e.*")
         .filter(F.col("type").isin("insert", "bootstrap-insert", "update", "delete"))
     )
     stream_pos = F.col("_off") if offset_col else F.col("xid")
@@ -291,8 +304,9 @@ def decode_maxwell(
         F.col("data.source").alias("source"),
         F.lit(None).cast("long").alias("rollback_to_lsn"),
         F.lit(None).cast("string").alias("epoch_hash"),
+        *pt,
     )
-    return out.select([f.name for f in EVENT_SCHEMA.fields])
+    return out.select([f.name for f in EVENT_SCHEMA.fields] + pt)
 
 
 DECODERS = {"debezium": decode_debezium, "maxwell": decode_maxwell}

@@ -75,7 +75,8 @@ if TYPE_CHECKING:
     from blockchain_etl_spark.cdc.apply import CdcEngine
 
 _PART_RE = re.compile(r"^p-(\d+)$")
-_SEG_RE = re.compile(r"^seg-(\d+)\.parquet$")
+_SEG_RE = re.compile(r"^seg-(\d+)\.(parquet|jsonl)$")
+_SEG_PATH_RE = r"(p-\d+/seg-\d+\.(?:parquet|jsonl))"
 CURSOR_KEY = "partitioned_cursor"
 
 
@@ -139,10 +140,19 @@ class PartitionedTailer:
         marker_retain_margin: int = 1000,
         n_parts: int | None = None,
         idle_partition_rounds: int | None = None,
+        bus_format: str = "native",
     ):
         self.spark = spark
         self.landing_dir = landing_dir
         self.engine = engine
+        # wire format of the segments: "native" = EVENT_SCHEMA parquet;
+        # "debezium"/"maxwell" = JSONL envelope streams (a partitioned
+        # Debezium topic), decoded JVM-side before gating/apply — the
+        # EpochStore keeps decoded native batches, so reorg replay is
+        # format-agnostic (same contract as ChangeLogTailer)
+        if bus_format not in ("native", "debezium", "maxwell"):
+            raise ValueError(f"unknown bus_format {bus_format!r}")
+        self.bus_format = bus_format
         # the Kafka max.task.idle escape hatch: a partition that has
         # contributed no NEW segment for this many consecutive polls is
         # excluded from the safe-watermark min (quiet partitions must
@@ -180,6 +190,36 @@ class PartitionedTailer:
             out[p] = segs
         return out
 
+    def _read_segs(self, paths: list[str]) -> DataFrame:
+        """Read segment files (native parquet or envelope JSONL) into
+        EVENT_SCHEMA rows tagged with ``_seg`` (partition-relative file
+        id) and ``_part``."""
+        if self.bus_format == "native":
+            df = (
+                self.spark.read.schema(EVENT_SCHEMA)
+                .parquet(*paths)
+                .withColumn("_path", F.input_file_name())
+            )
+        else:
+            from blockchain_etl_spark.sources.envelope import DECODERS
+
+            raw = (
+                self.spark.read.text(paths)
+                .withColumnRenamed("value", "_v")
+                .withColumn("_path", F.input_file_name())
+            )
+            df = DECODERS[self.bus_format](
+                raw, value_col="_v", passthrough_cols=["_path"]
+            )
+        return (
+            df.withColumn("_seg", F.regexp_extract("_path", _SEG_PATH_RE, 1))
+            .withColumn(
+                "_part",
+                F.regexp_extract("_path", r"p-(\d+)/seg-", 1).cast("int"),
+            )
+            .drop("_path")
+        )
+
     # ---- cursor (stored in manifest lineage) -------------------------
     def _cursor(self) -> dict[str, Any]:
         m = self.engine.table.manifest()
@@ -211,7 +251,14 @@ class PartitionedTailer:
             for s in os.listdir(pdir):
                 m = _SEG_RE.match(s)
                 if m and int(m.group(1)) <= int(last):
-                    shutil.rmtree(os.path.join(pdir, s), ignore_errors=True)
+                    full = os.path.join(pdir, s)
+                    if os.path.isdir(full):
+                        shutil.rmtree(full, ignore_errors=True)
+                    else:
+                        try:
+                            os.remove(full)
+                        except OSError:
+                            pass
                     removed.append(f"p-{p_str}/{s}")
         return {"segments_removed": sorted(removed)}
 
@@ -255,14 +302,7 @@ class PartitionedTailer:
             for p, names in pending.items()
             for s in names
         ]
-        raw = (
-            self.spark.read.schema(EVENT_SCHEMA)
-            .parquet(*paths)
-            .withColumn("_path", F.input_file_name())
-            .withColumn(
-                "_seg", F.regexp_extract("_path", r"(p-\d+/seg-\d+\.parquet)", 1)
-            )
-        )
+        raw = self._read_segs(paths)
         # marker identity: a marker is ONE global event, and the
         # producer replicates it with the same global emit position
         # into every partition (split_changelog contract) — stream_pos
@@ -363,16 +403,9 @@ class PartitionedTailer:
         if not eligible:
             return None
 
-        batch = (
-            self.spark.read.schema(EVENT_SCHEMA)
-            .parquet(*[os.path.join(self.landing_dir, e) for e in eligible])
-            .withColumn("_path", F.input_file_name())
-            .withColumn(
-                "_part",
-                F.regexp_extract("_path", r"p-(\d+)/seg-", 1).cast("int"),
-            )
-            .drop("_path")
-        )
+        batch = self._read_segs(
+            [os.path.join(self.landing_dir, e) for e in eligible]
+        ).drop("_seg")
 
         # marker ids of this batch come from the seg-stats job already
         # collected — no extra pass over the data

@@ -104,6 +104,10 @@ def main(argv=None):
                     help="end-of-topic drain: after strict rounds stall, "
                          "waive the safe-watermark gate and consume every "
                          "pending segment in positional order")
+    sp.add_argument("--bus-format", choices=["native", "debezium", "maxwell"],
+                    default="native",
+                    help="segment wire format: native parquet or JSONL "
+                         "envelope streams (a partitioned Debezium topic)")
 
     sp = sub.add_parser("stream")
     sp.add_argument("--landing", required=True)
@@ -383,7 +387,9 @@ def main(argv=None):
             SnapshotTable.create(spark, args.table, TARGET_SCHEMA, n_buckets=args.buckets)
         engine = CdcEngine(spark, table, epoch_store=EpochStore(spark, args.store),
                            mode=args.mode)
-        tailer = PartitionedTailer(spark, args.landing, engine, n_parts=args.n_parts)
+        tailer = PartitionedTailer(spark, args.landing, engine,
+                                   n_parts=args.n_parts,
+                                   bus_format=args.bus_format)
         if args.final:
             metrics = tailer.run_until_drained()
         else:

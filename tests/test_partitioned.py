@@ -219,3 +219,35 @@ def test_prune_consumed_landing_gc(spark, tmp_path):
         not os.listdir(os.path.join(land, d))
         for d in os.listdir(land)
     )
+
+
+def test_partitioned_debezium_topic_matches_oracle(spark, tmp_path):
+    """A partitioned topic CARRYING Debezium envelopes: the composition
+    of the two bus features — per-partition JSONL segments, decoded
+    JVM-side, gated by the safe watermark, reorg markers as op=m
+    logical messages."""
+    from blockchain_etl_spark.sources.envelope import encode_debezium
+
+    flat = _flat(808, n_epochs=3)
+    per = _routed_rows(spark, flat, 2)
+    land = str(tmp_path / "land")
+    for p in per:
+        os.makedirs(os.path.join(land, f"p-{p}"), exist_ok=True)
+        half = len(per[p]) // 2
+        for seg, chunk in enumerate((per[p][:half], per[p][half:])):
+            df = spark.createDataFrame(
+                [tuple(r[f.name] for f in EVENT_SCHEMA.fields) for r in chunk],
+                EVENT_SCHEMA,
+            )
+            lines = [r["value"] for r in encode_debezium(df).collect()]
+            with open(
+                os.path.join(land, f"p-{p}", f"seg-{seg:08d}.jsonl"), "w"
+            ) as f:
+                f.write("\n".join(lines) + "\n")
+    engine = _mk_engine(spark, tmp_path)
+    t = PartitionedTailer(
+        spark, land, engine, n_parts=2, bus_format="debezium"
+    )
+    t.run_until_drained()
+    assert _norm(_state(engine)) == _norm(_oracle_state(flat))
+    assert t.run_once() is None
