@@ -310,3 +310,37 @@ def decode_maxwell(
 
 
 DECODERS = {"debezium": decode_debezium, "maxwell": decode_maxwell}
+
+
+def decode_audit(
+    df: DataFrame, fmt: str, value_col: str = "value"
+) -> DataFrame:
+    """Accounting for what a decode DROPS — a CDC consumer must never
+    lose records silently. One aggregation classifying every bus
+    record: ``decoded`` (will produce an event), ``tombstone`` (null
+    value — Kafka compaction artifact, dropped by design),
+    ``malformed`` (unparseable JSON / wrong envelope shape — candidate
+    for the engine's DLQ), ``foreign_op`` (parseable but an op the
+    mapping excludes, e.g. Debezium ``t`` truncates). Feed the numbers
+    into lineage metrics next to ``n_rejected``."""
+    if fmt == "debezium":
+        parsed = F.from_json(F.col(value_col), DEBEZIUM_VALUE_SCHEMA)
+        op = parsed["payload"]["op"]
+        ok_ops = ("c", "r", "u", "d", "m")
+    elif fmt == "maxwell":
+        parsed = F.from_json(F.col(value_col), MAXWELL_VALUE_SCHEMA)
+        op = parsed["type"]
+        ok_ops = ("insert", "bootstrap-insert", "update", "delete")
+    else:
+        raise ValueError(f"unknown envelope format {fmt!r}")
+    cls = (
+        F.when(F.col(value_col).isNull(), F.lit("tombstone"))
+        .when(op.isNull(), F.lit("malformed"))
+        .when(op.isin(*ok_ops), F.lit("decoded"))
+        .otherwise(F.lit("foreign_op"))
+    )
+    return (
+        df.select(cls.alias("class"))
+        .groupBy("class")
+        .agg(F.count("*").alias("n"))
+    )

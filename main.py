@@ -285,6 +285,19 @@ def main(argv=None):
                     help="version-cursor JSON file (created on first run)")
     sp.add_argument("--buckets", type=int, default=8)
 
+    sp = sub.add_parser("mv-extrema", help="maintain a per-group MIN/MAX "
+                        "or TOP-K materialized view (non-subtractable "
+                        "folds: boundary retractions re-derive their "
+                        "group from a group-keyed index)")
+    sp.add_argument("--src-table", required=True)
+    sp.add_argument("--root", required=True,
+                    help="MV root dir (index + MV table live under it)")
+    sp.add_argument("--group-col", required=True)
+    sp.add_argument("--value-col", required=True)
+    sp.add_argument("--top-k", type=int, default=None,
+                    help="maintain top-K values instead of min/max")
+    sp.add_argument("--buckets", type=int, default=8)
+
     sp = sub.add_parser("mv-join", help="maintain an incremental equi-join "
                         "materialized view of two tables from their change "
                         "feeds (Δ(A⋈B) = ΔA⋈B_old + A_new⋈ΔB; creates the "
@@ -539,6 +552,25 @@ def main(argv=None):
             "src_version": src.current_version(),
             "mv_version": mv.current_version(),
             "live_groups": mv_state(mv).count(),
+            "metrics": metrics,
+        }, default=str))
+        return 0
+    if args.cmd == "mv-extrema":
+        from blockchain_etl_spark.streaming.extrema_mv import (
+            MinMaxAggMV, TopKAggMV)
+
+        src_t = SnapshotTable(spark, args.src_table)
+        if args.top_k:
+            mv = TopKAggMV(spark, src_t, args.root, args.group_col,
+                           args.value_col, k=args.top_k,
+                           n_buckets=args.buckets)
+        else:
+            mv = MinMaxAggMV(spark, src_t, args.root, args.group_col,
+                             args.value_col, n_buckets=args.buckets)
+        metrics = mv.run_once()
+        print(json.dumps({
+            "src_version": src_t.current_version(),
+            "live_groups": mv.state().count(),
             "metrics": metrics,
         }, default=str))
         return 0

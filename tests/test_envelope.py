@@ -156,3 +156,25 @@ def test_unknown_bus_format_rejected(spark, tmp_path):
         ChangeLogTailer(
             spark, str(tmp_path), CdcEngine(spark, t), bus_format="protobuf"
         )
+
+
+def test_decode_audit_classifies_drops(spark, flat_events):
+    from blockchain_etl_spark.sources.envelope import decode_audit
+
+    _, ev = flat_events
+    enc = encode_debezium(ev)
+    n = ev.count()
+    polluted = enc.unionByName(
+        spark.createDataFrame(
+            [
+                (None,),                                     # tombstone
+                ("{not json",),                              # malformed
+                ('{"payload":{"op":"t","source":{"lsn":1}}}',),  # foreign
+            ],
+            "value string",
+        )
+    )
+    audit = {r["class"]: r["n"] for r in decode_audit(polluted, "debezium").collect()}
+    assert audit == {"decoded": n, "tombstone": 1, "malformed": 1, "foreign_op": 1}
+    # invariant: decoded count == what decode_debezium emits
+    assert decode_debezium(polluted).count() == audit["decoded"]
