@@ -47,7 +47,10 @@ from pyspark.sql import types as T
 
 from blockchain_etl_spark.cdc.schema import EVENT_SCHEMA
 
-# the row payload inside before/after/data/old
+# the DEFAULT row payload inside before/after/data/old — every decoder
+# takes ``row_schema`` to follow an upstream schema evolution (added
+# payload columns flow through decode into the engine's mergeSchema
+# apply; a fixed schema would silently drop them at from_json)
 _ROW_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.StringType(), True),
@@ -56,6 +59,58 @@ _ROW_SCHEMA = T.StructType(
         T.StructField("source", T.StringType(), True),
     ]
 )
+
+
+def _payload_cols(row_schema: T.StructType) -> list[str]:
+    return [f.name for f in row_schema.fields]
+
+def debezium_value_schema(row_schema: T.StructType | None = None) -> T.StructType:
+    rs = row_schema or _ROW_SCHEMA
+    return T.StructType(
+        [
+            T.StructField(
+                "payload",
+                T.StructType(
+                    [
+                        T.StructField("before", rs, True),
+                        T.StructField("after", rs, True),
+                        T.StructField("source", _DBZ_SOURCE_SCHEMA, True),
+                        T.StructField("op", T.StringType(), True),
+                        T.StructField("ts_ms", T.LongType(), True),
+                        T.StructField(
+                            "message",
+                            T.StructType(
+                                [
+                                    T.StructField("prefix", T.StringType(), True),
+                                    T.StructField("content", T.StringType(), True),
+                                ]
+                            ),
+                            True,
+                        ),
+                    ]
+                ),
+                True,
+            )
+        ]
+    )
+
+
+def maxwell_value_schema(row_schema: T.StructType | None = None) -> T.StructType:
+    rs = row_schema or _ROW_SCHEMA
+    return T.StructType(
+        [
+            T.StructField("database", T.StringType(), True),
+            T.StructField("table", T.StringType(), True),
+            T.StructField("type", T.StringType(), True),
+            T.StructField("ts", T.LongType(), True),
+            T.StructField("xid", T.LongType(), True),
+            T.StructField("commit", T.BooleanType(), True),
+            T.StructField("position", T.StringType(), True),
+            T.StructField("data", rs, True),
+            T.StructField("old", rs, True),
+        ]
+    )
+
 
 _DBZ_SOURCE_SCHEMA = T.StructType(
     [
@@ -73,59 +128,16 @@ _DBZ_SOURCE_SCHEMA = T.StructType(
     ]
 )
 
-DEBEZIUM_VALUE_SCHEMA = T.StructType(
-    [
-        T.StructField(
-            "payload",
-            T.StructType(
-                [
-                    T.StructField("before", _ROW_SCHEMA, True),
-                    T.StructField("after", _ROW_SCHEMA, True),
-                    T.StructField("source", _DBZ_SOURCE_SCHEMA, True),
-                    T.StructField("op", T.StringType(), True),
-                    T.StructField("ts_ms", T.LongType(), True),
-                    T.StructField(
-                        "message",
-                        T.StructType(
-                            [
-                                T.StructField("prefix", T.StringType(), True),
-                                T.StructField("content", T.StringType(), True),
-                            ]
-                        ),
-                        True,
-                    ),
-                ]
-            ),
-            True,
-        )
-    ]
-)
-
-MAXWELL_VALUE_SCHEMA = T.StructType(
-    [
-        T.StructField("database", T.StringType(), True),
-        T.StructField("table", T.StringType(), True),
-        T.StructField("type", T.StringType(), True),
-        T.StructField("ts", T.LongType(), True),
-        T.StructField("xid", T.LongType(), True),
-        T.StructField("commit", T.BooleanType(), True),
-        T.StructField("position", T.StringType(), True),
-        T.StructField("data", _ROW_SCHEMA, True),
-        T.StructField("old", _ROW_SCHEMA, True),
-    ]
-)
+DEBEZIUM_VALUE_SCHEMA = debezium_value_schema()
+MAXWELL_VALUE_SCHEMA = maxwell_value_schema()
 
 
-def _payload_struct(prefix: str = ""):
-    return F.struct(
-        F.col(f"{prefix}doc_id").alias("doc_id"),
-        F.col(f"{prefix}tokens").alias("tokens"),
-        F.col(f"{prefix}n_tok").alias("n_tok"),
-        F.col(f"{prefix}source").alias("source"),
-    )
+def _payload_struct(row_schema: T.StructType):
+    return F.struct(*[F.col(f.name).alias(f.name) for f in row_schema.fields])
 
 
-def encode_debezium(events: DataFrame, table: str = "sequences") -> DataFrame:
+def encode_debezium(events: DataFrame, table: str = "sequences",
+                    row_schema: T.StructType | None = None) -> DataFrame:
     """EVENT_SCHEMA rows → one Debezium envelope JSON string per event
     (column ``value``). The inverse of :func:`decode_debezium` — used by
     tests/gates to prove the decoder exact, and as the wire shape for
@@ -137,10 +149,11 @@ def encode_debezium(events: DataFrame, table: str = "sequences") -> DataFrame:
         .when(op == "D", F.lit("d"))
         .when(op == "R", F.lit("m"))
     )
-    after = F.when(op.isin("I", "U"), _payload_struct())
+    rs = row_schema or _ROW_SCHEMA
+    after = F.when(op.isin("I", "U"), _payload_struct(rs))
     # deletes carry the full pre-image in `before` (Debezium: after=null
     # on d, before = the old row)
-    before = F.when(op == "D", _payload_struct())
+    before = F.when(op == "D", _payload_struct(rs))
     source = F.struct(
         F.lit("2.6").alias("version"),
         F.lit("chain").alias("connector"),
@@ -179,6 +192,7 @@ def decode_debezium(
     value_col: str = "value",
     offset_col: str | None = None,
     passthrough_cols: list[str] | None = None,
+    row_schema: T.StructType | None = None,
 ) -> DataFrame:
     """Debezium envelope JSON strings → EVENT_SCHEMA.
 
@@ -190,12 +204,13 @@ def decode_debezium(
     compaction tombstones) and unmapped ops are dropped. Pure
     ``from_json`` + projections — JVM-side."""
     pt = list(passthrough_cols or [])
+    rs = row_schema or _ROW_SCHEMA
     parsed = (
         df.filter(F.col(value_col).isNotNull())
         .select(
             *pt,
             *( [F.col(offset_col).cast("long").alias("_off")] if offset_col else [] ),
-            F.from_json(F.col(value_col), DEBEZIUM_VALUE_SCHEMA).alias("e"),
+            F.from_json(F.col(value_col), debezium_value_schema(rs)).alias("e"),
         )
         .select(*pt, *( ["_off"] if offset_col else [] ), "e.payload.*")
         .filter(F.col("op").isin("c", "r", "u", "d", "m"))
@@ -209,26 +224,30 @@ def decode_debezium(
         .when(F.col("op") == "d", F.lit("D"))
         .otherwise(F.lit("R"))
     )
+    payload = [
+        F.coalesce(F.col(f"after.{c}"), F.col(f"before.{c}")).alias(c)
+        for c in _payload_cols(rs)
+    ]
     out = parsed.select(
         stream_pos.alias("stream_pos"),
         F.col("source.lsn").alias("lsn"),
         F.col("source.pos").alias("seq"),
         eng_op.alias("op"),
-        F.coalesce(F.col("after.doc_id"), F.col("before.doc_id")).alias("doc_id"),
-        F.coalesce(F.col("after.tokens"), F.col("before.tokens")).alias("tokens"),
-        F.coalesce(F.col("after.n_tok"), F.col("before.n_tok")).alias("n_tok"),
-        F.coalesce(F.col("after.source"), F.col("before.source")).alias("source"),
+        *payload,
         F.when(F.col("op") == "m", F.col("message.content").cast("long")).alias(
             "rollback_to_lsn"
         ),
         F.col("source.block_hash").alias("epoch_hash"),
         *pt,
     )
-    return out.select([f.name for f in EVENT_SCHEMA.fields] + pt)
+    meta = ["stream_pos", "lsn", "seq", "op"]
+    tail = ["rollback_to_lsn", "epoch_hash"]
+    return out.select(meta + _payload_cols(rs) + tail + pt)
 
 
 def encode_maxwell(events: DataFrame, database: str = "lake",
-                   table: str = "sequences") -> DataFrame:
+                   table: str = "sequences",
+                   row_schema: T.StructType | None = None) -> DataFrame:
     """EVENT_SCHEMA rows → Maxwell JSON (column ``value``). Maxwell has
     no reorg vocabulary, so ``R`` rows are refused at plan level: the
     encode filter drops them and ``decode_maxwell`` can never emit one —
@@ -241,7 +260,7 @@ def encode_maxwell(events: DataFrame, database: str = "lake",
     )
     # Maxwell's delete `data` is the deleted row's values — the event's
     # own nulls (a delete carries no token payload) pass through as-is
-    data = _payload_struct()
+    data = _payload_struct(row_schema or _ROW_SCHEMA)
     return events.filter(F.col("op") != "R").select(
         F.to_json(
             F.struct(
@@ -255,7 +274,7 @@ def encode_maxwell(events: DataFrame, database: str = "lake",
                     "position"
                 ),
                 data.alias("data"),
-                F.lit(None).cast(_ROW_SCHEMA).alias("old"),
+                F.lit(None).cast(row_schema or _ROW_SCHEMA).alias("old"),
             )
         ).alias("value")
     )
@@ -266,6 +285,7 @@ def decode_maxwell(
     value_col: str = "value",
     offset_col: str | None = None,
     passthrough_cols: list[str] | None = None,
+    row_schema: T.StructType | None = None,
 ) -> DataFrame:
     """Maxwell JSON rows → EVENT_SCHEMA. LSN/seq parse out of the
     binlog ``position`` coordinates; the bus offset comes from
@@ -273,12 +293,13 @@ def decode_maxwell(
     (MySQL binlogs carry no block hash) — it is lineage metadata only,
     never consulted by the apply path."""
     pt = list(passthrough_cols or [])
+    rs = row_schema or _ROW_SCHEMA
     parsed = (
         df.filter(F.col(value_col).isNotNull())
         .select(
             *pt,
             *( [F.col(offset_col).cast("long").alias("_off")] if offset_col else [] ),
-            F.from_json(F.col(value_col), MAXWELL_VALUE_SCHEMA).alias("e"),
+            F.from_json(F.col(value_col), maxwell_value_schema(rs)).alias("e"),
         )
         .select(*pt, *( ["_off"] if offset_col else [] ), "e.*")
         .filter(F.col("type").isin("insert", "bootstrap-insert", "update", "delete"))
@@ -298,15 +319,14 @@ def decode_maxwell(
         .cast("int")
         .alias("seq"),
         eng_op.alias("op"),
-        F.col("data.doc_id").alias("doc_id"),
-        F.col("data.tokens").alias("tokens"),
-        F.col("data.n_tok").alias("n_tok"),
-        F.col("data.source").alias("source"),
+        *[F.col(f"data.{c}").alias(c) for c in _payload_cols(rs)],
         F.lit(None).cast("long").alias("rollback_to_lsn"),
         F.lit(None).cast("string").alias("epoch_hash"),
         *pt,
     )
-    return out.select([f.name for f in EVENT_SCHEMA.fields] + pt)
+    meta = ["stream_pos", "lsn", "seq", "op"]
+    tail = ["rollback_to_lsn", "epoch_hash"]
+    return out.select(meta + _payload_cols(rs) + tail + pt)
 
 
 DECODERS = {"debezium": decode_debezium, "maxwell": decode_maxwell}

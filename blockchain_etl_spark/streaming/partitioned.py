@@ -141,6 +141,7 @@ class PartitionedTailer:
         n_parts: int | None = None,
         idle_partition_rounds: int | None = None,
         bus_format: str = "native",
+        row_schema=None,
     ):
         self.spark = spark
         self.landing_dir = landing_dir
@@ -153,6 +154,9 @@ class PartitionedTailer:
         if bus_format not in ("native", "debezium", "maxwell"):
             raise ValueError(f"unknown bus_format {bus_format!r}")
         self.bus_format = bus_format
+        # envelope payload schema (schema-registry contract; see
+        # ChangeLogTailer.row_schema)
+        self.row_schema = row_schema
         # the Kafka max.task.idle escape hatch: a partition that has
         # contributed no NEW segment for this many consecutive polls is
         # excluded from the safe-watermark min (quiet partitions must
@@ -209,7 +213,8 @@ class PartitionedTailer:
                 .withColumn("_path", F.input_file_name())
             )
             df = DECODERS[self.bus_format](
-                raw, value_col="_v", passthrough_cols=["_path"]
+                raw, value_col="_v", passthrough_cols=["_path"],
+                row_schema=self.row_schema,
             )
         return (
             df.withColumn("_seg", F.regexp_extract("_path", _SEG_PATH_RE, 1))

@@ -41,6 +41,7 @@ class ChangeLogTailer:
         engine: "CdcEngine",
         retain_lsn_margin: int | None = None,
         bus_format: str = "native",
+        row_schema=None,
     ):
         self.spark = spark
         self.landing_dir = landing_dir
@@ -62,6 +63,12 @@ class ChangeLogTailer:
         if bus_format not in ("native", "debezium", "maxwell"):
             raise ValueError(f"unknown bus_format {bus_format!r}")
         self.bus_format = bus_format
+        # payload schema the envelope decoders parse with (the schema-
+        # registry contract): pass an EVOLVED schema to follow an
+        # upstream column addition — added columns flow through decode
+        # into the engine's mergeSchema apply. None = EVENT_SCHEMA's
+        # payload columns.
+        self.row_schema = row_schema
 
     def _epoch_files(self) -> dict[int, str]:
         out: dict[int, str] = {}
@@ -87,7 +94,9 @@ class ChangeLogTailer:
                     f"bus_format='debezium' or 'maxwell'"
                 )
             raw = self.spark.read.text(path).withColumnRenamed("value", "_v")
-            return DECODERS[self.bus_format](raw, value_col="_v")
+            return DECODERS[self.bus_format](
+                raw, value_col="_v", row_schema=self.row_schema
+            )
         return self.spark.read.schema(EVENT_SCHEMA).parquet(path)
 
     def run_once(self) -> list[dict[str, Any]]:

@@ -178,3 +178,54 @@ def test_decode_audit_classifies_drops(spark, flat_events):
     assert audit == {"decoded": n, "tombstone": 1, "malformed": 1, "foreign_op": 1}
     # invariant: decoded count == what decode_debezium emits
     assert decode_debezium(polluted).count() == audit["decoded"]
+
+
+def test_debezium_schema_evolution_flows_to_target(spark, tmp_path):
+    """An upstream column addition (Debezium payload gains `lang`)
+    decodes with an evolved row_schema and evolves the engine target
+    through the ordinary mergeSchema apply — old rows null-backfilled."""
+    from pyspark.sql import types as T
+
+    from blockchain_etl_spark.cdc.apply import CdcEngine
+    from blockchain_etl_spark.cdc.schema import TARGET_SCHEMA
+    from blockchain_etl_spark.sources.envelope import _ROW_SCHEMA
+    from blockchain_etl_spark.streaming.epoch_store import EpochStore
+    from blockchain_etl_spark.streaming.tail import ChangeLogTailer
+    from blockchain_etl_spark.tables.snapshot import SnapshotTable
+
+    evolved = T.StructType(
+        list(_ROW_SCHEMA.fields) + [T.StructField("lang", T.StringType(), True)]
+    )
+    land = tmp_path / "land"
+    land.mkdir()
+
+    # epoch 0: original schema
+    eps = list(generate_changelog(seed=61, n_epochs=2, p_reorg_epoch=0.0))
+    df0 = events_to_df(spark, eps[0])
+    lines0 = [r["value"] for r in encode_debezium(df0).collect()]
+    (land / "epoch-00000000.jsonl").write_text("\n".join(lines0) + "\n")
+
+    # epoch 1: payload gains `lang` (encode with the evolved schema)
+    from pyspark.sql import functions as F
+
+    df1 = events_to_df(spark, eps[1]).withColumn(
+        "lang", F.when(F.col("op").isin("I", "U"), F.lit("en"))
+    )
+    lines1 = [r["value"] for r in encode_debezium(df1, row_schema=evolved).collect()]
+    (land / "epoch-00000001.jsonl").write_text("\n".join(lines1) + "\n")
+
+    t = SnapshotTable.create(spark, str(tmp_path / "t"), TARGET_SCHEMA, n_buckets=4)
+    eng = CdcEngine(
+        spark, t, epoch_store=EpochStore(spark, str(tmp_path / "s")),
+        collect_metrics=False,
+    )
+    ChangeLogTailer(
+        spark, str(land), eng, bus_format="debezium", row_schema=evolved
+    ).run_once()
+
+    state = t.read().filter("NOT deleted")
+    assert "lang" in state.columns
+    # rows whose winner came from epoch 1 carry the value; earlier
+    # winners are null-backfilled
+    assert state.filter("lang = 'en'").count() > 0
+    assert state.filter("lang IS NULL").count() > 0
