@@ -229,3 +229,71 @@ def test_debezium_schema_evolution_flows_to_target(spark, tmp_path):
     # winners are null-backfilled
     assert state.filter("lang = 'en'").count() > 0
     assert state.filter("lang IS NULL").count() > 0
+
+
+def test_debezium_snapshot_then_stream_handoff(spark, tmp_path):
+    """The Debezium bootstrap contract: an initial snapshot (op=r rows
+    at their source LSNs) followed by a live stream that OVERLAPS the
+    snapshot window must converge to the live truth — the engine's
+    (lsn, seq) monotonic guard resolves the overlap, no special
+    bootstrap mode needed."""
+    from pyspark.sql import functions as F
+
+    from blockchain_etl_spark.cdc.apply import CdcEngine
+    from blockchain_etl_spark.cdc.schema import TARGET_SCHEMA
+    from blockchain_etl_spark.streaming.epoch_store import EpochStore
+    from blockchain_etl_spark.streaming.tail import ChangeLogTailer
+    from blockchain_etl_spark.tables.snapshot import SnapshotTable
+
+    eps = list(generate_changelog(seed=73, n_epochs=3, p_reorg_epoch=0.0))
+    flat = [e for ep in eps for e in ep]
+    mid_lsn = max(e["lsn"] for e in eps[0])
+
+    # "snapshot" = oracle state at the end of epoch 0, emitted as op=r
+    snap_rows = oracle_replay([e for e in flat if e["lsn"] <= mid_lsn])
+    snap_ev = [
+        {
+            "stream_pos": i,
+            "lsn": r["lsn"],
+            "seq": r["seq"],
+            "op": "I",  # encoder maps I -> c; rewrite to r below
+            "doc_id": d,
+            "tokens": r["tokens"],
+            "n_tok": r["n_tok"],
+            "source": r["source"],
+            "rollback_to_lsn": None,
+            "epoch_hash": "snap",
+        }
+        for i, (d, r) in enumerate(sorted(snap_rows.items()))
+    ]
+    enc = encode_debezium(events_to_df(spark, snap_ev))
+    # snapshot reads are op=r in Debezium — patch the op in the JSON
+    lines = [
+        r["value"].replace('"op":"c"', '"op":"r"') for r in enc.collect()
+    ]
+    land = tmp_path / "land"
+    land.mkdir()
+    (land / "epoch-00000000.jsonl").write_text("\n".join(lines) + "\n")
+    # live stream: epochs 1-2 PLUS the tail of epoch 0 (overlap with
+    # the snapshot window — at-least-once handoff)
+    overlap = [e for e in eps[0] if e["lsn"] >= mid_lsn - 2] + eps[1] + eps[2]
+    live_lines = [
+        r["value"] for r in encode_debezium(events_to_df(spark, overlap)).collect()
+    ]
+    (land / "epoch-00000001.jsonl").write_text("\n".join(live_lines) + "\n")
+
+    t = SnapshotTable.create(spark, str(tmp_path / "t"), TARGET_SCHEMA, n_buckets=4)
+    eng = CdcEngine(
+        spark, t, epoch_store=EpochStore(spark, str(tmp_path / "s")),
+        collect_metrics=False,
+    )
+    ChangeLogTailer(spark, str(land), eng, bus_format="debezium").run_once()
+
+    got = sorted(
+        (r["doc_id"], r["n_tok"], r["source"])
+        for r in t.read().filter("NOT deleted").collect()
+    )
+    want = sorted(
+        (d, r["n_tok"], r["source"]) for d, r in oracle_replay(flat).items()
+    )
+    assert got == want
