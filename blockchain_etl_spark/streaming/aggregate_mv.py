@@ -72,8 +72,12 @@ def changes_to_agg_deltas(
     sign = F.when(
         F.col("_change_type").isin("insert", "update_postimage"), F.lit(1)
     ).otherwise(F.lit(-1))
+    # a measure source may be any SQL EXPRESSION over the row (e.g.
+    # "n_tok * n_tok" for a sum-of-squares — with sum and n_rows that
+    # is a maintained VARIANCE); expressions evaluate identically on
+    # pre- and post-images, so retraction algebra is unaffected
     aggs = [F.sum(sign).cast("long").alias("n_rows")] + [
-        F.sum(sign * F.coalesce(F.col(src).cast("long"), F.lit(0)))
+        F.sum(sign * F.coalesce(F.expr(src).cast("long"), F.lit(0)))
         .cast("long")
         .alias(out)
         for out, src in measures.items()

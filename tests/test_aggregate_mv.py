@@ -117,3 +117,59 @@ def test_agg_mv_exactly_once_across_redelivered_hop(spark, tmp_path):
     assert t2.run_once() is None
     assert {r["source"]: r["n_rows"]
             for r in mv_state(mv, "source").collect()} == {"s1": 1}
+
+
+def test_expression_measure_maintains_variance(spark, tmp_path):
+    """measures values are SQL expressions: sum(x) + sum(x*x) + n_rows
+    maintained differentially give exact mean/variance per group,
+    including under retraction."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from blockchain_etl_spark.cdc.apply import CdcEngine
+    from blockchain_etl_spark.cdc.schema import EVENT_SCHEMA, TARGET_SCHEMA
+    from blockchain_etl_spark.streaming.aggregate_mv import (
+        agg_mv_transform,
+        create_agg_mv,
+        mv_state,
+    )
+    from blockchain_etl_spark.streaming.cascade import CascadeTailer
+    from blockchain_etl_spark.tables.snapshot import SnapshotTable
+
+    src = SnapshotTable.create(
+        spark, str(tmp_path / "src"), TARGET_SCHEMA, key="doc_id", n_buckets=4
+    )
+    eng = CdcEngine(spark, src, collect_metrics=False)
+    measures = {"sum_v": "n_tok", "sum_vv": "n_tok * n_tok"}
+    mv = create_agg_mv(
+        spark, str(tmp_path / "mv"), "source", measures, n_buckets=4, zset=True
+    )
+    hop = CascadeTailer(
+        src, CdcEngine(spark, mv, collect_metrics=False),
+        str(tmp_path / "cur.json"),
+        transform=agg_mv_transform("source", measures),
+    )
+
+    def ev(rows, lsn):
+        data = [
+            (lsn * 100 + i, lsn, i, op, doc,
+             [1] * (n or 0) if op in ("I", "U") else None,
+             n if op in ("I", "U") else None,
+             s if op in ("I", "U") else None, None, f"h{lsn}")
+            for i, (doc, op, n, s) in enumerate(rows)
+        ]
+        return spark.createDataFrame(data, EVENT_SCHEMA)
+
+    eng.apply_epoch(ev([("a", "I", 2, "g"), ("b", "I", 4, "g"),
+                        ("c", "I", 6, "g")], 1), epoch_id=1)
+    hop.run_once()
+    eng.apply_epoch(ev([("b", "D", None, None)], 2), epoch_id=2)
+    hop.run_once()
+
+    st = {r["doc_id"]: r for r in mv_state(mv).collect()}["g"]
+    n, s1, s2 = st["n_rows"], st["sum_v"], st["sum_vv"]
+    # live rows: {2, 6} -> mean 4, population variance 4
+    assert (n, s1, s2) == (2, 8, 40)
+    mean = s1 / n
+    assert s2 / n - mean * mean == 4.0
