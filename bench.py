@@ -720,12 +720,20 @@ def main():
                 spark, jm.mv, os.path.join(mwork, "zagg"),
                 group_col="source", measures={"sum_tok": "n_tok"},
             )
-            # build the DAG (untimed)
+            from blockchain_etl_spark.streaming.extrema_mv import (
+                MinMaxAggMV as _MMX,
+            )
+
+            mmx = _MMX(spark, mfact, os.path.join(mwork, "mmx"),
+                       group_col="source", value_col="n_tok", n_buckets=8)
+            # build the DAG (untimed) — incl. the extrema MV + its
+            # group index caught up to epoch-1 state
             mdeng.apply_epoch(_dim_ev(srcs, 1, F.length("source") * 10),
                               epoch_id=1)
             mfeng.apply_epoch(ev.filter(F.col("lsn") <= mid), epoch_id=1)
             jm.run_once()
             zagg.run_once()
+            mmx.run_once()
             # timed steady state: one commit on EACH input (the dim leg
             # reweights half the dimension — churn), then one hop per
             # MV stage
@@ -743,11 +751,19 @@ def main():
             t0 = time.monotonic()
             zagg.run_once()
             t_agg_hop = round(time.monotonic() - t0, 3)
+            # extrema (non-subtractable) MV steady state: only the
+            # epoch-2 catch-up hop is timed — deletes in the stream
+            # exercise the boundary re-derive path
+            t0 = time.monotonic()
+            mm = mmx.run_once()
+            t_mmx_hop = round(time.monotonic() - t0, 3)
             ev.unpersist()
             out["mv_incremental"] = {
                 "apply_sec": t_mv_apply,
                 "join_hop_sec": t_join_hop,
                 "agg_hop_sec": t_agg_hop,
+                "minmax_hop_sec": t_mmx_hop,
+                "minmax_rederive_groups": (mm or {}).get("n_rederive"),
             }
         finally:
             _shutil.rmtree(mwork, ignore_errors=True)
