@@ -251,3 +251,42 @@ def test_partitioned_debezium_topic_matches_oracle(spark, tmp_path):
     t.run_until_drained()
     assert _norm(_state(engine)) == _norm(_oracle_state(flat))
     assert t.run_once() is None
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("seed", [31, 57, 90])
+def test_random_delivery_walk_matches_oracle(spark, tmp_path, seed):
+    """Property walk: random partition count, random segment sizes,
+    random per-round landing subsets, interleaved consumption — the
+    final state must equal the totally-ordered oracle replay."""
+    import random
+
+    rnd = random.Random(seed)
+    n_parts = rnd.choice([2, 3, 4])
+    flat = _flat(seed, n_epochs=4, p_reorg=0.6)
+    per = _routed_rows(spark, flat, n_parts)
+    engine = _mk_engine(spark, tmp_path)
+    land = str(tmp_path / "land")
+    tailer = PartitionedTailer(spark, land, engine, n_parts=n_parts)
+
+    offs = {p: 0 for p in range(n_parts)}
+    next_seg = {p: 0 for p in range(n_parts)}
+    for p in range(n_parts):
+        os.makedirs(os.path.join(land, f"p-{p}"), exist_ok=True)
+    guard = 0
+    while any(offs[p] < len(per[p]) for p in range(n_parts)):
+        guard += 1
+        assert guard < 200
+        for p in range(n_parts):
+            if offs[p] < len(per[p]) and rnd.random() < 0.6:
+                sz = rnd.randrange(2, 11)
+                chunk = per[p][offs[p] : offs[p] + sz]
+                _land(spark, land, p, next_seg[p], chunk)
+                offs[p] += len(chunk)
+                next_seg[p] += 1
+        if rnd.random() < 0.8:
+            tailer.run_once()
+        if rnd.random() < 0.3:
+            tailer.prune_consumed()
+    tailer.run_until_drained()
+    assert _norm(_state(engine)) == _norm(_oracle_state(flat))
