@@ -290,3 +290,29 @@ def test_random_delivery_walk_matches_oracle(spark, tmp_path, seed):
             tailer.prune_consumed()
     tailer.run_until_drained()
     assert _norm(_state(engine)) == _norm(_oracle_state(flat))
+
+
+def test_idle_partition_rounds_unblocks_live_partitions(spark, tmp_path):
+    """The max.task.idle escape hatch: a quiet partition stops gating
+    the safe watermark after N empty polls, so live partitions'
+    backlog applies; when the idle partition wakes up, its (ordinary,
+    monotone) events still converge on the last-writer table."""
+    flat = _flat(909, n_epochs=2, p_reorg=0.0)
+    per = _routed_rows(spark, flat, 2)
+    engine = _mk_engine(spark, tmp_path)
+    land = str(tmp_path / "land")
+    t = PartitionedTailer(
+        spark, land, engine, n_parts=2, idle_partition_rounds=2
+    )
+    # partition 0 delivers everything; partition 1 stays quiet
+    _land(spark, land, 0, 0, per[0])
+    os.makedirs(os.path.join(land, "p-1"), exist_ok=True)
+    assert t.run_once() is None  # poll 1: p1 idle count 1 -> still gated
+    # poll 2 reaches idle_partition_rounds=2: the silent partition is
+    # excluded from the safe-watermark min and p0's backlog applies
+    m = t.run_once()
+    assert m is not None and m["n_events"] > 0
+    # the sleeper wakes with its (monotone) backlog: state converges
+    _land(spark, land, 1, 0, per[1])
+    t.run_until_drained()
+    assert _norm(_state(engine)) == _norm(_oracle_state(flat))
