@@ -364,3 +364,121 @@ def decode_audit(
         .groupBy("class")
         .agg(F.count("*").alias("n"))
     )
+
+
+def cdf_to_debezium(
+    changes: DataFrame,
+    key_col: str = "doc_id",
+    row_schema: T.StructType | None = None,
+    table: str = "sequences",
+) -> DataFrame:
+    """The engine as a **Debezium producer**: turn a table's change feed
+    (``SnapshotTable.read_changes`` output — netted per-key changes
+    tagged ``_change_type`` with commit-side ``_commit_lsn/_commit_seq``)
+    into Debezium envelope JSON, one record per changed key. A
+    downstream engine (or any Kafka-Connect consumer) replays them:
+    ``decode_debezium`` → apply reproduces the table state exactly —
+    lake-to-lake replication with the bus as the only coupling.
+
+    Mapping: insert → ``c`` (after only), update pre+post pair → ``u``
+    (before + after), delete → ``d`` (pre-image in before, the
+    reference's tombstone semantics). ``lsn/seq`` ride the COMMIT
+    watermark (a delete sequenced at its pre-image's lsn would lose to
+    its own prior row under the consumer's monotonic guard).
+    ``stream_pos`` is minted as ``commit_lsn · 2³² + rank-within-commit``
+    — unique, per-key monotone across emissions, computed with a
+    per-commit window (bounded, parallel)."""
+    from pyspark.sql import Window
+
+    rs = row_schema or _ROW_SCHEMA
+    cols = _payload_cols(rs)
+    pre = changes.filter(F.col("_change_type") == "update_preimage").select(
+        F.col(key_col).alias("_k"),
+        *[F.col(c).alias(f"_pre_{c}") for c in cols if c != key_col],
+    )
+    post = changes.filter(
+        F.col("_change_type").isin("insert", "update_postimage", "delete")
+    )
+    j = post.join(pre, post[key_col] == pre["_k"], "left").drop("_k")
+    op = (
+        F.when(F.col("_change_type") == "insert", F.lit("I"))
+        .when(F.col("_change_type") == "update_postimage", F.lit("U"))
+        .otherwise(F.lit("D"))
+    )
+    w = Window.partitionBy("_commit_lsn").orderBy(key_col)
+    ev = j.select(
+        (
+            F.col("_commit_lsn") * F.lit(1 << 32)
+            + F.row_number().over(w)
+        ).cast("long").alias("stream_pos"),
+        F.col("_commit_lsn").alias("lsn"),
+        F.col("_commit_seq").alias("seq"),
+        op.alias("op"),
+        *[F.col(c) for c in cols],
+        F.lit(None).cast("long").alias("rollback_to_lsn"),
+        F.lit(None).cast("string").alias("epoch_hash"),
+        F.col("_change_type").alias("_ct"),
+        *[
+            F.col(f"_pre_{c}").alias(f"_pre_{c}")
+            for c in cols
+            if c != key_col
+        ],
+    )
+    # updates need the true before-image (encode_debezium only knows
+    # the event row): build the envelope here with both images
+    rs_fields = [f.name for f in rs.fields]
+    after = F.when(
+        F.col("op").isin("I", "U"),
+        F.struct(*[F.col(c).alias(c) for c in rs_fields]),
+    )
+    before = (
+        F.when(
+            F.col("op") == "U",
+            F.struct(
+                F.col(key_col).alias(key_col),
+                *[
+                    F.col(f"_pre_{c}").alias(c)
+                    for c in rs_fields
+                    if c != key_col
+                ],
+            ),
+        )
+        # CDF delete rows carry the pre-image payload in place
+        .when(F.col("op") == "D", F.struct(*[F.col(c).alias(c) for c in rs_fields]))
+    )
+    dbz_op = (
+        F.when(F.col("op") == "I", F.lit("c"))
+        .when(F.col("op") == "U", F.lit("u"))
+        .otherwise(F.lit("d"))
+    )
+    source = F.struct(
+        F.lit("2.6").alias("version"),
+        F.lit("chain").alias("connector"),
+        F.lit("etl").alias("name"),
+        (F.col("lsn") * 1000).alias("ts_ms"),
+        F.lit("false").alias("snapshot"),
+        F.lit("lake").alias("db"),
+        F.lit(table).alias("table"),
+        F.col("lsn"),
+        F.col("seq").alias("pos"),
+        F.col("stream_pos").cast("string").alias("sequence"),
+        F.col("epoch_hash").alias("block_hash"),
+    )
+    payload = F.struct(
+        before.alias("before"),
+        after.alias("after"),
+        source.alias("source"),
+        dbz_op.alias("op"),
+        (F.col("lsn") * 1000 + F.col("seq")).alias("ts_ms"),
+        F.lit(None).cast(
+            T.StructType(
+                [
+                    T.StructField("prefix", T.StringType(), True),
+                    T.StructField("content", T.StringType(), True),
+                ]
+            )
+        ).alias("message"),
+    )
+    return ev.select(
+        F.to_json(F.struct(payload.alias("payload"))).alias("value")
+    )

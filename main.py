@@ -365,6 +365,10 @@ def main(argv=None):
     sp.add_argument("--out", default=None,
                     help="write the change rows to this parquet dir "
                     "(default: print to stdout)")
+    sp.add_argument("--envelope", choices=["debezium"], default=None,
+                    help="emit the version-range changes as Debezium "
+                         "envelope JSONL instead of rows (the engine as "
+                         "a Debezium producer; pair with --out FILE)")
     sp.add_argument("--per-commit", action="store_true",
                     help="audit view: one diff per commit in the range "
                     "(insert-then-delete shows both), instead of the "
@@ -812,6 +816,26 @@ def main(argv=None):
             ch = table.read_changes(
                 args.from_version, args.to_version, buckets=changed
             ).persist()
+        if getattr(args, "envelope", None) == "debezium" and not args.per_commit:
+            from blockchain_etl_spark.sources.envelope import cdf_to_debezium
+
+            env = cdf_to_debezium(ch, key_col=table.manifest().key)
+            lines = [r["value"] for r in env.collect()]
+            if args.out:
+                with open(args.out, "w") as f:
+                    f.write("\n".join(lines) + ("\n" if lines else ""))
+            else:
+                for ln in lines[:50]:
+                    print(ln)
+            ch.unpersist()
+            print(json.dumps({
+                "from_version": args.from_version,
+                "to_version": args.to_version
+                if args.to_version is not None else table.current_version(),
+                "envelopes": len(lines),
+                "out": args.out,
+            }))
+            return 0
         if args.out:
             ch.write.mode("overwrite").parquet(args.out)
         else:
