@@ -474,11 +474,15 @@ def main():
         # added wall bounded while staying far above fixed costs.
         p_events = int(os.environ.get("BENCH_PARTITIONED_EVENTS",
                                       str(max(400_000, n_events // 2))))
-        part = _partitioned_run_subprocess(CPUS, p_events)
-        part["vs_single_log"] = round(
-            part["events_per_sec"] / out["events_per_sec"], 3
-        )
-        out["partitioned"] = part
+        try:
+            part = _partitioned_run_subprocess(CPUS, p_events)
+            part["vs_single_log"] = round(
+                part["events_per_sec"] / out["events_per_sec"], 3
+            )
+            out["partitioned"] = part
+        except Exception as e:  # noqa: BLE001 — secondary metric must
+            # not sink the whole bench artifact
+            out["partitioned"] = {"error": str(e)[-300:]}
 
     if os.environ.get("BENCH_SKIP_SCALING") != "1":
         # N -> 4N scaling, CPU-pinned so K CPUs really means K CPUs (see
@@ -811,7 +815,8 @@ def main():
     if "partitioned" in out:
         headline["partitioned"] = {
             k: out["partitioned"][k]
-            for k in ("events_per_sec", "n_parts", "vs_single_log")
+            for k in ("events_per_sec", "n_parts", "vs_single_log", "error")
+            if k in out["partitioned"]
         }
     for k in ("pipeline_incremental", "mv_incremental"):
         if k in out:
