@@ -371,6 +371,7 @@ def cdf_to_debezium(
     key_col: str = "doc_id",
     row_schema: T.StructType | None = None,
     table: str = "sequences",
+    with_key: bool = False,
 ) -> DataFrame:
     """The engine as a **Debezium producer**: turn a table's change feed
     (``SnapshotTable.read_changes`` output — netted per-key changes
@@ -387,7 +388,9 @@ def cdf_to_debezium(
     its own prior row under the consumer's monotonic guard).
     ``stream_pos`` is minted as ``commit_lsn · 2³² + rank-within-commit``
     — unique, per-key monotone across emissions, computed with a
-    per-commit window (bounded, parallel)."""
+    per-commit window (bounded, parallel). ``with_key=True`` adds the
+    Debezium Kafka KEY envelope (``{"payload": {<key_col>: ...}}``) so
+    records key-partition and log-compact the way Connect topics do."""
     from pyspark.sql import Window
 
     rs = row_schema or _ROW_SCHEMA
@@ -479,6 +482,12 @@ def cdf_to_debezium(
             )
         ).alias("message"),
     )
-    return ev.select(
-        F.to_json(F.struct(payload.alias("payload"))).alias("value")
-    )
+    out_cols = [F.to_json(F.struct(payload.alias("payload"))).alias("value")]
+    if with_key:
+        out_cols.insert(
+            0,
+            F.to_json(
+                F.struct(F.struct(F.col(key_col).alias(key_col)).alias("payload"))
+            ).alias("key"),
+        )
+    return ev.select(*out_cols)

@@ -353,3 +353,50 @@ def test_pubsub_without_token_raises(spark):
     df = spark.createDataFrame([("a", 1)], "doc_id string, n int")
     with pytest.raises(NotImplementedError, match="bearer token"):
         PubSubSink("proj").write(df, "docs")
+
+
+def test_cdf_debezium_envelopes_over_kafka_wire(spark, tmp_path):
+    """Full producer composition: a table's change feed as Debezium
+    envelopes (key envelope included), published over the REAL socket
+    transport, parsed back off the broker double — key-partitioned by
+    murmur2 like a Connect topic."""
+    from pyspark.sql import functions as F
+
+    from blockchain_etl_spark.cdc.apply import CdcEngine
+    from blockchain_etl_spark.cdc.generator import events_to_df, generate_changelog
+    from blockchain_etl_spark.cdc.schema import TARGET_SCHEMA
+    from blockchain_etl_spark.operators.sinks import _kafka_send_partition
+    from blockchain_etl_spark.sources.envelope import cdf_to_debezium
+    from blockchain_etl_spark.tables.snapshot import SnapshotTable
+
+    flat = [
+        e for ep in generate_changelog(seed=29, n_epochs=2, p_reorg_epoch=0.0)
+        for e in ep
+    ]
+    t = SnapshotTable.create(spark, str(tmp_path / "t"), TARGET_SCHEMA, n_buckets=4)
+    CdcEngine(spark, t, collect_metrics=False).apply_epoch(
+        events_to_df(spark, flat), epoch_id=1
+    )
+    env = cdf_to_debezium(t.read_changes(0, t.current_version()), with_key=True)
+    n_env = env.count()
+    assert n_env > 0
+
+    broker = _BrokerDouble()
+    try:
+        records = env.select(
+            F.lit("etl_cdc").alias("topic"), "key", "value"
+        ).repartition(3)
+        addr = broker.addr
+        records.foreachPartition(
+            lambda rows: _kafka_send_partition(rows, addr, 3, 1)
+        )
+        seen = {}
+        for pid, msgs in broker.log.items():
+            for key, value in msgs:
+                k = json.loads(key.decode())["payload"]["doc_id"]
+                v = json.loads(value.decode())["payload"]
+                seen[k] = (pid, v["op"])
+                assert pid == kafka_partition_for(key, 3)
+        assert len(seen) == n_env  # one record per changed key
+    finally:
+        broker.close()
