@@ -389,6 +389,12 @@ def partitioned_run(cores: int, n_events: int, n_parts: int = 4,
         elapsed = t_apply + t_compact
         n_final = engine.read_state().count()
         assert n_final > 0 and rounds
+        # engine merge time vs total: the difference is the partitioned
+        # consumer's inherent extra materialization (segment stats scan,
+        # position-mint shuffle, and the minted batch's store write —
+        # the single-log staged-store design pays none of these in its
+        # timed section, so vs_single_log undercounts by construction)
+        merge_sec = sum(r.get("merge_ms", 0) for r in rounds) / 1000.0
         return {
             "cores": cores,
             "n_parts": n_parts,
@@ -396,6 +402,8 @@ def partitioned_run(cores: int, n_events: int, n_parts: int = 4,
             "elapsed_sec": round(elapsed, 3),
             "events_per_sec": round(n_events / elapsed),
             "apply_sec": round(t_apply, 3),
+            "engine_merge_sec": round(merge_sec, 3),
+            "mint_and_store_sec": round(t_apply - merge_sec, 3),
             "compact_sec": round(t_compact, 3),
             "n_batches": len(rounds),
             "n_final_docs": n_final,

@@ -217,9 +217,12 @@ def partitioned_tail_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     max_lsn = routed.agg(F.max("lsn")).first()[0]
     work = _pid_scoped_gate_dir("partitioned-tail-gate")
     land = os.path.join(work, "land")
-    # four lsn-range segments per partition (the derived changelog is
-    # lsn-monotone in stream order, so range slicing = positional
-    # slicing); skewed sizes come free from the data distribution
+    # four lsn-range segments per partition. NOTE this is valid ONLY
+    # because the derived changelog emits each event exactly once with
+    # lsn strictly monotone in stream_pos (no post-marker re-emission —
+    # its R markers void ranges without re-emitting), so lsn slicing IS
+    # positional slicing here. Streams with reused LSNs (the generator)
+    # must slice by stream position, as the tests do.
     w = max(max_lsn // 4, 1)
     for k in range(4):
         lo, hi = k * w, ((k + 1) * w if k < 3 else max_lsn + 1)

@@ -353,8 +353,16 @@ def decode_audit(
         ok_ops = ("insert", "bootstrap-insert", "update", "delete")
     else:
         raise ValueError(f"unknown envelope format {fmt!r}")
+    # a Kafka tombstone is a NULL value; on the file/JSONL bus it can
+    # only appear as an EMPTY line — classify both as tombstones, not
+    # as parse failures (a dropped-by-design compaction artifact must
+    # not masquerade as a DLQ candidate)
     cls = (
-        F.when(F.col(value_col).isNull(), F.lit("tombstone"))
+        F.when(
+            F.col(value_col).isNull()
+            | (F.trim(F.col(value_col)) == ""),
+            F.lit("tombstone"),
+        )
         .when(op.isNull(), F.lit("malformed"))
         .when(op.isin(*ok_ops), F.lit("decoded"))
         .otherwise(F.lit("foreign_op"))

@@ -76,14 +76,31 @@ class MinMaxAggMV:
         self.source = source
         self.group_col = group_col
         self.value_col = value_col
+        # the index keys off a DERIVED string column: coalesce(group,
+        # NULL_GROUP sentinel) cast to string. Two correctness reasons
+        # (review round 6): (a) _SideIndex drops null join values (the
+        # equi-join rule) but grouping tracks the null group — the
+        # sentinel keeps those rows indexed; (b) bucket pruning hashes
+        # the PROBE column's values, and the MV probes with the string
+        # group key — a native-typed int group would hash to different
+        # buckets than its string form (xxhash64 is type-sensitive),
+        # silently probing the wrong files.
+        self._grp_col = f"_grp_{group_col}"
+        gexpr = F.coalesce(F.col(group_col).cast("string"), F.lit(NULL_GROUP))
+
+        def _derive(df, _g=gexpr, _n=self._grp_col):
+            return df.withColumn(_n, _g)
+
         self.index = _SideIndex(
             spark,
             source,
             os.path.join(root, "idx"),
             "mmx",
-            join_col=group_col,
+            join_col=self._grp_col,
             cols=[value_col],
             n_buckets=n_buckets,
+            derive=_derive,
+            derive_type=T.StringType(),
         )
         vtype = {f.name: f.dataType for f in source.manifest().schema().fields}[
             value_col
@@ -192,19 +209,17 @@ class MinMaxAggMV:
             fold_max.alias("max_v"),
         )
 
-        redo_keys = j.filter(~F.col("_safe")).select("doc_id")
+        redo_keys = j.filter(~F.col("_safe")).select("doc_id").persist()
         # re-derive from the group-keyed index: bucket-pruned probe of
         # ONLY the affected groups' buckets, then exact per-group agg
         live = self.index.state(
             prune_values=redo_keys.select(
-                F.col("doc_id").alias(self.group_col)
+                F.col("doc_id").alias(self._grp_col)
             )
         )
         rederived = (
             live.select(
-                F.coalesce(
-                    F.col(self.group_col).cast("string"), F.lit(NULL_GROUP)
-                ).alias("doc_id"),
+                F.col(self._grp_col).alias("doc_id"),
                 F.col(self.value_col).alias("_v"),
             )
             .join(redo_keys, "doc_id", "left_semi")
@@ -227,7 +242,10 @@ class MinMaxAggMV:
             )
         )
 
-        out = folded.unionByName(rederived).unionByName(gone)
+        # persist: `out` feeds the count AND the apply; `redo_keys` two
+        # joins and a count — without a cache each action re-executes
+        # the whole hop plan (CDF diff + MV read + index probe)
+        out = folded.unionByName(rederived).unionByName(gone).persist()
         n_groups = out.count()
         n_rederive = redo_keys.count()
         ev = out.select(
@@ -247,6 +265,8 @@ class MinMaxAggMV:
             epoch_id=int.from_bytes(digest[:8], "big") >> 1,
             lineage_extra={"src_from": v0, "src_to": v1},
         )
+        out.unpersist()
+        redo_keys.unpersist()
         return {
             "src_from": v0,
             "src_to": v1,
@@ -328,14 +348,24 @@ class TopKAggMV:
         self.group_col = group_col
         self.value_col = value_col
         self.k = int(k)
+        # same derived string-sentinel group key as MinMaxAggMV (null
+        # groups indexed; probe/bucket hashing string-vs-string)
+        self._grp_col = f"_grp_{group_col}"
+        gexpr = F.coalesce(F.col(group_col).cast("string"), F.lit(NULL_GROUP))
+
+        def _derive(df, _g=gexpr, _n=self._grp_col):
+            return df.withColumn(_n, _g)
+
         self.index = _SideIndex(
             spark,
             source,
             os.path.join(root, "idx"),
             "tpk",
-            join_col=group_col,
+            join_col=self._grp_col,
             cols=[value_col],
             n_buckets=n_buckets,
+            derive=_derive,
+            derive_type=T.StringType(),
         )
         mv_path = os.path.join(root, "mv_topk")
         t = SnapshotTable(spark, mv_path)
@@ -455,15 +485,13 @@ class TopKAggMV:
             F.col("_new_n").alias("n_rows"),
             F.col("_merged").alias("topk"),
         )
-        redo_keys = j.filter(~F.col("_safe")).select("doc_id")
+        redo_keys = j.filter(~F.col("_safe")).select("doc_id").persist()
         live = self.index.state(
-            prune_values=redo_keys.select(F.col("doc_id").alias(self.group_col))
+            prune_values=redo_keys.select(F.col("doc_id").alias(self._grp_col))
         )
         lv = (
             live.select(
-                F.coalesce(
-                    F.col(self.group_col).cast("string"), F.lit(NULL_GROUP)
-                ).alias("doc_id"),
+                F.col(self._grp_col).alias("doc_id"),
                 F.col(self.value_col).cast("long").alias("_v"),
             )
             .join(redo_keys, "doc_id", "left_semi")
@@ -488,7 +516,10 @@ class TopKAggMV:
             F.lit(None).cast(T.ArrayType(T.LongType())).alias("topk"),
         )
 
-        out = folded.unionByName(rederived).unionByName(gone)
+        # persist: `out` feeds the count AND the apply; `redo_keys` two
+        # joins and a count — without a cache each action re-executes
+        # the whole hop plan (CDF diff + MV read + index probe)
+        out = folded.unionByName(rederived).unionByName(gone).persist()
         n_groups = out.count()
         n_rederive = redo_keys.count()
         ev = out.select(
@@ -507,6 +538,8 @@ class TopKAggMV:
             epoch_id=int.from_bytes(digest[:8], "big") >> 1,
             lineage_extra={"src_from": v0, "src_to": v1},
         )
+        out.unpersist()
+        redo_keys.unpersist()
         return {
             "src_from": v0,
             "src_to": v1,

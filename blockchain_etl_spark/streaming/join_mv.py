@@ -207,6 +207,14 @@ class _SideIndex:
             raise ValueError(
                 f"index columns must be distinct: {self.src_cols}"
             )
+        reserved = {"lsn", "seq", "updated_epoch", "deleted", "n_rows"}
+        clash = reserved.intersection(self.out_cols)
+        if clash:
+            raise ValueError(
+                f"index payload columns {sorted(clash)} collide with the "
+                f"index table's own meta columns — alias them in a derive "
+                f"step first"
+            )
         stypes = {f.name: f.dataType for f in sm.schema().fields}
         if derive is not None:
             if derive_type is None:

@@ -117,18 +117,27 @@ def write_partition_segments(
     if n_parts is not None:
         for p in range(n_parts):
             os.makedirs(os.path.join(landing_dir, f"p-{p}"), exist_ok=True)
-    parts = [
-        r["part"]
-        for r in events_with_part.select("part").distinct().collect()
-    ]
-    for p in sorted(parts):
-        (
-            events_with_part.filter(F.col("part") == p)
-            .drop("part")
-            .coalesce(1)
-            .write.mode("overwrite")
-            .parquet(os.path.join(landing_dir, f"p-{p}", f"seg-{seg_id:08d}.parquet"))
-        )
+    # one scan: without the persist, the distinct() plus each
+    # partition's filtered write re-executes the (possibly expensive)
+    # upstream plan P+1 times
+    events_with_part = events_with_part.persist()
+    try:
+        parts = [
+            r["part"]
+            for r in events_with_part.select("part").distinct().collect()
+        ]
+        for p in sorted(parts):
+            (
+                events_with_part.filter(F.col("part") == p)
+                .drop("part")
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(
+                    os.path.join(landing_dir, f"p-{p}", f"seg-{seg_id:08d}.parquet")
+                )
+            )
+    finally:
+        events_with_part.unpersist()
 
 
 class PartitionedTailer:
@@ -277,9 +286,23 @@ class PartitionedTailer:
         construction); see ``run_until_drained``."""
         cur = self._cursor()
         segs = self._segments()
-        n_parts = self.n_parts or max(
-            len(segs), len(cur.get("heads", {})),
-        )
+        if self.n_parts is not None:
+            n_parts = self.n_parts
+        else:
+            idxs = set(segs) | {int(p) for p in cur.get("heads", {})}
+            if not idxs:
+                return None
+            n_parts = max(idxs) + 1
+            missing = [p for p in range(n_parts) if p not in idxs]
+            if missing:
+                # a gap means a partition dir vanished (or an external
+                # producer skipped ids) — consuming around it would
+                # silently ignore data; fail loud (review round 6)
+                raise ValueError(
+                    f"partition dirs are not contiguous: missing p-{missing} "
+                    f"of 0..{n_parts - 1} — pass n_parts explicitly if the "
+                    f"topic really has {n_parts} partitions"
+                )
         if n_parts == 0:
             return None
         # consumed tracks the LAST consumed segment id per partition
@@ -363,7 +386,11 @@ class PartitionedTailer:
             take: list[str] = []
             for s in pending[p]:
                 st = stats.get(f"p-{p}/{s}")
-                if st is None or (not assume_complete and st["lsn_max"] > safe):
+                # no stats row = the segment decoded to ZERO events
+                # (e.g. an all-tombstone envelope segment) — consume it,
+                # it gates nothing (a missing-row break here would block
+                # the partition forever; review round 6)
+                if st is not None and not assume_complete and st["lsn_max"] > safe:
                     break  # positional: an ineligible segment blocks its partition
                 take.append(s)
             elig[p] = take
@@ -389,7 +416,8 @@ class PartitionedTailer:
             first_at: dict[tuple[int, str], int] = {}
             for p in range(n_parts):
                 for i, s in enumerate(elig[p]):
-                    for mid in stats[f"p-{p}/{s}"]["marker_ids"] or []:
+                    st = stats.get(f"p-{p}/{s}")
+                    for mid in (st["marker_ids"] if st else None) or []:
                         present.setdefault(mid, set()).add(p)
                         first_at.setdefault((p, mid), i)
             for mid, ps in present.items():
@@ -416,7 +444,8 @@ class PartitionedTailer:
         # collected — no extra pass over the data
         batch_mids = set()
         for key in eligible:
-            batch_mids.update(stats[key]["marker_ids"] or [])
+            st = stats.get(key)
+            batch_mids.update((st["marker_ids"] if st else None) or [])
         new_marker_ids = sorted(batch_mids - applied_ids)
         has_markers = bool(batch_mids)
 
@@ -483,31 +512,56 @@ class PartitionedTailer:
         # watermark, and a stalled base would mint a duplicate epoch id
         # that the ledger then skips forever.
         base_pos = int(cur.get("next_pos", 0))
-        wloc = Window.partitionBy("_bkt", "_part").orderBy("stream_pos")
-        local = relinear.withColumn("_lrk", F.row_number().over(wloc))
-        counts = sorted(
-            (
-                (r["_bkt"], r["_part"], r["n"])
-                for r in relinear.groupBy("_bkt", "_part")
-                .agg(F.count("*").alias("n"))
-                .collect()
+        if not has_markers:
+            # marker-free (the overwhelmingly common batch): one
+            # bucket, so a (bucket, partition)-group window would sort
+            # the whole batch on only n_parts tasks. The two-phase
+            # global rank keyed (_part, stream_pos) instead splits
+            # RANGES WITHIN each partition (the range partitioner cuts
+            # on stream_pos inside a _part) — fully parallel, and
+            # deterministic since the ranged frame is materialized once
+            # (ordering.global_order_rank's eager localCheckpoint).
+            from blockchain_etl_spark.operators.ordering import (
+                global_order_rank,
             )
-        )
-        offsets, acc = [], 0
-        for bkt, prt, n in counts:
-            offsets.append((bkt, prt, acc))
-            acc += n
-        off_df = F.broadcast(
-            self.spark.createDataFrame(
-                offsets, "_bkt long, _part int, _goff long"
+
+            ranked = global_order_rank(
+                relinear, ["_part", "stream_pos"], out_col="_gpos"
             )
-        )
-        out = local.join(off_df, ["_bkt", "_part"]).select(
-            (F.col("_goff") + F.col("_lrk") - 1 + F.lit(base_pos))
-            .cast("long")
-            .alias("stream_pos"),
-            *[f.name for f in EVENT_SCHEMA.fields if f.name != "stream_pos"],
-        )
+            out = ranked.select(
+                (F.col("_gpos") + F.lit(base_pos)).cast("long").alias(
+                    "stream_pos"
+                ),
+                *[f.name for f in EVENT_SCHEMA.fields if f.name != "stream_pos"],
+            )
+        else:
+            # marker batches (rare, bounded by the holdback): local
+            # rank per (bucket, partition) group + driver-side offsets
+            wloc = Window.partitionBy("_bkt", "_part").orderBy("stream_pos")
+            local = relinear.withColumn("_lrk", F.row_number().over(wloc))
+            counts = sorted(
+                (
+                    (r["_bkt"], r["_part"], r["n"])
+                    for r in relinear.groupBy("_bkt", "_part")
+                    .agg(F.count("*").alias("n"))
+                    .collect()
+                )
+            )
+            offsets, acc = [], 0
+            for bkt, prt, n in counts:
+                offsets.append((bkt, prt, acc))
+                acc += n
+            off_df = F.broadcast(
+                self.spark.createDataFrame(
+                    offsets, "_bkt long, _part int, _goff long"
+                )
+            )
+            out = local.join(off_df, ["_bkt", "_part"]).select(
+                (F.col("_goff") + F.col("_lrk") - 1 + F.lit(base_pos))
+                .cast("long")
+                .alias("stream_pos"),
+                *[f.name for f in EVENT_SCHEMA.fields if f.name != "stream_pos"],
+            )
 
         epoch_id = base_pos  # content-deterministic: min new stream_pos
         keep_ids = [

@@ -75,7 +75,16 @@ class ChangeLogTailer:
         for name in os.listdir(self.landing_dir):
             m = _EPOCH_RE.search(name)
             if m:
-                out[int(m.group(1))] = name
+                eid = int(m.group(1))
+                if eid in out:
+                    # epoch-N.parquet AND epoch-N.jsonl: picking a
+                    # winner by listdir order could silently apply the
+                    # wrong-format (stale) file — fail loud
+                    raise ValueError(
+                        f"duplicate landing files for epoch {eid}: "
+                        f"{out[eid]} and {name}"
+                    )
+                out[eid] = name
         return out
 
     def pending_epochs(self) -> list[int]:

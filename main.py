@@ -816,10 +816,22 @@ def main(argv=None):
             ch = table.read_changes(
                 args.from_version, args.to_version, buckets=changed
             ).persist()
-        if getattr(args, "envelope", None) == "debezium" and not args.per_commit:
+        if getattr(args, "envelope", None) == "debezium":
+            if args.per_commit:
+                raise SystemExit(
+                    "changes: --envelope is defined for the netted change "
+                    "feed only (drop --per-commit)"
+                )
+            from pyspark.sql import types as _T
+
             from blockchain_etl_spark.sources.envelope import cdf_to_debezium
 
-            env = cdf_to_debezium(ch, key_col=table.manifest().key)
+            m_ = table.manifest()
+            meta_ = {"lsn", "seq", "updated_epoch", "deleted"}
+            row_schema_ = _T.StructType(
+                [f for f in m_.schema().fields if f.name not in meta_]
+            )
+            env = cdf_to_debezium(ch, key_col=m_.key, row_schema=row_schema_)
             lines = [r["value"] for r in env.collect()]
             if args.out:
                 with open(args.out, "w") as f:

@@ -345,3 +345,33 @@ def test_lake_to_lake_replication_via_debezium(spark, tmp_path):
     _replicate(v1, a.current_version(), epoch_id=102)
     assert _state(b) == _state(a)
     assert _state(b)  # non-trivial
+
+
+def test_tail_rejects_duplicate_epoch_formats(spark, tmp_path):
+    from blockchain_etl_spark.cdc.apply import CdcEngine
+    from blockchain_etl_spark.cdc.schema import TARGET_SCHEMA
+    from blockchain_etl_spark.streaming.tail import ChangeLogTailer
+    from blockchain_etl_spark.tables.snapshot import SnapshotTable
+
+    land = tmp_path / "land"
+    land.mkdir()
+    (land / "epoch-00000003.jsonl").write_text("{}\n")
+    (land / "epoch-00000003.parquet").mkdir()
+    t = SnapshotTable.create(spark, str(tmp_path / "t"), TARGET_SCHEMA, n_buckets=4)
+    tailer = ChangeLogTailer(
+        spark, str(land), CdcEngine(spark, t), bus_format="debezium"
+    )
+    with pytest.raises(ValueError, match="duplicate landing files"):
+        tailer.pending_epochs()
+
+
+def test_decode_audit_empty_line_is_tombstone(spark, flat_events):
+    from blockchain_etl_spark.sources.envelope import decode_audit
+
+    _, ev = flat_events
+    polluted = encode_debezium(ev).unionByName(
+        spark.createDataFrame([("",), ("   ",), (None,)], "value string")
+    )
+    audit = {r["class"]: r["n"] for r in decode_audit(polluted, "debezium").collect()}
+    assert audit.get("tombstone") == 3
+    assert "malformed" not in audit

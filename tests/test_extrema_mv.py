@@ -339,3 +339,53 @@ def test_topk_random_churn_matches_truth(krig, spark):
         eng.apply_epoch(_ev(spark, rows, lsn=lsn), epoch_id=lsn)
         mv.run_once()
         assert _kstate(mv) == _ktruth(src), f"divergence at lsn {lsn}"
+
+
+# ---------------- review-wave regressions --------------------------------
+
+
+def test_null_group_extremum_retraction(rig, spark):
+    """Rows with a NULL group are tracked under the sentinel AND
+    indexed (the index keys off the derived sentinel column) — a
+    boundary retraction in the null group re-derives correctly instead
+    of tombstoning a live group (review round 6, finding 1)."""
+    src, eng, mv = rig
+    eng.apply_epoch(
+        _ev(spark, [("a", "I", 1, None), ("b", "I", 5, None)], lsn=1),
+        epoch_id=1,
+    )
+    mv.run_once()
+    st = _state(mv)
+    from blockchain_etl_spark.streaming.aggregate_mv import NULL_GROUP
+
+    assert st[NULL_GROUP] == (2, 1, 5)
+    # delete the max: must re-derive from the (sentinel-keyed) index
+    eng.apply_epoch(_ev(spark, [("b", "D", None, None)], lsn=2), epoch_id=2)
+    m = mv.run_once()
+    assert m["n_rederive"] == 1
+    assert _state(mv)[NULL_GROUP] == (1, 1, 1)
+
+
+def test_integer_group_column_probe(spark, tmp_path):
+    """A non-string group column buckets the index by the derived
+    STRING key, so the string-keyed re-derive probe reads the right
+    buckets (review round 6, finding 2: xxhash64 is type-sensitive)."""
+    src = SnapshotTable.create(
+        spark, str(tmp_path / "s2"), TARGET_SCHEMA, key="doc_id", n_buckets=4
+    )
+    eng = CdcEngine(spark, src, collect_metrics=False)
+    mv = MinMaxAggMV(
+        spark, src, str(tmp_path / "m2"), group_col="n_tok", value_col="source"
+    )
+    rows = [(f"d{i}", "I", 7, f"s{i}") for i in range(6)]
+    eng.apply_epoch(_ev(spark, rows, lsn=1), epoch_id=1)
+    mv.run_once()
+    # all rows share INT group n_tok=7; lexicographic min/max over the
+    # string values — delete the current max (s5) to force the
+    # re-derive probe through the int-group index
+    eng.apply_epoch(_ev(spark, [("d5", "D", None, None)], lsn=2), epoch_id=2)
+    m = mv.run_once()
+    assert m["n_rederive"] == 1
+    st = {r["n_tok"]: (r["n_rows"], r["min_v"], r["max_v"])
+          for r in mv.state().collect()}
+    assert st["7"] == (5, "s0", "s4")

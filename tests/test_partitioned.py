@@ -316,3 +316,35 @@ def test_idle_partition_rounds_unblocks_live_partitions(spark, tmp_path):
     _land(spark, land, 1, 0, per[1])
     t.run_until_drained()
     assert _norm(_state(engine)) == _norm(_oracle_state(flat))
+
+
+def test_zero_row_segment_does_not_block(spark, tmp_path):
+    """A segment that decodes to zero events (e.g. all compaction
+    tombstones) is consumed and gates nothing — it must not block the
+    partition forever (review round 6, finding 3)."""
+    flat = _flat(111, n_epochs=2, p_reorg=0.0)
+    per = _routed_rows(spark, flat, 2)
+    engine = _mk_engine(spark, tmp_path)
+    land = str(tmp_path / "land")
+    # p0: an EMPTY segment first, then its data
+    _land(spark, land, 0, 0, [])
+    _land(spark, land, 0, 1, per[0])
+    _land(spark, land, 1, 0, per[1])
+    t = PartitionedTailer(spark, land, engine, n_parts=2)
+    t.run_until_drained()
+    assert _norm(_state(engine)) == _norm(_oracle_state(flat))
+
+
+def test_discovery_rejects_partition_gap(spark, tmp_path):
+    """Discovery mode fails loud on non-contiguous partition dirs
+    instead of silently ignoring the highest one (review round 6,
+    finding 5)."""
+    flat = _flat(112, n_epochs=1, p_reorg=0.0)
+    per = _routed_rows(spark, flat, 3)
+    engine = _mk_engine(spark, tmp_path)
+    land = str(tmp_path / "land")
+    _land(spark, land, 0, 0, per[0])
+    _land(spark, land, 2, 0, per[2])  # p-1 missing
+    t = PartitionedTailer(spark, land, engine)  # discovery mode
+    with pytest.raises(ValueError, match="not contiguous"):
+        t.run_once()
