@@ -123,17 +123,98 @@ class EpochStore:
         self._write_index(idx)
         return stats
 
+    def link_epoch(
+        self,
+        epoch_id: int,
+        files: list[dict[str, Any]],
+        schema: T.StructType,
+        stats: dict[str, Any],
+    ) -> dict[str, Any]:
+        """Land an epoch WITHOUT rewriting its bytes: hardlink (or, across
+        filesystems, byte-copy) already-immutable parquet files into the
+        store and record, per file, the stream-position BASE of its first
+        row. ``read_epoch`` reconstructs ``stream_pos = base + row_index``
+        at scan time — the arithmetic-mint contract of the partitioned
+        consumer's marker-free path, where rows inside a file are in
+        emit order and the caller computed each file's base from the
+        segment counts. The store thus never pays a decode+re-encode of
+        data the producer already landed in columnar form (the epoch is
+        durable the moment the links exist; source deletion cannot
+        un-land it — links hold their own inode reference).
+
+        ``files``: [{"src": abs path, "base": int, "n": row count}] in
+        consumption order. ``stats`` must carry the same keys
+        ``write_epoch`` computes (n, pos/lsn bounds, watermark, markers
+        — the caller's stats job already aggregated them)."""
+        import shutil
+
+        d = f"epoch-{epoch_id:08d}-linked"
+        dabs = os.path.join(self.path, d)
+        os.makedirs(dabs, exist_ok=True)
+        linked: list[dict[str, Any]] = []
+        for i, f in enumerate(files):
+            name = f"f-{i:06d}-{os.path.basename(f['src'])}"
+            dst = os.path.join(dabs, name)
+            if not os.path.exists(dst):
+                try:
+                    os.link(f["src"], dst)
+                except OSError:  # cross-device or FS without links
+                    shutil.copy2(f["src"], dst)
+            linked.append(
+                {"path": f"{d}/{name}", "base": int(f["base"]), "n": int(f["n"])}
+            )
+        idx = self._index()
+        idx[str(epoch_id)] = {
+            "linked": linked,
+            "schema": json.dumps(schema.jsonValue()),
+            **stats,
+        }
+        self._write_index(idx)
+        return idx[str(epoch_id)]
+
     def epoch_stats(self, epoch_id: int) -> dict[str, Any] | None:
         return self._index().get(str(epoch_id))
 
     def _schema_of(self, meta: dict[str, Any]) -> T.StructType:
         return T.StructType.fromJson(json.loads(meta["schema"]))
 
-    def read_epoch(self, epoch_id: int) -> DataFrame:
-        meta = self._index()[str(epoch_id)]
-        return self.spark.read.schema(self._schema_of(meta)).parquet(
-            os.path.join(self.path, meta["file"])
+    def _read_meta(self, meta: dict[str, Any]) -> DataFrame:
+        """One epoch's rows. Linked epochs (``link_epoch``) reconstruct
+        ``stream_pos`` arithmetically: per-file base + the row's parquet
+        ``_metadata.row_index`` — a projection on the scan, no shuffle;
+        the base rides a broadcast keyed by the (collision-free, uuid-
+        bearing) file NAME."""
+        schema = self._schema_of(meta)
+        if "linked" not in meta:
+            return self.spark.read.schema(schema).parquet(
+                os.path.join(self.path, meta["file"])
+            )
+        paths = [os.path.join(self.path, f["path"]) for f in meta["linked"]]
+        bases = [
+            (os.path.basename(f["path"]), int(f["base"])) for f in meta["linked"]
+        ]
+        base_df = F.broadcast(
+            self.spark.createDataFrame(bases, "_fname string, _fbase long")
         )
+        df = (
+            self.spark.read.schema(schema)
+            .parquet(*paths)
+            .withColumn("_fname", F.col("_metadata.file_name"))
+            .withColumn("_ridx", F.col("_metadata.row_index").cast("long"))
+        )
+        return df.join(base_df, "_fname").select(
+            *[
+                (
+                    (F.col("_fbase") + F.col("_ridx")).cast("long").alias("stream_pos")
+                    if fld.name == "stream_pos"
+                    else F.col(fld.name)
+                )
+                for fld in schema.fields
+            ]
+        )
+
+    def read_epoch(self, epoch_id: int) -> DataFrame:
+        return self._read_meta(self._index()[str(epoch_id)])
 
     def slice_metas(
         self,
@@ -205,12 +286,18 @@ class EpochStore:
                 m["lsn_max"] is not None and m["lsn_max"] > upto_lsn
             ):
                 continue
-            fp = os.path.join(self.path, m["file"])
-            if os.path.exists(fp):
-                import shutil
+            import shutil
 
-                (shutil.rmtree if os.path.isdir(fp) else os.remove)(fp)
-            m.pop("file", None)
+            if "linked" in m:
+                # linked epochs share one store dir — drop it whole
+                for d in {os.path.dirname(f["path"]) for f in m["linked"]}:
+                    shutil.rmtree(os.path.join(self.path, d), ignore_errors=True)
+                m.pop("linked", None)
+            else:
+                fp = os.path.join(self.path, m["file"])
+                if os.path.exists(fp):
+                    (shutil.rmtree if os.path.isdir(fp) else os.remove)(fp)
+                m.pop("file", None)
             m.pop("schema", None)
             m["pruned"] = True
             pruned.append(int(k))
@@ -244,9 +331,13 @@ class EpochStore:
         parts = []
         by_schema: dict[str, list[str]] = {}
         for m in metas:
-            by_schema.setdefault(m["schema"], []).append(
-                os.path.join(self.path, m["file"])
-            )
+            if "linked" in m:
+                # linked epochs need their per-file stream_pos projection
+                parts.append(conform(self._read_meta(m), merged))
+            else:
+                by_schema.setdefault(m["schema"], []).append(
+                    os.path.join(self.path, m["file"])
+                )
         for sj, files in by_schema.items():
             df = self.spark.read.schema(
                 T.StructType.fromJson(json.loads(sj))

@@ -45,7 +45,10 @@ semantics a naive union-and-apply gets wrong:
    only through the bucket structure (kills act on whole buckets,
    last-writer resolution is (lsn, seq), store slices split at marker
    positions), so any within-bucket interleave is admissible.
-   Marker-free batches skip the ordinal window entirely.
+   Marker-free batches skip the ordinal window entirely — their
+   positions are ARITHMETIC (per-segment base offsets from the
+   already-collected segment stats + the row's within-file index),
+   zero shuffles.
 
 The consumer's cursor (last consumed segment ids, partition heads,
 applied marker ids, the position-minting counter) rides
@@ -56,7 +59,8 @@ no-ops a replayed apply. No side files.
 
 Scale: per-run driver work is O(unconsumed segments) names + one
 bounded per-segment stats collect; data work is one scan of the
-eligible segments, the rank's two bounded shuffles, then the ordinary
+eligible segments (shuffle-free position mint on the marker-free fast
+path; two bounded shuffles on rare marker batches), then the ordinary
 bucket-pruned apply. Nothing is per-row on the driver.
 """
 
@@ -113,7 +117,13 @@ def write_partition_segments(
     Pass ``n_parts`` to pre-create every partition dir: a partition
     that happens to receive no rows must still EXIST, else the
     consumer cannot tell "quiet partition" from "partition not in the
-    topic" and the safe watermark would ignore it."""
+    topic" and the safe watermark would ignore it.
+
+    Segment files are written in EMIT ORDER (rows sorted by the
+    producer's ``stream_pos``) — the Kafka broker append contract: a
+    partition's log IS its arrival order, and the consumer's
+    arithmetic position minting reads a row's within-file index as its
+    within-segment order (see ``PartitionedTailer.run_once``)."""
     if n_parts is not None:
         for p in range(n_parts):
             os.makedirs(os.path.join(landing_dir, f"p-{p}"), exist_ok=True)
@@ -131,6 +141,7 @@ def write_partition_segments(
                 events_with_part.filter(F.col("part") == p)
                 .drop("part")
                 .coalesce(1)
+                .sortWithinPartitions("stream_pos")
                 .write.mode("overwrite")
                 .parquet(
                     os.path.join(landing_dir, f"p-{p}", f"seg-{seg_id:08d}.parquet")
@@ -203,16 +214,25 @@ class PartitionedTailer:
             out[p] = segs
         return out
 
-    def _read_segs(self, paths: list[str]) -> DataFrame:
+    def _read_segs(self, paths: list[str], with_ordinal: bool = False) -> DataFrame:
         """Read segment files (native parquet or envelope JSONL) into
         EVENT_SCHEMA rows tagged with ``_seg`` (partition-relative file
-        id) and ``_part``."""
+        id) and ``_part``. ``with_ordinal`` additionally tags native
+        rows with ``_ridx`` — the row's position INSIDE its segment
+        file (parquet ``_metadata.row_index``), i.e. its broker append
+        order, read straight from the scan with zero shuffles. Envelope
+        formats get no ``_ridx`` (text sources expose no row index; the
+        mint falls back to a per-segment rank)."""
         if self.bus_format == "native":
             df = (
                 self.spark.read.schema(EVENT_SCHEMA)
                 .parquet(*paths)
                 .withColumn("_path", F.input_file_name())
             )
+            if with_ordinal:
+                df = df.withColumn(
+                    "_ridx", F.col("_metadata.row_index").cast("long")
+                )
         else:
             from blockchain_etl_spark.sources.envelope import DECODERS
 
@@ -275,6 +295,83 @@ class PartitionedTailer:
                             pass
                     removed.append(f"p-{p_str}/{s}")
         return {"segments_removed": sorted(removed)}
+
+    def _linked_files(
+        self,
+        elig: dict[int, list[str]],
+        stats: dict[str, Any],
+        base_pos: int,
+        n_parts: int,
+    ) -> dict[str, Any] | None:
+        """Zero-copy store landing for a native marker-free batch: the
+        data files of the eligible segments, each with the absolute
+        minted base position of its first row (cumulative counts in
+        (partition, segment, file-name) order — the arithmetic-mint
+        order), plus the write_epoch-shaped stats aggregated from the
+        per-segment stats job. Returns None when a segment's parquet
+        footer row count disagrees with the decoded count (corruption —
+        caller falls back to the materializing write, whose permutation
+        check then fails loud) or when pyarrow is unavailable."""
+        try:
+            import pyarrow.parquet as pq
+        except ImportError:
+            return None
+        files: list[dict[str, Any]] = []
+        acc = base_pos
+        agg: dict[str, Any] = {"lsn_min": None, "lsn_max": None, "wm": None}
+        n_total = 0
+        for p in range(n_parts):
+            for s in elig[p]:
+                key = f"p-{p}/{s}"
+                segdir = os.path.join(self.landing_dir, f"p-{p}", s)
+                seg_n = 0
+                for fn in sorted(os.listdir(segdir)):
+                    if not fn.endswith(".parquet"):
+                        continue
+                    fp = os.path.join(segdir, fn)
+                    try:
+                        n = pq.ParquetFile(fp).metadata.num_rows
+                    except Exception:  # noqa: BLE001 — unreadable footer
+                        return None
+                    if n:
+                        files.append({"src": fp, "base": acc, "n": n})
+                        acc += n
+                        seg_n += n
+                st = stats.get(key)
+                st_n = int(st["n"]) if st is not None else 0
+                if seg_n != st_n:
+                    return None
+                n_total += seg_n
+                if st is not None and st["lsn_min"] is not None:
+                    agg["lsn_min"] = (
+                        st["lsn_min"] if agg["lsn_min"] is None
+                        else min(agg["lsn_min"], st["lsn_min"])
+                    )
+                    agg["lsn_max"] = (
+                        st["lsn_max"] if agg["lsn_max"] is None
+                        else max(agg["lsn_max"], st["lsn_max"])
+                    )
+                    wm = (st["wm"]["lsn"], st["wm"]["seq"])
+                    if agg["wm"] is None or wm > agg["wm"]:
+                        agg["wm"] = wm
+        if not n_total:
+            return {"files": [], "stats": {}}
+        return {
+            "files": files,
+            "stats": {
+                "pos_min": base_pos,
+                "pos_max": base_pos + n_total - 1,
+                "lsn_min": agg["lsn_min"],
+                "lsn_max": agg["lsn_max"],
+                "n": n_total,
+                "watermark": {
+                    "lsn": agg["wm"][0],
+                    "seq": agg["wm"][1],
+                    "pos": base_pos + n_total - 1,
+                },
+                "markers": [],
+            },
+        }
 
     # ---- one consumption round ---------------------------------------
     def run_once(self, assume_complete: bool = False) -> dict[str, Any] | None:
@@ -348,6 +445,9 @@ class PartitionedTailer:
             for r in raw.groupBy("_seg")
             .agg(
                 F.max("lsn").alias("lsn_max"),
+                F.min("lsn").alias("lsn_min"),
+                F.max(F.struct("lsn", "seq")).alias("wm"),
+                F.count(F.lit(1)).alias("n"),
                 F.collect_set(
                     F.when(F.col("op") == "R", seg_marker_id)
                 ).alias("marker_ids"),
@@ -437,8 +537,9 @@ class PartitionedTailer:
             return None
 
         batch = self._read_segs(
-            [os.path.join(self.landing_dir, e) for e in eligible]
-        ).drop("_seg")
+            [os.path.join(self.landing_dir, e) for e in eligible],
+            with_ordinal=True,
+        )
 
         # marker ids of this batch come from the seg-stats job already
         # collected — no extra pass over the data
@@ -493,10 +594,6 @@ class PartitionedTailer:
             relinear = events.withColumn("_bkt", F.col("_ord") * 2).unionByName(
                 markers.withColumn("_bkt", F.col("_ord") * 2 + 1)
             )
-        else:
-            # marker-free fast path (the overwhelmingly common batch):
-            # one bucket, no ordinal window
-            relinear = batch.withColumn("_bkt", F.lit(0))
 
         # mint new stream positions. The engine consults cross-partition
         # order ONLY through the marker-bucket structure (kills act on
@@ -512,27 +609,56 @@ class PartitionedTailer:
         # watermark, and a stalled base would mint a duplicate epoch id
         # that the ledger then skips forever.
         base_pos = int(cur.get("next_pos", 0))
+        # evolved payload columns decoded via row_schema flow through
+        # the mint into the engine's mergeSchema apply (same contract
+        # as ChangeLogTailer) — project EVENT_SCHEMA plus any extra
+        # decoded columns, never the fixed EVENT_SCHEMA list alone
+        _helpers = {"_seg", "_part", "_ridx", "_bkt", "_ord", "_lrk"}
+        ev_names = [f.name for f in EVENT_SCHEMA.fields]
+        extra_cols = [
+            c for c in batch.columns
+            if c not in _helpers and c not in ev_names
+        ]
         if not has_markers:
-            # marker-free (the overwhelmingly common batch): one
-            # bucket, so a (bucket, partition)-group window would sort
-            # the whole batch on only n_parts tasks. The two-phase
-            # global rank keyed (_part, stream_pos) instead splits
-            # RANGES WITHIN each partition (the range partitioner cuts
-            # on stream_pos inside a _part) — fully parallel, and
-            # deterministic since the ranged frame is materialized once
-            # (ordering.global_order_rank's eager localCheckpoint).
-            from blockchain_etl_spark.operators.ordering import (
-                global_order_rank,
+            # marker-free (the overwhelmingly common batch): positions
+            # are ARITHMETIC — no rank, no shuffle, no checkpoint. The
+            # bus contract fixes within-partition order (segments in id
+            # order, rows within a segment in broker append order), so
+            # the global position of a row is
+            #   base_pos + seg_base(_seg) + within-segment ordinal
+            # with seg_base the cumulative eligible-segment counts in
+            # (partition, segment-id) order — the per-segment counts
+            # came back with the stats job already collected, one tiny
+            # broadcast row per segment. This assigns EXACTLY the
+            # (part, stream_pos)-rank permutation the old two-phase
+            # global rank computed (a range exchange + eager
+            # localCheckpoint + window + offsets join), at scan cost.
+            # The ordinal is the parquet row index for native segments
+            # (zero extra work); envelope segments rank within their
+            # segment only — one bounded hash exchange keyed _seg.
+            bases, acc = [], 0
+            for p in range(n_parts):
+                for s in elig[p]:
+                    key = f"p-{p}/{s}"
+                    st = stats.get(key)
+                    bases.append((key, acc))
+                    acc += int(st["n"]) if st is not None else 0
+            base_df = F.broadcast(
+                self.spark.createDataFrame(bases, "_seg string, _goff long")
             )
-
-            ranked = global_order_rank(
-                relinear, ["_part", "stream_pos"], out_col="_gpos"
-            )
-            out = ranked.select(
-                (F.col("_gpos") + F.lit(base_pos)).cast("long").alias(
-                    "stream_pos"
-                ),
-                *[f.name for f in EVENT_SCHEMA.fields if f.name != "stream_pos"],
+            if "_ridx" in batch.columns:
+                ordered = batch
+            else:
+                w_seg = Window.partitionBy("_seg").orderBy("stream_pos")
+                ordered = batch.withColumn(
+                    "_ridx", F.row_number().over(w_seg).cast("long") - 1
+                )
+            out = ordered.join(base_df, "_seg").select(
+                (F.col("_goff") + F.col("_ridx") + F.lit(base_pos))
+                .cast("long")
+                .alias("stream_pos"),
+                *[c for c in ev_names if c != "stream_pos"],
+                *extra_cols,
             )
         else:
             # marker batches (rare, bounded by the holdback): local
@@ -560,7 +686,8 @@ class PartitionedTailer:
                 (F.col("_goff") + F.col("_lrk") - 1 + F.lit(base_pos))
                 .cast("long")
                 .alias("stream_pos"),
-                *[f.name for f in EVENT_SCHEMA.fields if f.name != "stream_pos"],
+                *[c for c in ev_names if c != "stream_pos"],
+                *extra_cols,
             )
 
         epoch_id = base_pos  # content-deterministic: min new stream_pos
@@ -570,15 +697,35 @@ class PartitionedTailer:
             if int(i.split("|")[1]) >= safe - self.marker_retain_margin
         ]
         if self.engine.epoch_store is not None:
-            if str(epoch_id) not in self.engine.epoch_store._index():
-                st = self.engine.epoch_store.write_epoch(epoch_id, out)
+            store = self.engine.epoch_store
+            if str(epoch_id) not in store._index():
+                linked = None
+                if self.bus_format == "native" and not has_markers:
+                    # zero-copy landing: the eligible segment files are
+                    # already the minted epoch in columnar form (their
+                    # positions are base + row_index by the arithmetic
+                    # mint), so HARDLINK them into the store instead of
+                    # decoding + re-encoding 100% of the batch's bytes
+                    # through a Spark write. Per-file row counts come
+                    # from the parquet footers (driver-side, no data
+                    # pages); the footer-vs-decode count cross-check
+                    # below replaces the old rank-permutation detector
+                    # (arithmetic positions are a permutation by
+                    # construction when the counts agree).
+                    linked = self._linked_files(elig, stats, base_pos, n_parts)
+                if linked is not None and linked["files"]:
+                    st = store.link_epoch(
+                        epoch_id, linked["files"], EVENT_SCHEMA,
+                        stats=linked["stats"],
+                    )
+                else:
+                    st = store.write_epoch(epoch_id, out)
             else:
-                st = self.engine.epoch_store.epoch_stats(epoch_id)
-            out = self.engine.epoch_store.read_epoch(epoch_id)
+                st = store.epoch_stats(epoch_id)
+            out = store.read_epoch(epoch_id)
             n_batch = int(st["n"]) if st else 0
             # free corruption detector: minted positions must be the
-            # exact permutation [base, base+n) — a broken global rank
-            # (e.g. inconsistent range boundaries between subplans)
+            # exact permutation [base, base+n) — a broken mint
             # shows up here before it can scramble reorg linearization
             if st and n_batch and (
                 st["pos_min"] != base_pos or st["pos_max"] != base_pos + n_batch - 1
