@@ -214,10 +214,17 @@ class CascadeTailer:
 
         digest = hashlib.md5(f"cascade-{v0}-{v1}".encode()).digest()
         epoch_id = int.from_bytes(digest[:8], "big") >> 1  # positive int63
-        metrics = self.engine.apply_epoch(
-            ev,
-            epoch_id=epoch_id,
-            lineage_extra={self._CURSOR_KEY: v1, "cascade_from_version": v0},
-        )
+        # persist the hop's events (O(changed rows)): apply_epoch
+        # otherwise executes the whole upstream version diff twice —
+        # once for its watermark pre-scan, once for the delta write
+        ev = ev.persist()
+        try:
+            metrics = self.engine.apply_epoch(
+                ev,
+                epoch_id=epoch_id,
+                lineage_extra={self._CURSOR_KEY: v1, "cascade_from_version": v0},
+            )
+        finally:
+            ev.unpersist()
         self._commit_cursor(v1)
         return metrics if metrics is not None else {"deduped_range": [v0, v1]}

@@ -140,9 +140,15 @@ class MinMaxAggMV:
         v0 = self.cursor()
         if v1 <= v0:
             return None
-        self.index.catch_up(v1)
-
-        d = self.source.read_changes(v0, v1)
+        # ONE CDF slice shared by the index catch-up and the delta
+        # classification below (the diff is two MOR reads + a
+        # full-outer join — the expensive half of the hop); `g` (one
+        # row per touched group) is persisted too, since it feeds the
+        # bucket-id collect AND the fold/re-derive join.
+        d = self.source.read_changes(v0, v1).persist()
+        self.index.catch_up(
+            v1, changes=d if self.index.cursor() == v0 else None
+        )
         grp = F.coalesce(
             F.col(self.group_col).cast("string"), F.lit(NULL_GROUP)
         )
@@ -159,6 +165,7 @@ class MinMaxAggMV:
                 F.max(F.when(~ins, val)).alias("ret_max"),
                 F.sum(F.when(~ins, 1).otherwise(0)).cast("long").alias("n_ret"),
             )
+            .persist()
         )
 
         # current MV rows for the touched groups: bucket-pruned read
@@ -172,6 +179,8 @@ class MinMaxAggMV:
         ]
         if not tb:
             # empty range: still stamp the cursor so catch-ups converge
+            d.unpersist()
+            g.unpersist()
             self._commit_cursor_only(v0, v1)
             return {"src_from": v0, "src_to": v1, "n_groups": 0, "n_rederive": 0}
         from blockchain_etl_spark.cdc.apply import read_state
@@ -267,6 +276,8 @@ class MinMaxAggMV:
         )
         out.unpersist()
         redo_keys.unpersist()
+        d.unpersist()
+        g.unpersist()
         return {
             "src_from": v0,
             "src_to": v1,
@@ -404,9 +415,11 @@ class TopKAggMV:
         v0 = self.cursor()
         if v1 <= v0:
             return None
-        self.index.catch_up(v1)
-
-        d = self.source.read_changes(v0, v1)
+        # shared CDF slice: catch-up + classification read one diff
+        d = self.source.read_changes(v0, v1).persist()
+        self.index.catch_up(
+            v1, changes=d if self.index.cursor() == v0 else None
+        )
         grp = F.coalesce(F.col(self.group_col).cast("string"), F.lit(NULL_GROUP))
         ins = F.col("_change_type").isin("insert", "update_postimage")
         val = F.col(self.value_col).cast("long")
@@ -434,6 +447,7 @@ class TopKAggMV:
                 .alias("n_ret"),
             )
             .join(ins_topk, "doc_id", "left")
+            .persist()
         )
 
         nb = self.mv.manifest().n_buckets
@@ -444,6 +458,8 @@ class TopKAggMV:
             .collect()
         ]
         if not tb:
+            d.unpersist()
+            g.unpersist()
             self._commit_cursor_only(v0, v1)
             return {"src_from": v0, "src_to": v1, "n_groups": 0, "n_rederive": 0}
 
@@ -540,6 +556,8 @@ class TopKAggMV:
         )
         out.unpersist()
         redo_keys.unpersist()
+        d.unpersist()
+        g.unpersist()
         return {
             "src_from": v0,
             "src_to": v1,

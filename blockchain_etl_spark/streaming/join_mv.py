@@ -253,13 +253,23 @@ class _SideIndex:
                 return int(lin["src_to"])
         return 0
 
-    def catch_up(self, to_version: int) -> None:
+    def catch_up(self, to_version: int, changes: DataFrame | None = None) -> None:
         """Fold the source's (cursor, to_version] changes into the
-        index — signed tuple arithmetic, O(Δ); no-op when current."""
+        index — signed tuple arithmetic, O(Δ); no-op when current.
+
+        ``changes``: the caller's already-computed (ideally persisted)
+        ``source.read_changes(frm, to_version)`` frame — the hop that
+        owns this index reads the SAME version-range diff for its own
+        delta leg, and the diff (two bucket-pruned MOR reads + a
+        full-outer join) is the expensive part of a hop; sharing it
+        halves the hop's scan work. Used only when the index cursor is
+        exactly at the caller's from-version, else read anew."""
         frm = self.cursor()
         if to_version <= frm:
             return
-        d = self.source.read_changes(frm, to_version)
+        d = changes if changes is not None else self.source.read_changes(
+            frm, to_version
+        )
         if self.derive is not None:
             d = self.derive(d)
         d = d.filter(F.col(self.join_col).isNotNull())
@@ -291,11 +301,18 @@ class _SideIndex:
         digest = hashlib.md5(
             f"sideindex-{self.name}-{frm}-{to_version}".encode()
         ).digest()
-        self.engine.apply_epoch(
-            ev,
-            epoch_id=int.from_bytes(digest[:8], "big") >> 1,
-            lineage_extra={"src_from": frm, "src_to": to_version},
-        )
+        # persist the folded tuples (O(Δ) rows): apply_epoch otherwise
+        # executes the whole upstream diff twice — once for its
+        # watermark pre-scan, once for the delta write
+        ev = ev.persist()
+        try:
+            self.engine.apply_epoch(
+                ev,
+                epoch_id=int.from_bytes(digest[:8], "big") >> 1,
+                lineage_extra={"src_from": frm, "src_to": to_version},
+            )
+        finally:
+            ev.unpersist()
 
     def version_at(self, src_version: int) -> int | None:
         """The index table version holding EXACTLY the source's state at
@@ -543,19 +560,25 @@ class JoinMV(_PairCursor):
                 n_buckets=self._idx_buckets,
             )
             auto_indexed = True
-        if self.index is not None:
-            # A@new for the ΔB leg; idempotent, so a crash between this
-            # and the MV commit just replays the (empty) remainder
-            self.index.catch_up(a1)
         legs = []
         cached = []
+        d_a_raw = None
         if a1 > a0:
-            # persist: the delta feeds BOTH the bucket-id collect and
-            # the join — uncached, the version diff would run twice
-            d_a = self.fact.read_changes(a0, a1).filter(
-                F.col(self.join_col).isNotNull()
-            ).persist()
-            cached.append(d_a)
+            # persist: the delta feeds the index catch-up, the bucket-id
+            # collect AND the join — uncached, the version diff (two
+            # MOR reads + a full-outer join) would run 3+ times
+            d_a_raw = self.fact.read_changes(a0, a1).persist()
+            cached.append(d_a_raw)
+        if self.index is not None:
+            # A@new for the ΔB leg; idempotent, so a crash between this
+            # and the MV commit just replays the (empty) remainder.
+            # Shares the persisted ΔA when the index cursor sits at a0.
+            self.index.catch_up(
+                a1,
+                changes=d_a_raw if self.index.cursor() == a0 else None,
+            )
+        if d_a_raw is not None:
+            d_a = d_a_raw.filter(F.col(self.join_col).isNotNull())
             # dim read pruned to the hash buckets of ΔA's join values
             nb = self.dim.manifest().n_buckets
             bks = [
@@ -749,23 +772,27 @@ class GeneralJoinMV(_PairCursor):
         # hop's trailing advance crashed), then bring idx_a to A@new —
         # both idempotent, so any crash window replays to the same state
         self.idx_b.catch_up(b0)
-        self.idx_a.catch_up(a1)
         legs = []
         cached = []
-        # deltas feed BOTH the prune-bucket collect and the join —
-        # persisted so the version diff doesn't run twice per leg
+        # deltas feed the index catch-ups, the prune-bucket collects AND
+        # the joins — persisted raw so the version diff (two MOR reads +
+        # a full-outer join) runs once per leg, not 3+ times
+        d_a_raw = d_b_raw = None
         if a1 > a0:
-            d_a = self.a.read_changes(a0, a1).filter(
-                F.col(self.a_join_col).isNotNull()
-            ).persist()
-            cached.append(d_a)
+            d_a_raw = self.a.read_changes(a0, a1).persist()
+            cached.append(d_a_raw)
+        if b1 > b0:
+            d_b_raw = self.b.read_changes(b0, b1).persist()
+            cached.append(d_b_raw)
+        self.idx_a.catch_up(
+            a1, changes=d_a_raw if self.idx_a.cursor() == a0 else None
+        )
+        if d_a_raw is not None:
+            d_a = d_a_raw.filter(F.col(self.a_join_col).isNotNull())
             b_old = self.idx_b.state(prune_values=d_a.select(self.a_join_col))
             legs.append(self._out(d_a.alias("l"), b_old.alias("r"), _sign()))
-        if b1 > b0:
-            d_b = self.b.read_changes(b0, b1).filter(
-                F.col(self.b_join_col).isNotNull()
-            ).persist()
-            cached.append(d_b)
+        if d_b_raw is not None:
+            d_b = d_b_raw.filter(F.col(self.b_join_col).isNotNull())
             a_new = self.idx_a.state(prune_values=d_b.select(self.b_join_col))
             legs.append(self._out(a_new.alias("l"), d_b.alias("r"), _sign()))
         lsn = a1 + b1
@@ -800,7 +827,9 @@ class GeneralJoinMV(_PairCursor):
         self._commit_cursor(a1, b1)
         _maybe_gc([self.mv, self.idx_a.table, self.idx_b.table])
         # trailing advance: next hop's B@old is this hop's B@new
-        self.idx_b.catch_up(b1)
+        self.idx_b.catch_up(
+            b1, changes=d_b_raw if self.idx_b.cursor() == b0 else None
+        )
         for df in cached:
             df.unpersist()
         return metrics if metrics is not None else {"deduped_range": [a0, a1, b0, b1]}
@@ -904,12 +933,17 @@ class LeftJoinMV(_PairCursor):
         a0, b0 = self._cursor()
         if a1 <= a0 and b1 <= b0:
             return None
-        self.idx.catch_up(a1)
         legs = []
         cached = []
+        d_a = None
         if a1 > a0:
             d_a = self.fact.read_changes(a0, a1).persist()
             cached.append(d_a)
+        # the catch-up shares the persisted ΔA when its cursor is at a0
+        self.idx.catch_up(
+            a1, changes=d_a if self.idx.cursor() == a0 else None
+        )
+        if d_a is not None:
             nn = d_a.filter(F.col(self.join_col).isNotNull())
             bks = []
             if b0 > 0:
@@ -1460,16 +1494,19 @@ class AsofJoinMV(_PairCursor):
         b1 = self.hist.current_version()
         if a1 <= a0 and b1 <= b0:
             return None
-        self.idx.catch_up(a1)
         legs = []
         cached = []
+        d_a_raw = None
         if a1 > a0:
-            d_a = (
-                self.fact.read_changes(a0, a1)
-                .select(*self.f_src_cols, _sign().alias("_s"))
-                .persist()
-            )
-            cached.append(d_a)
+            # raw diff persisted once: feeds the index catch-up AND the
+            # ΔA leg below (the diff is the expensive half of the hop)
+            d_a_raw = self.fact.read_changes(a0, a1).persist()
+            cached.append(d_a_raw)
+        self.idx.catch_up(
+            a1, changes=d_a_raw if self.idx.cursor() == a0 else None
+        )
+        if d_a_raw is not None:
+            d_a = d_a_raw.select(*self.f_src_cols, _sign().alias("_s"))
             h_old = self._hist_state(b0, d_a.select(self.join_col))
             legs.append(self._asof_out(d_a, h_old))
         if b1 > b0 and a1 > 0:
@@ -1706,28 +1743,39 @@ class RangeJoinMV(_PairCursor):
         b1 = self.ivl.current_version()
         if a1 <= a0 and b1 <= b0:
             return None
-        # advance both indexes first; all probes below are pinned via
-        # version_at, so there is no trailing-advance discipline
-        self.idx_a.catch_up(a1)
-        self.idx_b.catch_up(b1)
         legs = []
         cached = []
+        # raw diffs persisted once: each feeds its index catch-up, the
+        # cell-prune collect AND the join leg
+        d_a_raw = d_b_raw = None
         if a1 > a0:
+            d_a_raw = self.fact.read_changes(a0, a1).persist()
+            cached.append(d_a_raw)
+        if b1 > b0:
+            d_b_raw = self.ivl.read_changes(b0, b1).persist()
+            cached.append(d_b_raw)
+        # advance both indexes first; all probes below are pinned via
+        # version_at, so there is no trailing-advance discipline
+        self.idx_a.catch_up(
+            a1, changes=d_a_raw if self.idx_a.cursor() == a0 else None
+        )
+        self.idx_b.catch_up(
+            b1, changes=d_b_raw if self.idx_b.cursor() == b0 else None
+        )
+        if d_a_raw is not None:
             d_a = (
-                self.fact.read_changes(a0, a1)
+                d_a_raw
                 .filter(F.col(self.val_col).isNotNull())
                 .withColumn("_cell", _cell_of(self.val_col, self.cell_size))
-                .persist()
             )
-            cached.append(d_a)
             b_old = self.idx_b.state(
                 prune_values=d_a.select("_cell"),
                 version=self.idx_b.version_at(b0),
             )
             legs.append(self._out(d_a.alias("l"), b_old.alias("r"), _sign()))
-        if b1 > b0:
+        if d_b_raw is not None:
             d_b = _explode_cells(self.lo_col, self.hi_col, self.cell_size)(
-                self.ivl.read_changes(b0, b1)
+                d_b_raw
             ).persist()
             cached.append(d_b)
             a_new = self.idx_a.state(

@@ -298,12 +298,12 @@ def test_general_join_mv_heals_crashed_trailing_advance(spark, tmp_path):
     real = jm.idx_b.catch_up
     calls = {"n": 0}
 
-    def crashing(to_version):
+    def crashing(to_version, changes=None):
         # step-0 heal (to b0) passes; the trailing advance dies
         calls["n"] += 1
         if calls["n"] >= 2:
             raise RuntimeError("simulated crash")
-        real(to_version)
+        real(to_version, changes=changes)
 
     jm.idx_b.catch_up = crashing
     with pytest.raises(RuntimeError):
