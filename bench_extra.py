@@ -229,14 +229,28 @@ def query(names: list[str], plans_dir: str | None = None) -> dict:
             df = fn(spark, SF_DIR)
             if plans_dir:
                 os.makedirs(plans_dir, exist_ok=True)
+                import contextlib
+                import io
+
+                buf = io.StringIO()
+                with contextlib.redirect_stdout(buf):
+                    df.explain("formatted")
                 with open(os.path.join(plans_dir, f"{name}.txt"), "w") as f:
-                    f.write(df._jdf.queryExecution().explainString("formatted"))
+                    f.write(buf.getvalue())
+            def one() -> float:
+                # time fn() + noop together: some gate queries run
+                # eager work (table builds, iterative propagation)
+                # inside the function
+                t0 = time.monotonic()
+                fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+                return round(time.monotonic() - t0, 3)
+
             sc.setJobDescription(f"noop: {name} (cold)")
-            cold = _noop(fn(spark, SF_DIR))
+            cold = one()
             warm = []
             for i in range(3):
                 sc.setJobDescription(f"noop: {name} (warm {i})")
-                warm.append(_noop(fn(spark, SF_DIR)))
+                warm.append(one())
             out[name] = {"cold": cold, "warm": warm, "warm_min": min(warm)}
             sc.setJobDescription(None)
     finally:

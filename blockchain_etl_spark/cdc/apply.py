@@ -376,6 +376,40 @@ class CdcEngine:
         prior_epochs = list(m.applied_epochs)
         if stats is None and use_store_stats and self.epoch_store is not None:
             stats = self.epoch_store.epoch_stats(epoch_id)
+        own_persist = False
+        if stats is None and not (
+            events_df.storageLevel.useMemory or events_df.storageLevel.useDisk
+        ):
+            # no landed stats → the pre-scan below AND the merge/append
+            # (plus the COW bucket collect) would each re-execute the
+            # caller's input plan — for cascade/gate callers that plan
+            # is a whole derivation (version diff, events⋈documents).
+            # Materialize it once; the pre-scan's aggregation fills the
+            # cache. Skipped when the caller persisted already or when
+            # store stats make the pre-scan unnecessary (the store read
+            # is a plain columnar scan — caching it would only copy).
+            events_df = events_df.persist()
+            own_persist = True
+        try:
+            return self._apply_prepared(
+                events_df, epoch_id, stats, wm, prior_epochs, m, t0,
+                lineage_extra,
+            )
+        finally:
+            if own_persist:
+                events_df.unpersist()
+
+    def _apply_prepared(
+        self,
+        events_df: DataFrame,
+        epoch_id: int,
+        stats: dict[str, Any] | None,
+        wm: dict[str, int],
+        prior_epochs: list[int],
+        m,
+        t0: float,
+        lineage_extra: dict[str, Any] | None,
+    ) -> dict[str, Any] | None:
         if stats is not None and "watermark" in stats:
             pre = {
                 "n_events": stats["n"],
