@@ -218,3 +218,27 @@ def test_apply_retries_through_commit_conflict(spark, tmp_path):
         dict(stream_pos=3, lsn=3, seq=0, op="I", doc_id="c", tokens=[3],
              n_tok=1, source="s", rollback_to_lsn=None, epoch_hash="e3")]),
         epoch_id=7) is None
+
+
+def test_semi_dedup_matches_aggregate_dedup(spark):
+    """The two-pass broadcast-winners dedup (dedup_last_writer_semi)
+    must select exactly the rows the aggregate form selects — same
+    winner per key, same columns — on a changelog with heavy per-key
+    redelivery and deletes."""
+    from pyspark.sql import functions as F
+
+    from blockchain_etl_spark.cdc.apply import (
+        dedup_last_writer,
+        dedup_last_writer_semi,
+    )
+    from blockchain_etl_spark.cdc.generator import generate_changelog_spark
+
+    ev = generate_changelog_spark(spark, 30_000, n_docs=500, partitions=4)
+    ev = ev.filter(F.col("op") != "R")
+    a = dedup_last_writer(ev)
+    b = dedup_last_writer_semi(ev)
+    assert a.columns == b.columns
+    rows_a = sorted(map(tuple, a.collect()))
+    rows_b = sorted(map(tuple, b.collect()))
+    assert rows_a == rows_b
+    assert len(rows_a) == ev.select("doc_id").distinct().count()
