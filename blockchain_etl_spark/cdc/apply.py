@@ -976,10 +976,14 @@ class CdcEngine:
             F.when(takes_s, F.col("s.op") == "D")
             .otherwise(F.col("t.deleted"))
             .alias("deleted"),
-        ).persist()
-
+        )
         counts: dict[str, int] = {}
         if self.collect_metrics:
+            # persist only when the counts collect makes this frame
+            # multi-consumer — with metrics off the write is the sole
+            # action and a persist would copy every merged row into the
+            # block manager for nothing
+            tagged = tagged.persist()
             counts = {
                 r["_tag"]: r["n"]
                 for r in tagged.groupBy("_tag").agg(F.count("*").alias("n")).collect()
@@ -1014,7 +1018,8 @@ class CdcEngine:
             lineage=metrics,
             new_schema=merged_schema,
         )
-        tagged.unpersist()
+        if self.collect_metrics:
+            tagged.unpersist()
         return metrics
 
 

@@ -97,8 +97,16 @@ def track_frontier(
         .select("address", F.lit(0).alias("hop"), stopped("address").alias("stopped"))
     )
     frontier = seen
-    edges = events.filter(F.col(key) != F.col(dst_col)).select(
-        F.col(key).alias("__src"), F.col(dst_col).alias("__dst")
+    # localCheckpoint: every hop semi-joins this edge list, and hops are
+    # SEQUENTIAL (hop k+1 depends on hop k), so without materialization
+    # the upstream edge derivation (scan + counterparty extraction)
+    # re-executes once per hop with no concurrency to hide it. The
+    # checkpointed frame is two long columns — tiny next to the plan
+    # that produces it.
+    edges = (
+        events.filter(F.col(key) != F.col(dst_col))
+        .select(F.col(key).alias("__src"), F.col(dst_col).alias("__dst"))
+        .localCheckpoint(eager=True)
     )
     for hop in range(1, hops + 1):
         reached = (
@@ -112,8 +120,17 @@ def track_frontier(
             .select(F.col("__dst").alias("address"))
             .distinct()
         )
-        frontier = reached.join(seen.select("address"), "address", "left_anti").select(
-            "address", F.lit(hop).alias("hop"), stopped("address").alias("stopped")
+        # checkpoint the (tiny) per-hop frontier: it feeds the next
+        # hop's semi join, the anti-join seen set AND the result union —
+        # left lazy, each reference re-executes every prior hop's joins
+        # (the re-execution count compounds with depth)
+        frontier = (
+            reached.join(seen.select("address"), "address", "left_anti")
+            .select(
+                "address", F.lit(hop).alias("hop"),
+                stopped("address").alias("stopped"),
+            )
+            .localCheckpoint(eager=True)
         )
         seen = seen.unionByName(frontier)
     return seen
