@@ -269,11 +269,12 @@ def dedup_last_writer(events: DataFrame, payload_cols: list[str] | None = None) 
 
 
 # dedup_last_writer_semi is used for batches up to this many events:
-# winners <= events, and worst-case distinct keys at the bound are a
-# ~160 MB broadcast of longs — comfortably under the 8 GB / 512M-row
-# broadcast cap with headroom for executor copies. Beyond it the
-# aggregate path shuffles but never builds an oversized broadcast.
-_SEMI_DEDUP_MAX_EVENTS = 20_000_000
+# winners carry one (key, pos) pair per distinct key, so even a
+# pathological all-unique-keys batch at the bound broadcasts a few
+# hundred MB — inside the "a few hundred MB is usually fine" broadcast
+# envelope, far under the 8 GB / 512M-row cap. Beyond it the aggregate
+# path shuffles payload but never builds an oversized broadcast.
+_SEMI_DEDUP_MAX_EVENTS = 8_000_000
 
 
 def dedup_last_writer_semi(
@@ -282,29 +283,32 @@ def dedup_last_writer_semi(
     """Two-pass last-writer dedup — the guide-§8 shape: decide with
     small rows, move big rows once. Pass 1 finds each key's winning
     ``stream_pos`` over a NARROW projection (the scan prunes to two
-    columns; the shuffle carries ~16 bytes/row where
+    columns; the shuffle carries ~tens of bytes/row where
     :func:`dedup_last_writer`'s ``max(struct(...))`` aggregation
     shuffles every payload byte — the token arrays are ~90% of the
-    batch). Pass 2 broadcast-joins the winning positions back, so the
-    payload crosses no exchange at all before the bucket-layout write.
+    batch). Pass 2 broadcast-joins the winners back ON THE (doc_id,
+    stream_pos) PAIR, so the payload crosses no exchange at all before
+    the bucket-layout write.
 
-    Correct because ``stream_pos`` is globally unique (the engine-wide
-    dedup contract — the struct comparison in the aggregate relies on
-    the same fact): the winner positions identify exactly one row each.
-    Callers bound the batch size (``_SEMI_DEDUP_MAX_EVENTS``) so the
-    winner set always fits a broadcast; the aggregate form remains the
-    unbounded-batch fallback."""
+    The pair join is load-bearing: cascade-hop event streams mint ONE
+    stream_pos for a whole hop (changes_to_events: lsn = to_version,
+    seq = 0), so a position-only join would match every row against
+    every key's winner — an M×N blowup. Keyed by the pair, each row
+    matches exactly its own key's winner; duplicate (doc_id,
+    stream_pos) deliveries are value-identical by the stream contract
+    and resolve downstream like any redelivery. Callers bound the batch
+    size (``_SEMI_DEDUP_MAX_EVENTS``) so the winner set always fits a
+    broadcast; the aggregate form remains the unbounded-batch
+    fallback."""
     if payload_cols is None:
         payload_cols = [c for c in events.columns if c not in _EVENT_META]
     carry = ["lsn", "seq", "op", *payload_cols]
-    winners = (
-        events.groupBy("doc_id")
-        .agg(F.max("stream_pos").alias("stream_pos"))
-        .select("stream_pos")
+    winners = events.groupBy("doc_id").agg(
+        F.max("stream_pos").alias("stream_pos")
     )
-    return events.join(F.broadcast(winners), "stream_pos").select(
-        "doc_id", *carry, "stream_pos"
-    )
+    return events.join(
+        F.broadcast(winners), ["doc_id", "stream_pos"]
+    ).select("doc_id", *carry, "stream_pos")
 
 
 class CdcEngine:
@@ -627,13 +631,18 @@ class CdcEngine:
             )
             ups = dedup_policy_fold(valid, pol)
         elif (
-            pre["n_events"] is not None
+            self.mode == "mor"
+            and pre["n_events"] is not None
             and pre["n_events"] <= _SEMI_DEDUP_MAX_EVENTS
         ):
             # scale-adaptive: small-enough batches dedup via the
             # narrow-shuffle + broadcast-winners two-pass (payload
             # bytes never enter an exchange); unbounded batches keep
-            # the aggregate, whose memory is per-partition-bounded
+            # the aggregate, whose memory is per-partition-bounded.
+            # MOR only: an exact duplicate (doc_id, stream_pos)
+            # delivery survives the pair join as two value-identical
+            # rows — the delta resolver collapses them at read, but a
+            # COW merge would write both, so COW keeps the aggregate.
             ups = dedup_last_writer_semi(valid)
         else:
             ups = dedup_last_writer(valid)

@@ -242,3 +242,17 @@ def test_semi_dedup_matches_aggregate_dedup(spark):
     rows_b = sorted(map(tuple, b.collect()))
     assert rows_a == rows_b
     assert len(rows_a) == ev.select("doc_id").distinct().count()
+
+    # the cascade-hop shape: ONE event per key, and every event in the
+    # batch shares ONE stream_pos (changes_to_events nets the range and
+    # mints lsn=to_version, seq=0). A position-only winner join would
+    # cross-match every key's winner (M x N blowup — the r7 bench
+    # caught exactly that); the (doc_id, stream_pos) pair join must
+    # reproduce the aggregate form row for row.
+    flat = dedup_last_writer(ev).withColumn(
+        "stream_pos", F.lit(7_340_032).cast("long")
+    )
+    fa = sorted(map(tuple, dedup_last_writer(flat).collect()))
+    fb = sorted(map(tuple, dedup_last_writer_semi(flat).collect()))
+    assert fa == fb
+    assert len(fb) == flat.count()
