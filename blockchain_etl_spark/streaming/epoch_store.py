@@ -142,8 +142,11 @@ class EpochStore:
         durable the moment the links exist; source deletion cannot
         un-land it — links hold their own inode reference).
 
-        ``files``: [{"src": abs path, "base": int, "n": row count}] in
-        consumption order. ``stats`` must carry the same keys
+        ``files``: [{"src": abs path, "base": int | None, "n": row
+        count}] in consumption order — ``base: None`` means the file's
+        own ``stream_pos`` column is already the epoch's positions (the
+        single-log tail shape: landed epoch files need no mint) and the
+        read is a plain scan. ``stats`` must carry the same keys
         ``write_epoch`` computes (n, pos/lsn bounds, watermark, markers
         — the caller's stats job already aggregated them)."""
         import shutil
@@ -161,7 +164,11 @@ class EpochStore:
                 except OSError:  # cross-device or FS without links
                     shutil.copy2(f["src"], dst)
             linked.append(
-                {"path": f"{d}/{name}", "base": int(f["base"]), "n": int(f["n"])}
+                {
+                    "path": f"{d}/{name}",
+                    "base": int(f["base"]) if f.get("base") is not None else None,
+                    "n": int(f["n"]),
+                }
             )
         idx = self._index()
         idx[str(epoch_id)] = {
@@ -171,6 +178,71 @@ class EpochStore:
         }
         self._write_index(idx)
         return idx[str(epoch_id)]
+
+    def link_native_epoch(
+        self, epoch_id: int, src_path: str, schema: T.StructType
+    ) -> dict[str, Any] | None:
+        """Zero-copy landing of an already-positioned native epoch (a
+        landed parquet file/dir whose rows carry their final
+        ``stream_pos``): ONE narrow stats aggregation — the same
+        aggregate ``write_epoch`` observes, over pruned columns — plus
+        hardlinks, instead of decoding and re-encoding every payload
+        byte through a Spark write. Returns the landed stats, or None
+        when the source has no parquet data files (caller falls back to
+        ``write_epoch``)."""
+        files: list[dict[str, Any]] = []
+        if os.path.isdir(src_path):
+            for dirpath, _dirs, fns in os.walk(src_path):
+                for fn in sorted(fns):
+                    if fn.endswith(".parquet"):
+                        files.append(
+                            {"src": os.path.join(dirpath, fn), "base": None, "n": 0}
+                        )
+        elif src_path.endswith(".parquet"):
+            files.append({"src": src_path, "base": None, "n": 0})
+        if not files:
+            return None
+        df = self.spark.read.schema(schema).parquet(src_path)
+        row = df.agg(
+            F.min("stream_pos").alias("pos_min"),
+            F.max("stream_pos").alias("pos_max"),
+            F.min("lsn").alias("lsn_min"),
+            F.max("lsn").alias("lsn_max"),
+            F.max(F.struct("lsn", "seq")).alias("wm_ls"),
+            F.count(F.lit(1)).alias("n"),
+            F.collect_list(
+                F.when(
+                    F.col("op") == "R",
+                    F.struct("stream_pos", "lsn", "rollback_to_lsn"),
+                )
+            ).alias("markers"),
+        ).first()
+        if not row["n"]:
+            return None  # empty epoch: the plain write path handles it
+        stats = {
+            "pos_min": row["pos_min"],
+            "pos_max": row["pos_max"],
+            "lsn_min": row["lsn_min"],
+            "lsn_max": row["lsn_max"],
+            "n": row["n"],
+            "watermark": {
+                "lsn": row["wm_ls"]["lsn"],
+                "seq": row["wm_ls"]["seq"],
+                "pos": row["pos_max"],
+            },
+            "markers": sorted(
+                (
+                    {
+                        "stream_pos": r["stream_pos"],
+                        "lsn": r["lsn"],
+                        "rollback_to_lsn": r["rollback_to_lsn"],
+                    }
+                    for r in row["markers"]
+                ),
+                key=lambda r: r["stream_pos"],
+            ),
+        }
+        return self.link_epoch(epoch_id, files, schema, stats)
 
     def epoch_stats(self, epoch_id: int) -> dict[str, Any] | None:
         return self._index().get(str(epoch_id))
@@ -190,6 +262,10 @@ class EpochStore:
                 os.path.join(self.path, meta["file"])
             )
         paths = [os.path.join(self.path, f["path"]) for f in meta["linked"]]
+        if all(f["base"] is None for f in meta["linked"]):
+            # un-minted linked epoch (single-log tail): the files carry
+            # their own stream_pos — plain scan, no projection
+            return self.spark.read.schema(schema).parquet(*paths)
         bases = [
             (os.path.basename(f["path"]), int(f["base"])) for f in meta["linked"]
         ]

@@ -115,7 +115,17 @@ class ChangeLogTailer:
         for eid in self.pending_epochs():
             df = self._read_epoch(files[eid])
             if self.engine.epoch_store is not None and str(eid) not in self.engine.epoch_store._index():
-                self.engine.epoch_store.write_epoch(eid, df)
+                st = None
+                if not files[eid].endswith(".jsonl"):
+                    # native landed epochs are already columnar and
+                    # already positioned — land them by hardlink + one
+                    # narrow stats pass instead of a full re-encode
+                    st = self.engine.epoch_store.link_native_epoch(
+                        eid, os.path.join(self.landing_dir, files[eid]),
+                        EVENT_SCHEMA,
+                    )
+                if st is None:
+                    self.engine.epoch_store.write_epoch(eid, df)
                 df = self.engine.epoch_store.read_epoch(eid)
             metrics = self.engine.apply_epoch(df, eid)
             if metrics is not None:
